@@ -1,0 +1,230 @@
+"""Compact Position Reporting decode/encode (ref: gr-air-modes python/cpr.py).
+
+Implements airborne (360-degree zones) and surface (90-degree zones) CPR:
+  - nl(lat): number of longitude zones, closed form with NZ = 15
+  - global decode from an even/odd frame pair (rejecting NL boundary straddles)
+  - local decode from one frame plus a reference position
+  - `cpr_decoder`: per-ICAO even/odd frame cache with timestamp pairing window,
+    staleness eviction, and range sanity check vs. the receiver location
+  - cpr_encode for golden-capture generation and the self-test vectors
+
+Angles in degrees; 17-bit encoded lat/lon.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional, Tuple
+
+from ..exceptions import CPRBoundaryStraddleError, CPRNoPositionError
+
+NZ = 15
+NBITS = 17
+SCALE = float(1 << NBITS)
+
+# Pairing/eviction windows (seconds); the reference pairs frames ~10 s apart.
+PAIR_WINDOW_S = 10.0
+EVICT_S = 60.0
+# Reject fixes farther than this from the receiver (ref discards > ~180-250 NM).
+MAX_RANGE_NM = 250.0
+
+_NM_PER_DEG_LAT = 60.0
+
+
+def nl(declat: float) -> int:
+    """Number of longitude zones at a given latitude (closed form)."""
+    if abs(declat) >= 87.0:
+        return 2 if abs(declat) == 87.0 else 1
+    if declat == 0.0:
+        return 59
+    a = 1 - math.cos(math.pi / (2 * NZ))
+    b = math.cos(math.pi / 180.0 * abs(declat)) ** 2
+    return int(math.floor(2 * math.pi / math.acos(1 - a / b)))
+
+
+def _dlat(odd: bool, surface: bool) -> float:
+    span = 90.0 if surface else 360.0
+    return span / (4 * NZ - (1 if odd else 0))
+
+
+def _dlon(declat: float, odd: bool, surface: bool) -> float:
+    span = 90.0 if surface else 360.0
+    n = max(nl(declat) - (1 if odd else 0), 1)
+    return span / n
+
+
+def cpr_mod(a: float, b: float) -> float:
+    return a - b * math.floor(a / b)
+
+
+def cpr_encode(lat: float, lon: float, odd: bool, surface: bool) -> Tuple[int, int]:
+    """Encode lat/lon into 17-bit CPR YZ, XZ (ref: cpr.py cpr_encode)."""
+    dlat = _dlat(odd, surface)
+    yz = math.floor(SCALE * cpr_mod(lat, dlat) / dlat + 0.5)
+    rlat = dlat * (yz / SCALE + math.floor(lat / dlat))
+    dlon = _dlon(rlat, odd, surface)
+    xz = math.floor(SCALE * cpr_mod(lon, dlon) / dlon + 0.5)
+    return int(yz) & 0x1FFFF, int(xz) & 0x1FFFF
+
+
+def decode_global(
+    even: Tuple[int, int], odd: Tuple[int, int], most_recent_odd: bool,
+    surface: bool = False, ref: Optional[Tuple[float, float]] = None,
+) -> Tuple[float, float]:
+    """Global decode from an even/odd (YZ, XZ) pair.
+
+    Raises CPRBoundaryStraddleError when the pair straddles an NL boundary.
+    For surface frames a reference position is required to resolve the
+    90-degree quadrant ambiguity.
+    """
+    yz0, xz0 = even
+    yz1, xz1 = odd
+    lat0, lat1 = yz0 / SCALE, yz1 / SCALE
+    dlat0 = _dlat(False, surface)
+    dlat1 = _dlat(True, surface)
+
+    j = math.floor(59 * lat0 - 60 * lat1 + 0.5)
+    rlat0 = dlat0 * (cpr_mod(j, 60) + lat0)
+    rlat1 = dlat1 * (cpr_mod(j, 59) + lat1)
+    if not surface:
+        if rlat0 >= 270:
+            rlat0 -= 360
+        if rlat1 >= 270:
+            rlat1 -= 360
+    if nl(rlat0) != nl(rlat1):
+        raise CPRBoundaryStraddleError()
+
+    rlat = rlat1 if most_recent_odd else rlat0
+    odd_f = most_recent_odd
+    nlv = nl(rlat)
+    ni = max(nlv - (1 if odd_f else 0), 1)
+    dlon = (90.0 if surface else 360.0) / ni
+    lonf = (xz1 if odd_f else xz0) / SCALE
+    m = math.floor((xz0 / SCALE) * (nlv - 1) - (xz1 / SCALE) * nlv + 0.5)
+    rlon = dlon * (cpr_mod(m, ni) + lonf)
+    if not surface:
+        if rlon > 180:
+            rlon -= 360
+    else:
+        # surface: resolve the 4-fold lon / 2-fold lat ambiguity near ref
+        if ref is None:
+            raise CPRNoPositionError("surface global decode needs a reference")
+        rlat, rlon = _nearest_surface_solution(rlat, rlon, ref)
+    return rlat, rlon
+
+
+def _nearest_surface_solution(rlat, rlon, ref):
+    ref_lat, ref_lon = ref
+    lat_cands = [rlat, rlat - 90.0]
+    lon_cands = [cpr_mod(rlon + k * 90.0 + 180.0, 360.0) - 180.0 for k in range(4)]
+    best = None
+    for la in lat_cands:
+        if not -90 <= la <= 90:
+            continue
+        for lo in lon_cands:
+            d = (la - ref_lat) ** 2 + (cpr_mod(lo - ref_lon + 180, 360) - 180) ** 2
+            if best is None or d < best[0]:
+                best = (d, la, lo)
+    if best is None:
+        raise CPRNoPositionError("no valid surface solution")
+    return best[1], best[2]
+
+
+def decode_local(
+    frame: Tuple[int, int], odd: bool, ref: Tuple[float, float],
+    surface: bool = False,
+) -> Tuple[float, float]:
+    """Local decode: nearest solution to `ref` within half a zone."""
+    yz, xz = frame
+    ref_lat, ref_lon = ref
+    dlat = _dlat(odd, surface)
+    j = math.floor(ref_lat / dlat) + math.floor(
+        0.5 + cpr_mod(ref_lat, dlat) / dlat - yz / SCALE)
+    rlat = dlat * (j + yz / SCALE)
+    dlon = _dlon(rlat, odd, surface)
+    m = math.floor(ref_lon / dlon) + math.floor(
+        0.5 + cpr_mod(ref_lon, dlon) / dlon - xz / SCALE)
+    rlon = dlon * (m + xz / SCALE)
+    return rlat, rlon
+
+
+def range_bearing(loc_a: Tuple[float, float], loc_b: Tuple[float, float]) -> Tuple[float, float]:
+    """(range_nm, bearing_deg) from loc_a to loc_b, equirectangular approx
+    (matches the reference's small-angle range/bearing math)."""
+    lat_a, lon_a = loc_a
+    lat_b, lon_b = loc_b
+    dlat = (lat_b - lat_a) * _NM_PER_DEG_LAT
+    dlon = (cpr_mod(lon_b - lon_a + 180.0, 360.0) - 180.0) * _NM_PER_DEG_LAT * \
+        math.cos(math.radians((lat_a + lat_b) / 2))
+    rng = math.hypot(dlat, dlon)
+    bearing = math.degrees(math.atan2(dlon, dlat)) % 360.0
+    return rng, bearing
+
+
+class cpr_decoder:
+    """Stateful per-ICAO CPR decoder (ref: cpr.py class cpr_decoder).
+
+    decode(icao, encoded_lat, encoded_lon, cpr_format, surface, timestamp)
+      -> (lat, lon, range_nm_or_None, bearing_or_None)
+    Raises CPRNoPositionError / CPRBoundaryStraddleError when unresolvable.
+    """
+
+    def __init__(self, my_location: Optional[Tuple[float, float]] = None,
+                 max_range_nm: float = MAX_RANGE_NM):
+        self.my_location = my_location
+        self.max_range_nm = max_range_nm
+        # icao -> {0: (yz, xz, t), 1: (yz, xz, t)}
+        self.lkplist: Dict[int, dict] = {}
+        # icao -> (lat, lon, t): last known position for local decode
+        self.poslist: Dict[int, Tuple[float, float, float]] = {}
+
+    def maintain(self, now: Optional[float] = None) -> None:
+        now = time.time() if now is None else now
+        for icao in list(self.lkplist):
+            newest = max(v[2] for v in self.lkplist[icao].values())
+            if now - newest > EVICT_S:
+                del self.lkplist[icao]
+        for icao in list(self.poslist):
+            if now - self.poslist[icao][2] > EVICT_S:
+                del self.poslist[icao]
+
+    def _check_range(self, lat: float, lon: float):
+        if self.my_location is None:
+            return None, None
+        rng, brg = range_bearing(self.my_location, (lat, lon))
+        if rng > self.max_range_nm:
+            raise CPRNoPositionError(f"position {rng:.0f} NM out of range")
+        return rng, brg
+
+    def decode(self, icao: int, encoded_lat: int, encoded_lon: int,
+               cpr_format: int, surface: bool = False,
+               timestamp: Optional[float] = None):
+        t = time.time() if timestamp is None else timestamp
+        frames = self.lkplist.setdefault(icao, {})
+        frames[int(cpr_format)] = (encoded_lat, encoded_lon, t)
+
+        lat = lon = None
+        # Prefer local decode when we have a recent position or receiver loc.
+        ref = None
+        if icao in self.poslist and t - self.poslist[icao][2] < EVICT_S:
+            ref = self.poslist[icao][:2]
+        elif self.my_location is not None and (surface or 0 not in frames or 1 not in frames):
+            ref = self.my_location
+
+        if 0 in frames and 1 in frames and \
+                abs(frames[0][2] - frames[1][2]) <= PAIR_WINDOW_S and not (
+                    surface and ref is None):
+            lat, lon = decode_global(
+                frames[0][:2], frames[1][:2],
+                most_recent_odd=frames[1][2] >= frames[0][2],
+                surface=surface, ref=ref if surface else None)
+        elif ref is not None:
+            lat, lon = decode_local(
+                (encoded_lat, encoded_lon), bool(cpr_format), ref, surface)
+        else:
+            raise CPRNoPositionError("no even/odd pair and no reference position")
+
+        rng, brg = self._check_range(lat, lon)
+        self.poslist[icao] = (lat, lon, t)
+        return lat, lon, rng, brg

@@ -1,0 +1,241 @@
+"""Top-level Mode S message parser (ref: gr-air-modes python/parse.py class parse).
+
+Consumes the slicer's wire string:
+
+    "<df> <hex_frame> <syndrome_hex6> <status> <ref_dbfs> <timestamp>"
+
+re-validates the CRC, dispatches per downlink format, decodes positions via
+the stateful CPR decoder and altitudes/squawks/callsigns/velocities, and
+returns an `AircraftReport`. Raises subclasses of ADSBError for undecodable
+messages — the caller's loop catches and drops (skip-and-continue fault
+model, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+from .. import crc
+from ..constants import (AP_ADDRESS_DFS, STATUS_FAIL)
+from ..exceptions import ADSBError, NoHandlerError, ParserError
+from .altitude import decode_alt
+from .cpr import cpr_decoder
+from .fields import decode_callsign, decode_squawk, me_reply, modes_reply
+
+
+@dataclasses.dataclass
+class AircraftReport:
+    df: int
+    icao: Optional[int]
+    timestamp: float
+    ref_dbfs: float
+    raw_hex: str
+    status: int = 0
+    # optional decoded content
+    bds: Optional[str] = None
+    callsign: Optional[str] = None
+    category: Optional[int] = None
+    altitude_ft: Optional[int] = None
+    squawk: Optional[int] = None
+    lat: Optional[float] = None
+    lon: Optional[float] = None
+    range_nm: Optional[float] = None
+    bearing_deg: Optional[float] = None
+    speed_kt: Optional[float] = None
+    heading_deg: Optional[float] = None
+    vertical_rate_fpm: Optional[float] = None
+    speed_type: Optional[str] = None     # "GS" | "IAS" | "TAS"
+    on_surface: bool = False
+    flight_status: Optional[int] = None
+    capability: Optional[int] = None
+
+    @property
+    def icao_hex(self) -> Optional[str]:
+        return None if self.icao is None else f"{self.icao:06x}"
+
+
+class parse:
+    """Stateful parser; one instance per receive chain (holds the CPR cache)."""
+
+    def __init__(self, my_position: Optional[Tuple[float, float]] = None):
+        self.my_position = my_position
+        self.cpr = cpr_decoder(my_position)
+
+    # --- wire format ----------------------------------------------------------
+
+    def parse(self, message: str) -> AircraftReport:
+        parts = message.split()
+        if len(parts) != 6:
+            raise ParserError(f"malformed slicer message: {message!r}")
+        df = int(parts[0])
+        hexframe = parts[1]
+        syndrome = int(parts[2], 16)
+        status = int(parts[3])
+        ref_dbfs = float(parts[4])
+        timestamp = float(parts[5])
+        if status == STATUS_FAIL:
+            raise ParserError("uncorrectable frame")
+
+        nbits = len(hexframe) * 4
+        if nbits not in (56, 112):
+            raise ParserError(f"bad frame length {nbits}")
+        data = int(hexframe, 16)
+        if (data >> (nbits - 5)) != df and not (df == 24 and data >> (nbits - 2) == 3):
+            raise ParserError("DF mismatch between header and frame")
+        # CRC re-check (ref: parse.py re-validates before dispatch). The wire
+        # syndrome is post-correction, so it must match a recompute exactly;
+        # for DF17/18 a clean frame has syndrome 0.
+        if crc.crc24(data, nbits) != syndrome:
+            raise ParserError("CRC re-check failed")
+        if df in (17, 18) and syndrome != 0:
+            raise ParserError(f"DF{df} with nonzero syndrome")
+
+        report = AircraftReport(df=df, icao=None, timestamp=timestamp,
+                                ref_dbfs=ref_dbfs, raw_hex=hexframe,
+                                status=status)
+        reply = modes_reply(data, nbits)
+
+        # Address recovery: AP-overlaid DFs carry icao in the syndrome.
+        if df in AP_ADDRESS_DFS:
+            report.icao = syndrome
+        elif "aa" in reply:
+            report.icao = reply["aa"]
+
+        handler = getattr(self, f"parse{df}", None)
+        if handler is None:
+            raise NoHandlerError(df)
+        handler(reply, report)
+        return report
+
+    # --- per-DF handlers (ref: parse.py parse0/4/5/11/16/17/20/21) ------------
+
+    def parse0(self, reply, report):
+        report.altitude_ft = self._alt13(reply["ac"])
+        report.on_surface = bool(reply["vs"])
+
+    parse16 = parse0
+
+    def parse4(self, reply, report):
+        report.flight_status = reply["fs"]
+        report.altitude_ft = self._alt13(reply["ac"])
+
+    def parse5(self, reply, report):
+        report.flight_status = reply["fs"]
+        report.squawk = decode_squawk(reply["id"])
+
+    def parse11(self, reply, report):
+        report.capability = reply["ca"]
+
+    def parse17(self, reply, report):
+        report.capability = reply["ca"] if "ca" in reply else None
+        self._parse_me(reply["me"], report)
+
+    parse18 = parse17
+
+    def parse20(self, reply, report):
+        report.flight_status = reply["fs"]
+        report.altitude_ft = self._alt13(reply["ac"])
+        # MB field (56-bit Comm-B payload) is carried raw; BDS inference is
+        # out of scope, matching the reference.
+
+    def parse21(self, reply, report):
+        report.flight_status = reply["fs"]
+        report.squawk = decode_squawk(reply["id"])
+
+    def parse24(self, reply, report):
+        pass  # Comm-D ELM segment; carried raw (reference: partial support)
+
+    # --- ME (DF17 extended squitter) -------------------------------------------
+
+    def _parse_me(self, me: int, report: AircraftReport):
+        ftc = me >> 51
+        rep = me_reply(me)
+        if 1 <= ftc <= 4:
+            report.bds = "BDS0,8"
+            report.callsign = decode_callsign(rep["ident"])
+            report.category = rep["cat"]
+        elif 5 <= ftc <= 8:
+            report.bds = "BDS0,6"
+            report.on_surface = True
+            self._decode_position(rep, report, surface=True)
+            mov = rep["mov"]
+            if 2 <= mov <= 123:
+                report.speed_kt = self._surface_speed(mov)
+                report.speed_type = "GS"
+            if rep["gts"]:
+                report.heading_deg = rep["gtk"] * 360.0 / 128.0
+        elif (9 <= ftc <= 18) or (20 <= ftc <= 22):
+            report.bds = "BDS0,5"
+            alt12 = rep["alt"]
+            if alt12:
+                try:
+                    report.altitude_ft = decode_alt(alt12, bit13=False)
+                except ADSBError:
+                    pass
+            self._decode_position(rep, report, surface=False)
+        elif ftc == 19:
+            report.bds = "BDS0,9"
+            self._decode_velocity(rep, report)
+        else:
+            raise NoHandlerError(ftc)
+
+    def _decode_position(self, rep, report, surface: bool):
+        if report.icao is None:
+            return
+        try:
+            lat, lon, rng, brg = self.cpr.decode(
+                report.icao, rep["encoded_lat"], rep["encoded_lon"],
+                rep["cpr_format"], surface=surface, timestamp=report.timestamp)
+        except ADSBError:
+            return  # position not resolvable yet; rest of report still valid
+        report.lat, report.lon = lat, lon
+        report.range_nm, report.bearing_deg = rng, brg
+
+    @staticmethod
+    def _surface_speed(mov: int) -> float:
+        """BDS0,6 movement field -> ground speed in kt (piecewise scale)."""
+        table = [(2, 0.125, 0.125), (9, 1.0, 0.146), (13, 2.0, 0.292),
+                 (39, 5.0, 0.5), (94, 10.0, 1.0), (109, 20.0, 2.0),
+                 (124, 100.0, 5.0)]
+        base_code = 2
+        base_speed = 0.125
+        for hi, speed_at, step in table:
+            if mov < hi:
+                return base_speed + (mov - base_code) * step
+            base_code, base_speed = hi, speed_at
+        return 175.0
+
+    def _decode_velocity(self, rep, report):
+        sub = rep["sub"]
+        if sub in (1, 2):
+            scale = 4.0 if sub == 2 else 1.0
+            v_ew, v_ns = rep["v_ew"], rep["v_ns"]
+            if v_ew and v_ns:
+                ew = (v_ew - 1) * scale * (-1 if rep["s_ew"] else 1)
+                ns = (v_ns - 1) * scale * (-1 if rep["s_ns"] else 1)
+                report.speed_kt = math.hypot(ew, ns)
+                report.heading_deg = math.degrees(math.atan2(ew, ns)) % 360.0
+                report.speed_type = "GS"
+        elif sub in (3, 4):
+            scale = 4.0 if sub == 4 else 1.0
+            if rep["shdg"]:
+                report.heading_deg = rep["hdg"] * 360.0 / 1024.0
+            if rep["as_"]:
+                report.speed_kt = (rep["as_"] - 1) * scale
+                report.speed_type = "TAS" if rep["ast"] else "IAS"
+        if rep["vr"]:
+            report.vertical_rate_fpm = (rep["vr"] - 1) * 64.0 * \
+                (-1 if rep["s_vr"] else 1)
+
+    # --- helpers ---------------------------------------------------------------
+
+    @staticmethod
+    def _alt13(ac13: int) -> Optional[int]:
+        if ac13 == 0:
+            return None
+        try:
+            return decode_alt(ac13, bit13=True)
+        except ADSBError:
+            return None

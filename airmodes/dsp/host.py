@@ -1,0 +1,98 @@
+"""Host side of the device->host boundary.
+
+The reference crosses C++ -> Python via a gr::msg_queue of space-separated
+ASCII strings (lib/slicer_impl.cc -> python/radio.py watcher thread). Here the
+device returns a fixed-shape DetectionTable per block; this module turns it
+into the same kind of wire strings:
+
+    "<df> <hex_frame> <syndrome_hex6> <status> <ref_dbfs> <timestamp>"
+
+Timestamps are block_start_sample + detection index over the channel rate
+(float seconds with sub-us fraction), matching the reference's
+tag_to_timestamp semantics (sample-counter arithmetic, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..constants import STATUS_FAIL
+
+
+@dataclasses.dataclass
+class BlockStats:
+    """Per-block observability counters (SURVEY.md §5.1/§5.5)."""
+
+    samples: int = 0
+    preambles: int = 0
+    overflow: int = 0
+    crc_ok: int = 0
+    corrected: int = 0
+    emitted: int = 0
+
+
+def _bits_to_int(bits: np.ndarray, nbits: int) -> int:
+    val = 0
+    for b in bits[:nbits]:
+        val = (val << 1) | int(b)
+    return val
+
+
+def table_to_messages(
+    table,
+    block_start_sample: int,
+    rate: float,
+    epoch: float = 0.0,
+    full_scale: float = 1.0,
+    stats: Optional[BlockStats] = None,
+) -> List[str]:
+    """Convert one (host-fetched) DetectionTable into wire strings.
+
+    `table` fields may be numpy arrays or jax arrays (np.asarray-able).
+    Detections with STATUS_FAIL are dropped here (drop-and-continue).
+    """
+    index = np.asarray(table.index)
+    status = np.asarray(table.status)
+    df = np.asarray(table.df)
+    nbits = np.asarray(table.nbits)
+    synd = np.asarray(table.syndrome)
+    ref = np.asarray(table.ref_level)
+    bits = np.asarray(table.bits)
+
+    if stats is not None:
+        stats.preambles += int(np.asarray(table.n_detected))
+        stats.overflow += int(np.asarray(table.n_overflow))
+
+    msgs: List[str] = []
+    order = np.argsort(index, kind="stable")
+    for k in order:
+        if index[k] < 0 or status[k] == STATUS_FAIL:
+            continue
+        n = int(nbits[k])
+        frame = _bits_to_int(bits[k], n)
+        t = epoch + (block_start_sample + int(index[k])) / rate
+        ref_dbfs = 10.0 * math.log10(max(float(ref[k]), 1e-30) / (full_scale ** 2))
+        msgs.append(
+            f"{int(df[k])} {frame:0{n // 4}x} {int(synd[k]) & 0xFFFFFF:06x} "
+            f"{int(status[k])} {ref_dbfs:.2f} {t:.9f}")
+        if stats is not None:
+            stats.emitted += 1
+            if status[k] == 0:
+                stats.crc_ok += 1
+            elif status[k] in (1, 2):
+                stats.corrected += 1
+    return msgs
+
+
+def batch_table_to_messages(table, block_starts, rate: float, **kw) -> List[str]:
+    """Batched (leading channel axis) DetectionTable -> flattened messages."""
+    msgs: List[str] = []
+    n_ch = np.asarray(table.index).shape[0]
+    for c in range(n_ch):
+        sub = type(table)(*(np.asarray(f)[c] for f in table))
+        msgs.extend(table_to_messages(sub, int(block_starts[c]), rate, **kw))
+    return msgs

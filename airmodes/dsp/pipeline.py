@@ -1,0 +1,378 @@
+"""The TPU demod pipeline: IQ block -> fixed-capacity detection table.
+
+This is the TPU-native re-design of the reference's C++ hot path
+(lib/preamble_impl.cc + lib/slicer_impl.cc plus the GNU Radio
+complex_to_mag_squared / moving_average_ff front-end blocks it consumes,
+SURVEY.md §2.1/§3.2). Instead of a thread-per-block stream graph, one jitted
+XLA program processes a fixed-size block of IQ samples entirely on device:
+
+  mag2 -> trailing moving-average noise floor -> vectorized preamble check at
+  EVERY sample offset -> non-max suppression -> top-k compaction into a
+  fixed-capacity detection table -> PPM chip gather + bit slice + confidence
+  -> CRC-24 as a GF(2) matmul -> brute-force low-confidence ECC by packed
+  syndrome table lookup.
+
+Static shapes everywhere (the central design tension, SURVEY.md §7): the
+variable number of detections per block becomes a capacity-K masked table
+plus an overflow counter.
+
+Block layout: the input array holds [left_halo | owned (block_size) | right_halo]
+samples; detections are claimed iff their preamble start falls in the owned
+region — the overlap-save dedup rule used by the sharded pipeline (§5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import crc
+from ..config import DspConfig
+from ..constants import (
+    CHIPS_PER_BIT,
+    MAX_FRAME_BITS,
+    PREAMBLE_CHIPS,
+    PREAMBLE_PULSE_CHIPS,
+    PREAMBLE_QUIET_CHIPS,
+    STATUS_ADDR,
+    STATUS_CORRECTED_1,
+    STATUS_CORRECTED_2,
+    STATUS_CRC_OK,
+    STATUS_FAIL,
+)
+
+
+class DetectionTable(NamedTuple):
+    """Fixed-shape per-block output (device -> host)."""
+
+    index: jax.Array      # (K,) int32 — preamble start, offset within owned region; -1 invalid
+    bits: jax.Array       # (K, 112) uint8 — post-ECC frame bits (MSB first)
+    df: jax.Array         # (K,) int32
+    nbits: jax.Array      # (K,) int32 — 56 or 112
+    syndrome: jax.Array   # (K,) int32 — packed 24-bit post-correction syndrome
+    status: jax.Array     # (K,) int32 — STATUS_* code
+    ref_level: jax.Array  # (K,) float32 — preamble reference power
+    noise: jax.Array      # (K,) float32 — noise floor at detection
+    n_detected: jax.Array  # () int32 — number of preamble hits in owned region
+    n_overflow: jax.Array  # () int32 — hits dropped because K was exceeded
+
+
+# -----------------------------------------------------------------------------
+# stage 1: magnitude + noise floor
+# -----------------------------------------------------------------------------
+
+def magnitude_squared(iq: jax.Array) -> jax.Array:
+    """|IQ|^2 (ref: blocks.complex_to_mag_squared).
+
+    Accepts complex64 (CPU-friendly) or float32 with trailing dim 2 holding
+    (I, Q) — the TPU-native layout: complex dtypes are not supported by the
+    TPU runtime, and a float32 view of interleaved complex64 is free on host.
+    """
+    if jnp.iscomplexobj(iq):
+        return (jnp.real(iq) ** 2 + jnp.imag(iq) ** 2).astype(jnp.float32)
+    assert iq.shape[-1] == 2, "expected (..., 2) float32 (I,Q) layout"
+    return iq[..., 0] ** 2 + iq[..., 1] ** 2
+
+
+def noise_floor(mag2: jax.Array, window: int) -> jax.Array:
+    """Trailing moving average over `window` samples (ref: moving_average_ff).
+
+    noise[i] = mean(mag2[i-window:i]) — causal, so a frame's own pulses do not
+    inflate the floor used to detect its preamble. The first `window` samples
+    reuse the first full window's value (callers supply >= window left halo).
+
+    Implemented as a mean-centered cumsum difference: centering keeps the f32
+    running sum near zero so the O(N)-magnitude cancellation error of a plain
+    cumsum disappears (measured <1e-5 relative at 2^20 samples). A windowed
+    reduce_window/conv would be exact but compiles pathologically on XLA CPU.
+    """
+    mu = jnp.mean(mag2)
+    cs = jnp.cumsum(mag2 - mu)
+    cspad = jnp.concatenate([jnp.zeros((1,), mag2.dtype), cs])
+    # sums[j] = sum(mag2[j : j+window]) = centered-diff + window * mu
+    sums = cspad[window:] - cspad[:-window] + window * mu
+    avg = sums * (1.0 / window)
+    # trailing floor at i is avg[i-window]
+    pad = jnp.full((window,), avg[0], avg.dtype)
+    return jnp.concatenate([pad, avg[:-1]])
+
+
+# -----------------------------------------------------------------------------
+# stage 2: preamble detection at every offset
+# -----------------------------------------------------------------------------
+
+def _shifted(x: jax.Array, shift: int, n: int) -> jax.Array:
+    """x[shift : shift+n] as a static slice."""
+    return jax.lax.dynamic_slice_in_dim(x, shift, n)
+
+
+def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
+                    left: int, n_owned: int):
+    """Vectorized 4-pulse + quiet-chip preamble check over the owned region.
+
+    Reference semantics (lib/preamble_impl.cc): a sample is a candidate if it
+    is a local peak exceeding noise * 10^(dB/10); the 4 pulses at chip offsets
+    {0,2,7,9} must all be present within an amplitude tolerance of the
+    reference level; the designated quiet chips must stay below it. Re-center
+    on the best peak within the chip -> non-max suppression here.
+
+    Returns (mask, ref_level) over the owned region.
+    """
+    sps = cfg.sps
+    m = mag2
+
+    pulses = [_shifted(m, left + c * sps, n_owned) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+
+    nf = _shifted(noise, left, n_owned)
+    thresh = jnp.float32(cfg.threshold)
+
+    ok = pulses[0] > nf * thresh
+    # local peak on the first pulse
+    ok &= pulses[0] >= _shifted(m, left - 1, n_owned)
+    ok &= pulses[0] > _shifted(m, left + 1, n_owned)
+    # all four pulses above threshold and within tolerance of the reference
+    ptol = jnp.float32(cfg.pulse_tolerance)
+    for p in pulses:
+        ok &= (p > nf * thresh) & (p > ref * ptol)
+    # quiet chips below quiet_tolerance * reference
+    qtol = jnp.float32(cfg.quiet_tolerance)
+    for q in PREAMBLE_QUIET_CHIPS:
+        ok &= _shifted(m, left + q * sps, n_owned) < ref * qtol
+
+    # Non-max suppression: keep the best reference level within +-nms_chips
+    # chips (the "re-center on best peak" behavior). Ties break toward the
+    # earliest sample: survive iff strictly greater than every hit in the
+    # preceding half-window and >= every hit in the following half-window.
+    half = cfg.nms_chips * sps
+    score = jnp.where(ok, ref, 0.0)
+    padded = jnp.concatenate([jnp.zeros((half,), score.dtype), score,
+                              jnp.zeros((half,), score.dtype)])
+    win = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max, window_dimensions=(half,),
+        window_strides=(1,), padding="VALID")        # win[j] = max(padded[j:j+half])
+    left_max = win[:n_owned]                          # max(score[i-half : i])
+    right_max = win[half + 1: half + 1 + n_owned]     # max(score[i+1 : i+half+1])
+    ok &= (score > left_max) & (score >= right_max)
+    return ok, ref
+
+
+def compact_detections(mask: jax.Array, max_detections: int):
+    """Boolean mask -> first-K indices (ascending), count, overflow."""
+    n = mask.shape[0]
+    # Earlier index -> larger score, so top_k returns ascending indices.
+    score = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
+    vals, idx = jax.lax.top_k(score, max_detections)
+    valid = vals > 0
+    det_idx = jnp.where(valid, idx.astype(jnp.int32), -1)
+    n_det = jnp.sum(mask.astype(jnp.int32))
+    overflow = jnp.maximum(n_det - max_detections, 0)
+    return det_idx, valid, n_det, overflow
+
+
+# -----------------------------------------------------------------------------
+# stage 3: bit slicing
+# -----------------------------------------------------------------------------
+
+def slice_bits(mag2: jax.Array, det_idx: jax.Array, valid: jax.Array,
+               ref_level: jax.Array, cfg: DspConfig, left: int):
+    """Gather 224 data chips per detection; PPM compare -> bits + confidence.
+
+    Reference semantics (lib/slicer_impl.cc): bit = chip0 > chip1; confidence
+    high iff exactly one chip of the pair is above the reference level.
+    """
+    sps = cfg.sps
+    n_chips = MAX_FRAME_BITS * CHIPS_PER_BIT
+    base = left + jnp.where(valid, det_idx, 0) + PREAMBLE_CHIPS * sps
+    chip_offsets = jnp.arange(n_chips, dtype=jnp.int32) * sps
+    if sps == 1:
+        energies = mag2[base[:, None] + chip_offsets[None, :]]
+    else:
+        sub = jnp.arange(sps, dtype=jnp.int32)
+        gather_idx = base[:, None, None] + chip_offsets[None, :, None] + sub[None, None, :]
+        energies = jnp.sum(mag2[gather_idx], axis=-1) * (1.0 / sps)
+
+    e0 = energies[:, 0::2]
+    e1 = energies[:, 1::2]
+    bits = (e0 > e1)
+    level = ref_level[:, None] * jnp.float32(cfg.confidence_level)
+    on0 = e0 > level
+    on1 = e1 > level
+    confidence = jnp.logical_xor(on0, on1)
+    return bits, confidence
+
+
+# -----------------------------------------------------------------------------
+# stage 4: CRC as GF(2) matmul + brute-force low-confidence ECC
+# -----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _crc_tables():
+    """Packed syndrome rows for 112- and 56-bit frames (device constants).
+
+    rows112[i] = syndrome contribution of bit i in a 112-bit frame;
+    rows56 aligned into the first 56 lanes (bits 56..111 contribute 0).
+    """
+    r112 = crc.syndrome_rows(112).astype(np.int32)
+    r56 = np.zeros(112, dtype=np.int32)
+    r56[:56] = crc.syndrome_rows(56).astype(np.int32)
+    # numpy (not jnp) so the cache never holds a tracer from some jit scope
+    return r112, r56
+
+
+def _packed_syndrome(bits: jax.Array, rows: jax.Array) -> jax.Array:
+    """XOR-fold rows of set bits -> packed 24-bit syndrome, via int matmul.
+
+    GF(2) XOR of table rows == per-bit-plane popcount parity. We compute
+    counts[k, b] = sum_i bits[k,i] * row_bit[i,b] with an MXU matmul and take
+    parity of each count.
+    """
+    cols = jnp.arange(23, -1, -1, dtype=jnp.int32)
+    row_bits = ((rows[:, None] >> cols[None, :]) & 1).astype(jnp.float32)  # (112, 24)
+    counts = jax.lax.dot_general(
+        bits.astype(jnp.float32), row_bits,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    parity = counts.astype(jnp.int32) & 1                                   # (K, 24)
+    return jnp.sum(parity << (23 - jnp.arange(24, dtype=jnp.int32))[None, :], axis=1)
+
+
+def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
+                          cfg: DspConfig):
+    """Per-detection CRC + the reference's acceptance/correction policy.
+
+    - DF (first 5 bits) selects frame length: 112 for DF >= 16, else 56.
+    - DF11: accept when the low 7 syndrome bits are zero (PI overlaid with
+      interrogator ID).
+    - DF17/18: require syndrome == 0; else brute-force flips of low-confidence
+      bits (singles then pairs), attempted only when the low-confidence count
+      is <= cfg.max_lowconf_bits — flipping bit i XORs rows[i] into the
+      syndrome, so candidates are packed-int table lookups.
+    - Other DFs (AP overlaid with ICAO): emitted with syndrome as the address.
+    Returns (bits, df, nbits, syndrome, status).
+    """
+    rows112_np, rows56_np = _crc_tables()
+    rows112, rows56 = jnp.asarray(rows112_np), jnp.asarray(rows56_np)
+    k = bits.shape[0]
+    bits_i = bits.astype(jnp.int32)
+
+    df = jnp.sum(bits_i[:, :5] << (4 - jnp.arange(5, dtype=jnp.int32))[None, :], axis=1)
+    is_long = df >= 16
+    nbits = jnp.where(is_long, 112, 56)
+
+    lane = jnp.arange(112, dtype=jnp.int32)
+    in_frame = lane[None, :] < nbits[:, None]
+    fbits = jnp.where(in_frame, bits_i, 0)
+
+    synd112 = _packed_syndrome(fbits, rows112)
+    synd56 = _packed_syndrome(fbits, rows56)
+    synd = jnp.where(is_long, synd112, synd56)
+    rows = jnp.where(is_long[:, None], rows112[None, :], rows56[None, :])  # (K, 112)
+
+    lowconf = jnp.logical_not(confidence) & in_frame
+    n_lowconf = jnp.sum(lowconf.astype(jnp.int32), axis=1)
+
+    # --- single-bit correction candidates ---
+    match1 = lowconf & (rows == synd[:, None])                             # (K, 112)
+    has1 = jnp.any(match1, axis=1)
+    flip1 = jnp.argmax(match1, axis=1)                                     # first match
+
+    # --- two-bit correction: syndrome ^ rows[i] == rows[j], i < j ---
+    t = synd[:, None] ^ rows                                               # (K, 112)
+    pair = (t[:, :, None] == rows[:, None, :])                             # (K, 112, 112)
+    pair &= lowconf[:, :, None] & lowconf[:, None, :]
+    pair &= lane[None, :, None] < lane[None, None, :]
+    has2 = jnp.any(pair, axis=(1, 2))
+    pair_flat = pair.reshape(k, -1)
+    first_pair = jnp.argmax(pair_flat, axis=1)
+    flip2_i = first_pair // 112
+    flip2_j = first_pair % 112
+
+    ecc_allowed = (df == 17) | (df == 18)
+    ecc_allowed &= n_lowconf <= cfg.max_lowconf_bits
+    ok0 = synd == 0
+    use1 = ecc_allowed & ~ok0 & has1
+    use2 = ecc_allowed & ~ok0 & ~has1 & has2
+
+    flip_mask = (use1[:, None] & (lane[None, :] == flip1[:, None]))
+    flip_mask |= (use2[:, None] & ((lane[None, :] == flip2_i[:, None]) |
+                                   (lane[None, :] == flip2_j[:, None])))
+    out_bits = jnp.logical_xor(bits, flip_mask)
+    out_synd = jnp.where(use1 | use2, 0, synd)
+
+    df11_ok = (df == 11) & ((synd & 0x7F) == 0)
+    df17_ok = ecc_allowed & (ok0 | use1 | use2)
+    df17_ok |= ((df == 17) | (df == 18)) & ok0
+    # AP-overlaid DFs the decoder handles (df >= 24 is Comm-D ELM = DF24);
+    # any other DF value came from noise and is dropped.
+    addr_type = ((df == 0) | (df == 4) | (df == 5) | (df == 16) |
+                 (df == 20) | (df == 21) | (df >= 24))
+
+    status = jnp.full((k,), STATUS_FAIL, jnp.int32)
+    status = jnp.where(addr_type, STATUS_ADDR, status)
+    status = jnp.where(df17_ok & ok0, STATUS_CRC_OK, status)
+    status = jnp.where(use1, STATUS_CORRECTED_1, status)
+    status = jnp.where(use2, STATUS_CORRECTED_2, status)
+    status = jnp.where(df11_ok, STATUS_CRC_OK, status)
+
+    return out_bits, df, nbits, out_synd, status
+
+
+# -----------------------------------------------------------------------------
+# full pipeline
+# -----------------------------------------------------------------------------
+
+def iq_to_device_layout(iq):
+    """Host-side: complex64 (N,) -> float32 (N, 2) zero-copy view."""
+    arr = np.ascontiguousarray(iq)
+    if arr.dtype == np.complex64:
+        return arr.view(np.float32).reshape(*arr.shape, 2)
+    return arr
+
+
+def demod_block(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
+    """One device step: (left_halo + block_size + right_halo,) complex64, or
+    the same in float32 (N, 2) I/Q layout -> DetectionTable.
+    jit-specialized on cfg (static)."""
+    left, n = cfg.left_halo, cfg.block_size
+    mag2 = magnitude_squared(iq).astype(jnp.float32)
+    noise = noise_floor(mag2, cfg.noise_window)
+    mask, ref = preamble_detect(mag2, noise, cfg, left, n)
+    det_idx, valid, n_det, overflow = compact_detections(mask, cfg.max_detections)
+
+    safe_idx = jnp.where(valid, det_idx, 0)
+    ref_level = ref[safe_idx]
+    noise_at = noise[left + safe_idx]
+
+    bits, confidence = slice_bits(mag2, det_idx, valid, ref_level, cfg, left)
+    out_bits, df, nbits, synd, status = crc_check_and_correct(bits, confidence, cfg)
+
+    status = jnp.where(valid, status, STATUS_FAIL)
+    return DetectionTable(
+        index=jnp.where(valid, det_idx, -1),
+        bits=out_bits.astype(jnp.uint8),
+        df=jnp.where(valid, df, -1),
+        nbits=nbits,
+        syndrome=synd,
+        status=status,
+        ref_level=ref_level,
+        noise=noise_at,
+        n_detected=n_det,
+        n_overflow=overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def demod_block_jit(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
+    return demod_block(iq, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def demod_batch_jit(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
+    """Batched over leading channel axis: (C, L+N+R) -> DetectionTable with
+    leading C axis (channel data-parallelism on one chip)."""
+    return jax.vmap(lambda x: demod_block(x, cfg))(iq)

@@ -1,0 +1,118 @@
+"""ZeroMQ PUB/SUB message relay (ref: gr-air-modes python/zmq_socket.py).
+
+`zmq_pubsub_iface(context, subaddr, pubaddr)`: a bridge thread that forwards
+zmq SUB traffic to local subscriber callbacks and local publishes out a zmq
+PUB socket. Lets the demod run in-process (`inproc://`) or feed decoders on
+other machines (`tcp://`) — the reference's cross-machine fan-out story
+(SURVEY.md §5.8 tier c). Falls back to a pure in-process dispatcher when
+pyzmq is unavailable.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional
+
+try:
+    import zmq
+    HAVE_ZMQ = True
+except ImportError:  # pragma: no cover
+    zmq = None
+    HAVE_ZMQ = False
+
+
+class local_pubsub:
+    """Minimal in-process pub/sub (fallback + unit-test fabric)."""
+
+    def __init__(self):
+        self._subs: Dict[str, List[Callable[[str], None]]] = defaultdict(list)
+        self._lock = threading.Lock()
+
+    def subscribe(self, topic: str, callback: Callable[[str], None]) -> None:
+        with self._lock:
+            self._subs[topic].append(callback)
+
+    def unsubscribe(self, topic: str, callback) -> None:
+        with self._lock:
+            if callback in self._subs.get(topic, []):
+                self._subs[topic].remove(callback)
+
+    def publish(self, topic: str, msg: str) -> None:
+        with self._lock:
+            subs = list(self._subs.get(topic, []))
+        for cb in subs:
+            cb(msg)
+
+    def close(self) -> None:
+        pass
+
+
+class zmq_pubsub_iface:
+    """Bridge thread between a zmq SUB socket and local callbacks, plus a
+    local-publish -> zmq PUB path (mirrors the reference API:
+    subscribe(topic, callback) / publish(topic, msg) / close())."""
+
+    def __init__(self, context=None, subaddr: Optional[str] = None,
+                 pubaddr: Optional[str] = None):
+        if not HAVE_ZMQ:
+            raise RuntimeError("pyzmq not available; use local_pubsub")
+        self._ctx = context or zmq.Context.instance()
+        self._subaddr = subaddr
+        self._pubaddr = pubaddr
+        self._subs: Dict[str, List[Callable[[str], None]]] = defaultdict(list)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+
+        self._pub = None
+        if pubaddr:
+            self._pub = self._ctx.socket(zmq.PUB)
+            self._pub.bind(pubaddr)
+            self._pub_lock = threading.Lock()
+
+        self._thread = None
+        if subaddr:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def subscribe(self, topic: str, callback: Callable[[str], None]) -> None:
+        with self._lock:
+            self._subs[topic].append(callback)
+
+    def publish(self, topic: str, msg: str) -> None:
+        if self._pub is not None:
+            with self._pub_lock:
+                self._pub.send_multipart([topic.encode(), msg.encode()])
+        else:
+            # no PUB socket: dispatch locally (inproc short-circuit)
+            self._dispatch(topic, msg)
+
+    def _dispatch(self, topic: str, msg: str) -> None:
+        with self._lock:
+            subs = list(self._subs.get(topic, []))
+        for cb in subs:
+            try:
+                cb(msg)
+            except Exception:
+                continue  # drop-and-continue per subscriber
+
+    def _run(self) -> None:
+        sub = self._ctx.socket(zmq.SUB)
+        sub.connect(self._subaddr)
+        sub.setsockopt(zmq.SUBSCRIBE, b"")
+        poller = zmq.Poller()
+        poller.register(sub, zmq.POLLIN)
+        while not self._stop.is_set():
+            if not dict(poller.poll(timeout=100)):
+                continue
+            parts = sub.recv_multipart()
+            if len(parts) == 2:
+                self._dispatch(parts[0].decode(), parts[1].decode())
+        sub.close(linger=0)
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if self._pub is not None:
+            self._pub.close(linger=0)

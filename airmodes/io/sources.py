@@ -1,0 +1,162 @@
+"""IQ sources and block framing (ref: python/radio.py _setup_source).
+
+The reference's GNU Radio sources (UHD / osmosdr / file / UDP) become block
+generators here: each yields fixed-size owned blocks of complex64 with the
+left/right halo context the demod pipeline needs (the overlap-save analog of
+GR's set_history look-back, SURVEY.md §5.7). SDR hardware drivers (UHD,
+osmosdr) are not available in this environment; their source kinds raise with
+a clear message but keep the same interface.
+
+A block is a (samples, start_sample) pair where samples has length
+left_halo + block_size + right_halo and start_sample is the global sample
+index of the first *owned* sample (int64 counter — the timestamp base).
+"""
+
+from __future__ import annotations
+
+import socket
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..config import DspConfig, SourceConfig
+
+Block = Tuple[np.ndarray, int]
+
+
+def frame_blocks(iq: np.ndarray, cfg: DspConfig,
+                 start_sample: int = 0) -> Iterator[Block]:
+    """Split a contiguous capture into overlapped demod blocks.
+
+    Zero-pads the edges (start of capture / tail). Every sample is owned by
+    exactly one block, so detections are never duplicated or lost at block
+    boundaries (the dedup rule: a detection belongs to the block that owns
+    its preamble start).
+    """
+    left, n, right = cfg.left_halo, cfg.block_size, cfg.right_halo
+    total = len(iq)
+    pos = 0
+    while pos < total:
+        chunk = np.zeros(left + n + right, dtype=np.complex64)
+        lo = max(pos - left, 0)
+        hi = min(pos + n + right, total)
+        chunk[left - (pos - lo): left + (hi - pos)] = iq[lo:hi]
+        yield chunk, start_sample + pos
+        pos += n
+
+
+class buffered_framer:
+    """Incremental framer for streaming sources: push raw sample chunks in,
+    pull fully-formed overlapped blocks out. Keeps the halo tail between
+    blocks (the streaming equivalent of GR history)."""
+
+    def __init__(self, cfg: DspConfig, start_sample: int = 0):
+        self.cfg = cfg
+        self._carry = np.zeros(cfg.left_halo, dtype=np.complex64)
+        self._pending = np.zeros(0, dtype=np.complex64)
+        self._next_start = start_sample
+
+    def push(self, samples: np.ndarray) -> Iterator[Block]:
+        cfg = self.cfg
+        left, n, right = cfg.left_halo, cfg.block_size, cfg.right_halo
+        self._pending = np.concatenate([self._pending, samples.astype(np.complex64)])
+        while len(self._pending) >= n + right:
+            block = np.concatenate([self._carry, self._pending[: n + right]])
+            yield block, self._next_start
+            self._carry = self._pending[n - left: n].copy()
+            self._pending = self._pending[n:]
+            self._next_start += n
+
+    def flush(self) -> Iterator[Block]:
+        """Emit the final partial block zero-padded to full size."""
+        cfg = self.cfg
+        if len(self._pending) == 0:
+            return
+        left, n, right = cfg.left_halo, cfg.block_size, cfg.right_halo
+        tail = np.zeros(n + right, dtype=np.complex64)
+        tail[: len(self._pending)] = self._pending
+        yield np.concatenate([self._carry, tail]), self._next_start
+        self._pending = np.zeros(0, dtype=np.complex64)
+
+
+def file_source(path: str, cfg: DspConfig, *, dtype: str = "complex64",
+                start_sample: int = 0) -> Iterator[Block]:
+    """Replay a recorded capture (ref: blocks.file_source, complex64).
+
+    dtype: complex64 | interleaved int16 ("sc16") | interleaved uint8 ("uc8",
+    rtl-sdr style offset-127.5).
+    """
+    framer = buffered_framer(cfg, start_sample)
+    chunk_samples = 1 << 22
+    with open(path, "rb") as f:
+        while True:
+            if dtype == "complex64":
+                raw = np.fromfile(f, np.complex64, chunk_samples)
+                samples = raw
+            elif dtype == "sc16":
+                raw = np.fromfile(f, np.int16, chunk_samples * 2)
+                samples = (raw[0::2].astype(np.float32) +
+                           1j * raw[1::2].astype(np.float32)) / 32768.0
+            elif dtype == "uc8":
+                raw = np.fromfile(f, np.uint8, chunk_samples * 2)
+                samples = ((raw[0::2].astype(np.float32) - 127.5) +
+                           1j * (raw[1::2].astype(np.float32) - 127.5)) / 127.5
+            else:
+                raise ValueError(f"unknown file dtype {dtype}")
+            if len(samples) == 0:
+                break
+            yield from framer.push(samples)
+    yield from framer.flush()
+
+
+def udp_source(cfg: DspConfig, host: str = "0.0.0.0", port: int = 10000,
+               *, max_blocks: Optional[int] = None) -> Iterator[Block]:
+    """Receive complex64 IQ over UDP (ref: radio.py UDP source branch)."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((host, port))
+    sock.settimeout(5.0)
+    framer = buffered_framer(cfg)
+    emitted = 0
+    try:
+        while max_blocks is None or emitted < max_blocks:
+            try:
+                data, _ = sock.recvfrom(1 << 16)
+            except socket.timeout:
+                break
+            samples = np.frombuffer(data, dtype=np.complex64)
+            for block in framer.push(samples):
+                yield block
+                emitted += 1
+    finally:
+        sock.close()
+
+
+def synthetic_source(cfg: DspConfig, *, n_messages: int = 100,
+                     snr_db: float = 20.0, seed: int = 0,
+                     n_blocks: int = 4) -> Iterator[Block]:
+    """Encoder-driven source for self-test / benchmarking."""
+    from ..testing import encoder
+    frames = encoder.random_df17_frames(n_messages, seed=seed)
+    total = n_blocks * cfg.block_size
+    spacing = max(total // max(n_messages, 1), 600 * cfg.sps)
+    iq, _ = encoder.make_capture(
+        frames, rate=cfg.channel_rate, snr_db=snr_db, spacing=spacing,
+        seed=seed, total_samples=total)
+    yield from frame_blocks(iq, cfg)
+
+
+def open_source(src: SourceConfig, cfg: DspConfig) -> Iterator[Block]:
+    """Dispatch on SourceConfig.kind (ref: modes_rx -s option)."""
+    if src.kind == "file":
+        if not src.path:
+            raise ValueError("file source needs a path")
+        return file_source(src.path, cfg)
+    if src.kind == "udp":
+        return udp_source(cfg, src.udp_host, src.udp_port)
+    if src.kind == "synthetic":
+        return synthetic_source(cfg)
+    if src.kind in ("uhd", "osmocom"):
+        raise RuntimeError(
+            f"SDR hardware source '{src.kind}' requires UHD/osmosdr drivers, "
+            "which are not present on this system; use file/udp sources")
+    raise ValueError(f"unknown source kind {src.kind}")

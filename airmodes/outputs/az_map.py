@@ -1,0 +1,66 @@
+"""Azimuth/range coverage model (ref: gr-air-modes python/az_map.py).
+
+Headless core of the reference's PyQt polar coverage widget: per-bearing
+maximum observed range buckets (the coverage diagram). The Qt painting lives
+in apps/modes_gui.py when PyQt is available; this model is fully testable
+without a display.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..decode.parse import AircraftReport, parse
+from ..exceptions import ADSBError
+
+
+class az_map_model:
+    """Max range seen per bearing bucket, with optional altitude rings."""
+
+    def __init__(self, n_buckets: int = 72, n_alt_rings: int = 4,
+                 max_alt_ft: float = 48000.0):
+        self.n_buckets = n_buckets
+        self.n_alt_rings = n_alt_rings
+        self.max_alt_ft = max_alt_ft
+        # [alt_ring][bearing_bucket] -> max range (NM)
+        self.ranges: List[List[float]] = [
+            [0.0] * n_buckets for _ in range(n_alt_rings)]
+
+    def _ring(self, alt_ft: Optional[float]) -> int:
+        if alt_ft is None:
+            return 0
+        frac = min(max(alt_ft, 0.0), self.max_alt_ft - 1) / self.max_alt_ft
+        return int(frac * self.n_alt_rings)
+
+    def add(self, bearing_deg: float, range_nm: float,
+            alt_ft: Optional[float] = None) -> None:
+        b = int((bearing_deg % 360.0) / 360.0 * self.n_buckets) % self.n_buckets
+        r = self._ring(alt_ft)
+        if range_nm > self.ranges[r][b]:
+            self.ranges[r][b] = range_nm
+
+    def polygon(self, ring: int = 0) -> List[Tuple[float, float]]:
+        """Coverage outline as (bearing_deg, range_nm) vertices."""
+        step = 360.0 / self.n_buckets
+        return [(i * step + step / 2, rng)
+                for i, rng in enumerate(self.ranges[ring])]
+
+    def max_range(self) -> float:
+        return max(max(ring) for ring in self.ranges)
+
+
+class output_az_map:
+    """Plugin adapter feeding the coverage model from decoded positions."""
+
+    def __init__(self, model: Optional[az_map_model] = None,
+                 parser: Optional[parse] = None, my_position=None):
+        self.model = model or az_map_model()
+        self._parser = parser or parse(my_position)
+
+    def output(self, msg: str) -> None:
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        if rep.bearing_deg is not None and rep.range_nm is not None:
+            self.model.add(rep.bearing_deg, rep.range_nm, rep.altitude_ft)

@@ -1,0 +1,95 @@
+"""Live aircraft dashboard (ref: gr-air-modes python/gui_model.py).
+
+Headless data model: a per-ICAO aggregator with staleness eviction feeding a
+row-oriented table (the reference wraps this in a Qt QAbstractTableModel; the
+optional Qt wrapper lives in apps/modes_gui.py and degrades gracefully when
+PyQt is absent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+from ..decode.parse import AircraftReport, parse
+from ..exceptions import ADSBError
+
+COLUMNS = ["icao", "ident", "squawk", "altitude_ft", "speed_kt",
+           "heading_deg", "vertical_rate_fpm", "lat", "lon", "range_nm",
+           "bearing_deg", "rssi_dbfs", "last_seen"]
+
+
+@dataclasses.dataclass
+class AircraftState:
+    icao: int
+    ident: Optional[str] = None
+    squawk: Optional[int] = None
+    altitude_ft: Optional[int] = None
+    speed_kt: Optional[float] = None
+    heading_deg: Optional[float] = None
+    vertical_rate_fpm: Optional[float] = None
+    lat: Optional[float] = None
+    lon: Optional[float] = None
+    range_nm: Optional[float] = None
+    bearing_deg: Optional[float] = None
+    rssi_dbfs: Optional[float] = None
+    last_seen: float = 0.0
+    n_messages: int = 0
+
+    def row(self) -> List:
+        return [f"{self.icao:06x}", self.ident, self.squawk, self.altitude_ft,
+                self.speed_kt, self.heading_deg, self.vertical_rate_fpm,
+                self.lat, self.lon, self.range_nm, self.bearing_deg,
+                self.rssi_dbfs, self.last_seen]
+
+
+class dashboard:
+    """Per-ICAO live state keyed by address, with staleness eviction."""
+
+    def __init__(self, stale_s: float = 60.0):
+        self.stale_s = stale_s
+        self.aircraft: Dict[int, AircraftState] = {}
+
+    def update(self, rep: AircraftReport) -> Optional[AircraftState]:
+        if rep.icao is None:
+            return None
+        st = self.aircraft.setdefault(rep.icao, AircraftState(icao=rep.icao))
+        st.last_seen = rep.timestamp
+        st.rssi_dbfs = rep.ref_dbfs
+        st.n_messages += 1
+        for attr in ("squawk", "altitude_ft", "speed_kt", "heading_deg",
+                     "vertical_rate_fpm", "lat", "lon", "range_nm",
+                     "bearing_deg"):
+            v = getattr(rep, attr)
+            if v is not None:
+                setattr(st, attr, v)
+        if rep.callsign:
+            st.ident = rep.callsign
+        return st
+
+    def prune(self, now: Optional[float] = None) -> None:
+        now = time.time() if now is None else now
+        for icao in [k for k, v in self.aircraft.items()
+                     if now - v.last_seen > self.stale_s]:
+            del self.aircraft[icao]
+
+    def rows(self) -> List[List]:
+        return [st.row() for st in
+                sorted(self.aircraft.values(), key=lambda s: s.icao)]
+
+
+class output_dashboard:
+    """Plugin adapter: raw wire string -> dashboard update."""
+
+    def __init__(self, model: Optional[dashboard] = None,
+                 parser: Optional[parse] = None):
+        self.model = model or dashboard()
+        self._parser = parser or parse()
+
+    def output(self, msg: str) -> None:
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        self.model.update(rep)

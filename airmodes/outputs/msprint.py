@@ -1,0 +1,71 @@
+"""Console pretty-printer (ref: gr-air-modes python/msprint.py output_print).
+
+Formats each parsed report into human-readable lines including the reference
+level in dBFS and the timestamp, e.g.
+
+  Type 17 BDS0,5 (airborne position) from 3c6614 at (47.12345, 8.12345)
+  alt 37000 ft (-23.0 dBFS)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from ..decode.parse import AircraftReport, parse
+from ..exceptions import ADSBError
+
+
+class output_print:
+    """Subscribe `output(msg)` to the dl_data feed; prints decoded lines."""
+
+    def __init__(self, parser: Optional[parse] = None,
+                 my_position=None,
+                 callback: Callable[[str], None] = print):
+        self._parser = parser or parse(my_position)
+        self._cb = callback
+
+    def output(self, msg: str) -> None:
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        line = self.format_report(rep)
+        if line:
+            self._cb(line)
+
+    @staticmethod
+    def format_report(rep: AircraftReport) -> str:
+        icao = rep.icao_hex or "??????"
+        tail = f"({rep.ref_dbfs:.1f} dBFS) [{rep.timestamp:.6f}]"
+        if rep.df in (17, 18):
+            kind = {"BDS0,8": "ident", "BDS0,5": "airborne position",
+                    "BDS0,6": "surface position", "BDS0,9": "velocity"}.get(
+                        rep.bds, "unknown")
+            parts = [f"Type {rep.df} {rep.bds} ({kind}) from {icao}"]
+            if rep.callsign:
+                parts.append(f"ident {rep.callsign} (cat {rep.category})")
+            if rep.lat is not None:
+                parts.append(f"at ({rep.lat:.5f}, {rep.lon:.5f})")
+                if rep.range_nm is not None:
+                    parts.append(f"({rep.range_nm:.1f} NM @ {rep.bearing_deg:.0f})")
+            if rep.altitude_ft is not None:
+                parts.append(f"alt {rep.altitude_ft} ft")
+            if rep.speed_kt is not None:
+                parts.append(f"speed {rep.speed_kt:.0f} kt {rep.speed_type or ''}".rstrip())
+            if rep.heading_deg is not None:
+                parts.append(f"heading {rep.heading_deg:.0f}")
+            if rep.vertical_rate_fpm is not None:
+                parts.append(f"vert {rep.vertical_rate_fpm:+.0f} fpm")
+            return " ".join(parts) + " " + tail
+        if rep.df == 11:
+            return f"Type 11 (all call reply) from {icao} " + tail
+        if rep.df in (0, 16):
+            alt = f" alt {rep.altitude_ft} ft" if rep.altitude_ft is not None else ""
+            return f"Type {rep.df} (short air-air ACAS) from {icao}{alt} " + tail
+        if rep.df in (4, 20):
+            alt = f" alt {rep.altitude_ft} ft" if rep.altitude_ft is not None else ""
+            return f"Type {rep.df} (altitude reply) from {icao}{alt} " + tail
+        if rep.df in (5, 21):
+            sq = f" squawk {rep.squawk:04d}" if rep.squawk is not None else ""
+            return f"Type {rep.df} (identity reply) from {icao}{sq} " + tail
+        return f"Type {rep.df} from {icao} " + tail

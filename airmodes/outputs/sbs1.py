@@ -1,0 +1,129 @@
+"""SBS-1 / BaseStation TCP server (ref: gr-air-modes python/sbs1.py).
+
+TCP server on port 30003 emitting CSV "MSG,{1|3|4|5|6}" lines compatible with
+BaseStation / Virtual Radar Server:
+  MSG,1: callsign   MSG,3: position+altitude   MSG,4: velocity
+  MSG,5: altitude-only surveillance            MSG,6: squawk
+Nonblocking accept; a dead client socket just gets dropped (drop-and-continue).
+"""
+
+from __future__ import annotations
+
+import datetime
+import socket
+import threading
+from typing import List, Optional
+
+from ..decode.parse import AircraftReport, parse
+from ..exceptions import ADSBError
+
+
+def _sbs_time(ts: float):
+    dt = datetime.datetime.fromtimestamp(ts, tz=datetime.timezone.utc)
+    return dt.strftime("%Y/%m/%d"), dt.strftime("%H:%M:%S.%f")[:-3]
+
+
+def format_sbs1(rep: AircraftReport) -> Optional[str]:
+    """One report -> one SBS-1 CSV line (or None if nothing to say)."""
+    if rep.icao is None:
+        return None
+    d, t = _sbs_time(rep.timestamp)
+    icao = f"{rep.icao:06X}"
+    base = ["MSG", None, "1", "1", icao, "1", d, t, d, t]
+
+    def line(msgtype, fields):
+        base[1] = str(msgtype)
+        cols = base + fields
+        return ",".join("" if c is None else str(c) for c in cols)
+
+    # fields: callsign, alt, gs, trk, lat, lon, vr, squawk, alert, emerg, spi, onground
+    f = [None] * 10
+    if rep.df in (17, 18):
+        if rep.callsign:
+            f[0] = rep.callsign
+            return line(1, f)
+        if rep.lat is not None:
+            f[1] = rep.altitude_ft
+            f[4] = f"{rep.lat:.5f}"
+            f[5] = f"{rep.lon:.5f}"
+            f[9] = "-1" if rep.on_surface else "0"
+            return line(3, f)
+        if rep.speed_kt is not None:
+            f[2] = f"{rep.speed_kt:.0f}"
+            f[3] = None if rep.heading_deg is None else f"{rep.heading_deg:.0f}"
+            f[6] = None if rep.vertical_rate_fpm is None else f"{rep.vertical_rate_fpm:.0f}"
+            return line(4, f)
+        if rep.altitude_ft is not None:
+            f[1] = rep.altitude_ft
+            return line(5, f)
+        return None
+    if rep.df in (0, 4, 16, 20) and rep.altitude_ft is not None:
+        f[1] = rep.altitude_ft
+        return line(5, f)
+    if rep.df in (5, 21) and rep.squawk is not None:
+        f[7] = f"{rep.squawk:04d}"
+        return line(6, f)
+    return None
+
+
+class output_sbs1:
+    """TCP server plugin; call output(msg) per raw message."""
+
+    def __init__(self, port: int = 30003, parser: Optional[parse] = None,
+                 host: str = "0.0.0.0"):
+        self._parser = parser or parse()
+        self._clients: List[socket.socket] = []
+        self._lock = threading.Lock()
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(5)
+        self._srv.setblocking(False)
+        self.port = self._srv.getsockname()[1]
+
+    def _accept(self):
+        while True:
+            try:
+                c, _ = self._srv.accept()
+            except (BlockingIOError, OSError):
+                return
+            c.setblocking(True)
+            with self._lock:
+                self._clients.append(c)
+
+    def output(self, msg: str) -> None:
+        self._accept()
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        lin = format_sbs1(rep)
+        if lin is None:
+            return
+        self.send_line(lin)
+
+    def send_line(self, lin: str) -> None:
+        data = (lin + "\r\n").encode()
+        with self._lock:
+            dead = []
+            for c in self._clients:
+                try:
+                    c.sendall(data)
+                except OSError:
+                    dead.append(c)
+            for c in dead:
+                self._clients.remove(c)
+                try:
+                    c.close()
+                except OSError:
+                    pass
+
+    def close(self) -> None:
+        with self._lock:
+            for c in self._clients:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            self._clients.clear()
+        self._srv.close()

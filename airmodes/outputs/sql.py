@@ -1,0 +1,94 @@
+"""SQLite logger (ref: gr-air-modes python/sql.py output_sql).
+
+Creates tables aircraft/positions/vectors and INSERT OR REPLACEs each decoded
+report; a threading.Lock serializes access to the shared connection, matching
+the reference's concurrency discipline (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import threading
+from typing import Optional
+
+from ..decode.parse import AircraftReport, parse
+from ..exceptions import ADSBError
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS aircraft (
+    icao INTEGER PRIMARY KEY,
+    seen REAL,
+    ident TEXT,
+    category INTEGER
+);
+CREATE TABLE IF NOT EXISTS positions (
+    icao INTEGER PRIMARY KEY,
+    seen REAL,
+    lat REAL,
+    lon REAL,
+    alt INTEGER
+);
+CREATE TABLE IF NOT EXISTS vectors (
+    icao INTEGER PRIMARY KEY,
+    seen REAL,
+    speed REAL,
+    heading REAL,
+    vertical REAL
+);
+CREATE TABLE IF NOT EXISTS squawks (
+    icao INTEGER PRIMARY KEY,
+    seen REAL,
+    squawk INTEGER
+);
+"""
+
+
+class output_sql:
+    def __init__(self, dbname: str, parser: Optional[parse] = None,
+                 lock: Optional[threading.Lock] = None):
+        self._parser = parser or parse()
+        self._lock = lock or threading.Lock()
+        self._db = sqlite3.connect(dbname, check_same_thread=False)
+        with self._lock:
+            self._db.executescript(_SCHEMA)
+            self._db.commit()
+
+    def output(self, msg: str) -> None:
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        self.insert(rep)
+
+    def insert(self, rep: AircraftReport) -> None:
+        if rep.icao is None:
+            return
+        with self._lock:
+            self._db.execute(
+                "INSERT INTO aircraft (icao, seen) VALUES (?, ?) "
+                "ON CONFLICT(icao) DO UPDATE SET seen=excluded.seen",
+                (rep.icao, rep.timestamp))
+            if rep.callsign:
+                self._db.execute(
+                    "UPDATE aircraft SET ident=?, category=? WHERE icao=?",
+                    (rep.callsign, rep.category, rep.icao))
+            if rep.lat is not None:
+                self._db.execute(
+                    "INSERT OR REPLACE INTO positions (icao, seen, lat, lon, alt) "
+                    "VALUES (?, ?, ?, ?, ?)",
+                    (rep.icao, rep.timestamp, rep.lat, rep.lon, rep.altitude_ft))
+            if rep.speed_kt is not None or rep.vertical_rate_fpm is not None:
+                self._db.execute(
+                    "INSERT OR REPLACE INTO vectors (icao, seen, speed, heading, vertical) "
+                    "VALUES (?, ?, ?, ?, ?)",
+                    (rep.icao, rep.timestamp, rep.speed_kt, rep.heading_deg,
+                     rep.vertical_rate_fpm))
+            if rep.squawk is not None:
+                self._db.execute(
+                    "INSERT OR REPLACE INTO squawks (icao, seen, squawk) "
+                    "VALUES (?, ?, ?)", (rep.icao, rep.timestamp, rep.squawk))
+            self._db.commit()
+
+    def close(self) -> None:
+        with self._lock:
+            self._db.close()

@@ -1,0 +1,115 @@
+"""CPR encode/decode vectors: global pair, local, surface, boundary straddle.
+
+Replaces the reference's embedded self-test main in python/cpr.py with real
+pytest coverage, including the mode-s.org worked example pair.
+"""
+
+import numpy as np
+import pytest
+
+from airmodes.decode import cpr
+from airmodes.exceptions import CPRNoPositionError
+
+
+def test_nl_values():
+    assert cpr.nl(0) == 59
+    assert cpr.nl(10.4704713) == 58   # just inside first transition
+    assert cpr.nl(87) == 2
+    assert cpr.nl(89) == 1
+    assert cpr.nl(-45) == cpr.nl(45)
+    # monotone non-increasing with |lat|
+    vals = [cpr.nl(lat) for lat in np.linspace(0, 86.9, 200)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_known_global_pair():
+    """mode-s.org example: even 58C382D690C8AC / odd 58C386435CC412."""
+    even = (int("10110101101001000", 2), int("01100100010101100", 2))
+    odd = (int("10010000110101110", 2), int("01100010000010010", 2))
+    lat, lon = cpr.decode_global(even, odd, most_recent_odd=False)
+    assert abs(lat - 52.25720) < 1e-4
+    assert abs(lon - 3.91937) < 1e-4
+
+
+def test_global_roundtrip_airborne():
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        lat = float(rng.uniform(-85, 85))
+        lon = float(rng.uniform(-180, 180))
+        even = cpr.cpr_encode(lat, lon, odd=False, surface=False)
+        odd = cpr.cpr_encode(lat, lon, odd=True, surface=False)
+        try:
+            dlat, dlon = cpr.decode_global(even, odd, most_recent_odd=True)
+        except CPRNoPositionError:
+            continue  # genuine NL boundary straddle
+        assert abs(dlat - lat) < 1e-3
+        assert abs((dlon - lon + 180) % 360 - 180) < 1e-3
+
+
+def test_local_roundtrip():
+    rng = np.random.default_rng(1)
+    for _ in range(300):
+        lat = float(rng.uniform(-85, 85))
+        lon = float(rng.uniform(-180, 180))
+        odd = bool(rng.integers(0, 2))
+        enc = cpr.cpr_encode(lat, lon, odd=odd, surface=False)
+        # reference position within ~40 NM
+        ref = (lat + float(rng.uniform(-0.5, 0.5)),
+               lon + float(rng.uniform(-0.5, 0.5)))
+        dlat, dlon = cpr.decode_local(enc, odd, ref)
+        assert abs(dlat - lat) < 1e-3
+        assert abs((dlon - lon + 180) % 360 - 180) < 1e-3
+
+
+def test_surface_local_roundtrip():
+    rng = np.random.default_rng(2)
+    for _ in range(100):
+        lat = float(rng.uniform(-80, 80))
+        lon = float(rng.uniform(-179, 179))
+        odd = bool(rng.integers(0, 2))
+        enc = cpr.cpr_encode(lat, lon, odd=odd, surface=True)
+        ref = (lat + 0.05, lon - 0.05)
+        dlat, dlon = cpr.decode_local(enc, odd, ref, surface=True)
+        assert abs(dlat - lat) < 5e-4
+        assert abs((dlon - lon + 180) % 360 - 180) < 5e-4
+
+
+def test_decoder_cache_global_then_local():
+    dec = cpr.cpr_decoder(my_location=None)
+    icao = 0xABCDEF
+    lat, lon = 47.5, 8.5
+    even = cpr.cpr_encode(lat, lon, odd=False, surface=False)
+    odd = cpr.cpr_encode(lat, lon, odd=True, surface=False)
+    with pytest.raises(CPRNoPositionError):
+        dec.decode(icao, even[0], even[1], 0, timestamp=100.0)
+    dlat, dlon, rng_, brg = dec.decode(icao, odd[0], odd[1], 1, timestamp=101.0)
+    assert abs(dlat - lat) < 1e-3 and abs(dlon - lon) < 1e-3
+    # subsequent single frame decodes locally off the cached position
+    enc2 = cpr.cpr_encode(lat + 0.01, lon + 0.01, odd=False, surface=False)
+    dlat2, dlon2, _, _ = dec.decode(icao, enc2[0], enc2[1], 0, timestamp=102.0)
+    assert abs(dlat2 - (lat + 0.01)) < 1e-3
+
+
+def test_decoder_range_check():
+    dec = cpr.cpr_decoder(my_location=(0.0, 0.0), max_range_nm=100.0)
+    far = (45.0, 45.0)
+    even = cpr.cpr_encode(*far, odd=False, surface=False)
+    odd = cpr.cpr_encode(*far, odd=True, surface=False)
+    dec.lkplist[1] = {0: (*even, 100.0)}
+    with pytest.raises(CPRNoPositionError):
+        dec.decode(1, odd[0], odd[1], 1, timestamp=100.5)
+
+
+def test_range_bearing():
+    rng_nm, brg = cpr.range_bearing((0.0, 0.0), (1.0, 0.0))
+    assert abs(rng_nm - 60.0) < 0.1 and abs(brg - 0.0) < 0.1
+    rng_nm, brg = cpr.range_bearing((0.0, 0.0), (0.0, 1.0))
+    assert abs(rng_nm - 60.0) < 0.1 and abs(brg - 90.0) < 0.1
+
+
+def test_maintain_evicts():
+    dec = cpr.cpr_decoder()
+    dec.lkplist[1] = {0: (1, 2, 100.0)}
+    dec.poslist[1] = (1.0, 2.0, 100.0)
+    dec.maintain(now=100.0 + 120.0)
+    assert not dec.lkplist and not dec.poslist

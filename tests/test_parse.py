@@ -1,0 +1,90 @@
+"""Top-level parser tests against encoder-built golden frames."""
+
+import pytest
+
+from airmodes.decode.parse import parse
+from airmodes.exceptions import ADSBError, ParserError
+from airmodes.testing import encoder
+
+
+def wire(frame: int, nbits: int, syndrome: int = 0, status: int = 0,
+         ts: float = 1.0) -> str:
+    return f"{frame >> (nbits - 5)} {frame:0{nbits // 4}x} {syndrome:06x} {status} -20.00 {ts:.9f}"
+
+
+def test_parse_known_ident():
+    p = parse()
+    rep = p.parse("17 8d4840d6202cc371c32ce0576098 000000 0 -20.00 1.000000000")
+    assert rep.df == 17
+    assert rep.icao == 0x4840D6
+    assert rep.callsign == "KLM1023"
+    assert rep.bds == "BDS0,8"
+
+
+def test_parse_known_position_pair():
+    p = parse()
+    r1 = p.parse("17 8d40621d58c386435cc412692ad6 000000 0 -20.00 1.0")
+    assert r1.altitude_ft == 38000
+    assert r1.lat is None  # only one frame so far
+    r2 = p.parse("17 8d40621d58c382d690c8ac2863a7 000000 0 -20.00 2.0")
+    assert r2.lat is not None
+    assert abs(r2.lat - 52.2572) < 1e-3
+    assert abs(r2.lon - 3.91937) < 1e-3
+
+
+def test_parse_df17_velocity():
+    me = encoder.me_velocity(250.0, 45.0, -1280.0)
+    frame = encoder.df17_frame(0x123456, me)
+    rep = parse().parse(wire(frame, 112))
+    assert rep.bds == "BDS0,9"
+    assert abs(rep.speed_kt - 250.0) < 2.0
+    assert abs(rep.heading_deg - 45.0) < 1.0
+    assert abs(rep.vertical_rate_fpm + 1280.0) < 64.0
+
+
+def test_parse_df11():
+    frame = encoder.df11_frame(0xABCDEF, ca=5)
+    rep = parse().parse(wire(frame, 56))
+    assert rep.df == 11 and rep.icao == 0xABCDEF and rep.capability == 5
+
+
+def test_parse_df4_altitude():
+    from airmodes.decode.altitude import encode_alt_q
+    frame = encoder.df4_frame(0x123456, encode_alt_q(25000))
+    rep = parse().parse(wire(frame, 56, syndrome=0x123456, status=3))
+    assert rep.df == 4 and rep.icao == 0x123456 and rep.altitude_ft == 25000
+
+
+def test_parse_df5_squawk():
+    from airmodes.decode.fields import encode_squawk
+    frame = encoder.df5_frame(0x654321, encode_squawk(7700))
+    rep = parse().parse(wire(frame, 56, syndrome=0x654321, status=3))
+    assert rep.squawk == 7700
+
+
+def test_parse_df20():
+    from airmodes.decode.altitude import encode_alt_q
+    frame = encoder.df20_frame(0x00AB12, encode_alt_q(10000))
+    rep = parse().parse(wire(frame, 112, syndrome=0x00AB12, status=3))
+    assert rep.df == 20 and rep.altitude_ft == 10000
+
+
+def test_parse_rejects_bad_crc():
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("TEST")) ^ 1
+    with pytest.raises(ParserError):
+        parse().parse(wire(frame, 112))
+
+
+def test_parse_rejects_fail_status():
+    with pytest.raises(ADSBError):
+        parse().parse("17 8d4840d6202cc371c32ce0576098 000000 4 -20.00 1.0")
+
+
+def test_parse_df17_position_local_roundtrip():
+    p = parse(my_position=(47.0, 8.0))
+    me = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=False)
+    frame = encoder.df17_frame(0x111111, me)
+    rep = p.parse(wire(frame, 112))
+    assert rep.lat is not None
+    assert abs(rep.lat - 47.3) < 1e-3 and abs(rep.lon - 8.2) < 1e-3
+    assert rep.range_nm is not None and rep.range_nm < 30

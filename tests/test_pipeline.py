@@ -1,0 +1,159 @@
+"""End-to-end DSP pipeline tests: encoder capture -> device demod -> messages.
+
+This is milestone M1 from SURVEY.md §7: file capture -> detect -> slice ->
+CRC -> hex messages, bit-matched against ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from airmodes.config import DspConfig
+from airmodes.dsp import host
+from airmodes.dsp.pipeline import demod_block_jit
+from airmodes.io import sources
+from airmodes.testing import encoder
+
+CFG = DspConfig(block_size=1 << 16, max_detections=64)
+
+
+def run_capture(iq, cfg=CFG):
+    msgs = []
+    stats = host.BlockStats()
+    for block, start in sources.frame_blocks(iq, cfg):
+        table = demod_block_jit(block, cfg)
+        msgs.extend(host.table_to_messages(table, start, cfg.channel_rate,
+                                           stats=stats))
+    return msgs, stats
+
+
+def hex_set(msgs):
+    return {m.split()[1] for m in msgs}
+
+
+def test_single_df17_high_snr():
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=1)
+    msgs, stats = run_capture(iq)
+    assert hex_set(msgs) == {"8d4840d6202cc371c32ce0576098"}
+    # timestamp matches the injected sample index
+    ts = float(msgs[0].split()[5])
+    assert abs(ts - truth[0].sample_index / 2e6) < 1e-6
+
+
+def test_many_df17_frames_bit_match():
+    frames = encoder.random_df17_frames(60, seed=7)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=3000, seed=7)
+    msgs, stats = run_capture(iq)
+    want = {t.hex for t in truth}
+    got = hex_set(msgs)
+    assert want <= got, f"missing {len(want - got)} of {len(want)}"
+    assert stats.crc_ok >= len(want)
+
+
+def test_short_frames_df11():
+    frames = [(encoder.df11_frame(0x4840D6 + i), 56) for i in range(10)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=3)
+    msgs, _ = run_capture(iq)
+    got = hex_set(msgs)
+    assert {t.hex for t in truth} <= got
+
+
+def test_df4_df5_address_recovery():
+    from airmodes.decode.altitude import encode_alt_q
+    from airmodes.decode.fields import encode_squawk
+    frames = [(encoder.df4_frame(0x123456, encode_alt_q(30000)), 56),
+              (encoder.df5_frame(0x654321, encode_squawk(7700)), 56)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=4)
+    msgs, _ = run_capture(iq)
+    by_hex = {m.split()[1]: m for m in msgs}
+    for t in truth:
+        assert t.hex in by_hex
+        syndrome = int(by_hex[t.hex].split()[2], 16)
+        icao = 0x123456 if t.df == 4 else 0x654321
+        assert syndrome == icao
+
+
+def test_block_boundary_straddle():
+    """A frame whose preamble starts near the end of a block must decode
+    exactly once (overlap-save halo, no duplicate from the next block)."""
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    frame = int("8d4840d6202cc371c32ce0576098", 16)
+    hits = []
+    for offset in [cfg.block_size - 5, cfg.block_size - 120,
+                   cfg.block_size - 240, cfg.block_size + 3]:
+        iq, truth = encoder.make_capture(
+            [(frame, 112)], snr_db=25.0, start=offset, seed=5,
+            total_samples=3 * cfg.block_size)
+        msgs, _ = run_capture(iq, cfg)
+        matching = [m for m in msgs if m.split()[1] == "8d4840d6202cc371c32ce0576098"]
+        hits.append((offset, len(matching)))
+    assert all(n == 1 for _, n in hits), hits
+
+
+def test_ecc_corrects_low_confidence_bit():
+    """Knock one data chip down so its bit is ambiguous: brute-force ECC must
+    recover the frame (ref: slicer DF17 low-confidence flips)."""
+    frame = int("8d4840d6202cc371c32ce0576098", 16)
+    iq, truth = encoder.make_capture([(frame, 112)], snr_db=25.0,
+                                     noise_power=1e-2, seed=6,
+                                     random_phase=False)
+    p = truth[0].sample_index
+    # bit 40 of the data: chips at 16 + 80, 16 + 81. Erase both chips so the
+    # pair compares on noise alone -> low confidence either way.
+    for chip in (16 + 80, 16 + 81):
+        iq[p + chip] = 0.05 + 0j
+    msgs, stats = run_capture(iq)
+    got = hex_set(msgs)
+    assert "8d4840d6202cc371c32ce0576098" in got
+    statuses = [int(m.split()[3]) for m in msgs if m.split()[1] == truth[0].hex]
+    assert statuses[0] in (0, 1)  # likely corrected, maybe clean by luck
+
+
+def test_low_snr_no_false_positives():
+    """Pure noise must produce (nearly) no emitted messages."""
+    rng = np.random.default_rng(8)
+    iq = ((rng.standard_normal(1 << 17) + 1j * rng.standard_normal(1 << 17))
+          * np.sqrt(5e-3)).astype(np.complex64)
+    msgs, stats = run_capture(iq)
+    assert len(msgs) <= 2  # allow a rare noise-triggered AP-type frame
+
+
+def test_detection_overflow_counter():
+    cfg = DspConfig(block_size=1 << 15, max_detections=4)
+    frames = encoder.random_df17_frames(12, seed=9)
+    iq, _ = encoder.make_capture(frames, snr_db=25.0, spacing=1500, seed=9,
+                                 total_samples=cfg.block_size)
+    msgs, stats = run_capture(iq, cfg)
+    assert stats.overflow > 0
+    assert stats.preambles >= 12
+
+
+def test_buffered_framer_matches_frame_blocks():
+    cfg = DspConfig(block_size=4096)
+    rng = np.random.default_rng(10)
+    iq = (rng.standard_normal(3 * 4096 + 777) +
+          1j * rng.standard_normal(3 * 4096 + 777)).astype(np.complex64)
+    ref_blocks = list(sources.frame_blocks(iq, cfg))
+    fr = sources.buffered_framer(cfg)
+    stream_blocks = []
+    pos = 0
+    for chunk in np.array_split(iq, 17):
+        stream_blocks.extend(fr.push(chunk))
+    stream_blocks.extend(fr.flush())
+    assert len(ref_blocks) == len(stream_blocks)
+    for (a, sa), (b, sb) in zip(ref_blocks, stream_blocks):
+        assert sa == sb
+        np.testing.assert_array_equal(a, b)
+
+
+def test_float32_iq_layout_matches_complex():
+    """TPU-native (N,2) float32 I/Q layout must produce identical tables."""
+    from airmodes.dsp.pipeline import iq_to_device_layout
+    frames = encoder.random_df17_frames(8, seed=11)
+    iq, _ = encoder.make_capture(frames, snr_db=20.0, seed=11)
+    cfg = CFG
+    for block, start in sources.frame_blocks(iq, cfg):
+        t_c = demod_block_jit(block, cfg)
+        t_f = demod_block_jit(iq_to_device_layout(block), cfg)
+        for a, b in zip(t_c, t_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
