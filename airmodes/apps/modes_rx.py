@@ -1,0 +1,211 @@
+"""CLI receiver (ref: gr-air-modes apps/modes_rx).
+
+Wires a source -> (optional polyphase resample) -> jitted demod pipeline ->
+wire messages -> pub/sub relay -> enabled output plugins, mirroring the
+reference's option surface:
+
+  -s/--source file|udp|synthetic     (uhd/osmocom raise: no SDR drivers here)
+  -r/--rate, -f/--freq, -g/--gain, -T/--threshold, -l/--location
+  -P (SBS-1 port), -K (KML file), -d (SQLite db), -w (raw TCP port),
+  -m (FlightGear host:port), -n (no console print)
+
+Clean shutdown on KeyboardInterrupt closes sockets/DB like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="modes_rx", description="TPU-native Mode S / ADS-B receiver")
+    src = p.add_argument_group("source")
+    src.add_argument("-s", "--source", default="synthetic",
+                     help="file path, 'udp', or 'synthetic'")
+    src.add_argument("-r", "--rate", type=float, default=2e6,
+                     help="source sample rate [2e6]")
+    src.add_argument("--file-format", default="complex64",
+                     choices=["complex64", "sc16", "uc8"])
+    src.add_argument("-f", "--freq", type=float, default=1090e6)
+    src.add_argument("-g", "--gain", type=float, default=None)
+    src.add_argument("-e", "--error", type=float, default=0.0,
+                     help="frequency error ppm")
+    src.add_argument("--udp-port", type=int, default=10000)
+    src.add_argument("--throttle", action="store_true",
+                     help="replay files at real-time rate")
+
+    dsp = p.add_argument_group("dsp")
+    dsp.add_argument("-T", "--threshold", type=float, default=5.0,
+                     help="preamble detection threshold dB over noise [5]")
+    dsp.add_argument("--block-size", type=int, default=1 << 20)
+    dsp.add_argument("--max-detections", type=int, default=128)
+    dsp.add_argument("--channel-rate", type=float, default=2e6)
+
+    out = p.add_argument_group("output")
+    out.add_argument("-P", "--sbs1", type=int, default=None, metavar="PORT",
+                     help="serve SBS-1/BaseStation CSV on TCP port (30003)")
+    out.add_argument("-K", "--kml", default=None, metavar="FILE")
+    out.add_argument("-d", "--db", default=None, metavar="FILE",
+                     help="SQLite database file")
+    out.add_argument("-w", "--raw", type=int, default=None, metavar="PORT")
+    out.add_argument("-m", "--flightgear", default=None, metavar="HOST:PORT")
+    out.add_argument("-n", "--no-print", action="store_true")
+    out.add_argument("-l", "--location", default=None, metavar="LAT,LON[,ALT]")
+    out.add_argument("--stats-interval", type=float, default=10.0,
+                     help="print per-interval pipeline stats (0 = off)")
+    out.add_argument("--max-blocks", type=int, default=None,
+                     help="stop after N blocks (testing)")
+    out.add_argument("--pub", default=None, metavar="ADDR",
+                     help="also publish raw messages on a zmq PUB socket")
+    return p
+
+
+def parse_location(s: Optional[str]):
+    if not s:
+        return None
+    parts = [float(x) for x in s.split(",")]
+    return (parts[0], parts[1], parts[2] if len(parts) > 2 else 0.0)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from ..config import DspConfig
+    from ..dsp import host
+    from ..dsp.pipeline import (demod_block_packed_jit, iq_to_device_layout,
+                                unpack_table)
+    from ..io import sources as src_mod
+    from ..io.relay import local_pubsub
+    from ..resample.polyphase import rational_rate
+
+    cfg = DspConfig(channel_rate=args.channel_rate,
+                    threshold_db=args.threshold,
+                    block_size=args.block_size,
+                    max_detections=args.max_detections)
+
+    loc = parse_location(args.location)
+    my_pos = (loc[0], loc[1]) if loc else None
+
+    # --- plugins ---------------------------------------------------------
+    bus = local_pubsub()
+    closers = []
+    from ..decode.parse import parse as parse_cls
+    shared_parser = parse_cls(my_pos)
+    if not args.no_print:
+        from ..outputs.msprint import output_print
+        bus.subscribe("dl_data", output_print(shared_parser).output)
+    if args.sbs1:
+        from ..outputs.sbs1 import output_sbs1
+        plug = output_sbs1(args.sbs1, parse_cls(my_pos))
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.db:
+        from ..outputs.sql import output_sql
+        plug = output_sql(args.db, parse_cls(my_pos))
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.kml:
+        if not args.db:
+            print("KML output requires -d/--db", file=sys.stderr)
+            return 2
+        from ..outputs.kml import output_kml
+        plug = output_kml(args.kml, args.db, my_pos)
+        closers.append(plug.close)
+    if args.raw:
+        from ..outputs.raw_server import output_raw
+        plug = output_raw(args.raw)
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.flightgear:
+        from ..outputs.flightgear import output_flightgear
+        hostname, _, port = args.flightgear.partition(":")
+        plug = output_flightgear(hostname, int(port or 5000), parse_cls(my_pos))
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.pub:
+        from ..io.relay import zmq_pubsub_iface
+        relay = zmq_pubsub_iface(pubaddr=args.pub)
+        bus.subscribe("dl_data", lambda m: relay.publish("dl_data", m))
+        closers.append(relay.close)
+
+    # --- source ----------------------------------------------------------
+    needs_resample = abs(args.rate - cfg.channel_rate) > 1e-3
+    if args.source in ("uhd", "osmocom"):
+        print(f"SDR source '{args.source}' needs UHD/osmosdr hardware drivers "
+              "(unavailable); use a recorded file or udp", file=sys.stderr)
+        return 2
+    if needs_resample:
+        if args.source in ("udp", "synthetic"):
+            print("resampling is only wired for file sources", file=sys.stderr)
+            return 2
+        from ..resample.polyphase import streaming_resampler
+        p_up, q_dn = rational_rate(args.rate, cfg.channel_rate)
+        rs = streaming_resampler(p_up, q_dn)
+
+        def resampled_blocks():
+            framer = src_mod.buffered_framer(cfg)
+            for chunk in src_mod.raw_file_chunks(
+                    args.source, dtype=args.file_format):
+                yield from framer.push(rs.push(chunk))
+            yield from framer.push(rs.flush())
+            yield from framer.flush()
+        blocks = resampled_blocks()
+    elif args.source == "udp":
+        blocks = src_mod.udp_source(cfg, port=args.udp_port)
+    elif args.source == "synthetic":
+        blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 4)
+    else:
+        blocks = src_mod.file_source(args.source, cfg,
+                                     dtype=args.file_format)
+
+    # --- run loop ---------------------------------------------------------
+    stats = host.BlockStats()
+    epoch = time.time()
+    t_stats = time.time()
+    n_blocks = 0
+    samples_done = 0
+    try:
+        for block, start in blocks:
+            if args.max_blocks and n_blocks >= args.max_blocks:
+                break
+            table = unpack_table(
+                demod_block_packed_jit(iq_to_device_layout(block), cfg))
+            msgs = host.table_to_messages(
+                table, start, cfg.channel_rate, epoch=epoch, stats=stats)
+            for m in msgs:
+                bus.publish("dl_data", m)
+            n_blocks += 1
+            samples_done += cfg.block_size
+            if args.throttle:
+                ahead = samples_done / cfg.channel_rate - (time.time() - epoch)
+                if ahead > 0:
+                    time.sleep(ahead)
+            if args.stats_interval and time.time() - t_stats > args.stats_interval:
+                rate = samples_done / (time.time() - epoch) / 1e6
+                print(f"# {rate:.1f} Msps | preambles {stats.preambles} | "
+                      f"ok {stats.crc_ok} | corrected {stats.corrected} | "
+                      f"emitted {stats.emitted} | overflow {stats.overflow}",
+                      file=sys.stderr)
+                t_stats = time.time()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for c in closers:
+            try:
+                c()
+            except Exception:
+                pass
+    print(f"# done: {n_blocks} blocks, {stats.emitted} messages "
+          f"({stats.crc_ok} crc-ok, {stats.corrected} corrected)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

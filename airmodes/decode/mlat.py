@@ -1,0 +1,171 @@
+"""Multilateration: TDOA hyperbolic positioning (ref: gr-air-modes python/mlat.py).
+
+Locates an aircraft from the same frame observed at >= 3 (4 for full 3D)
+receivers with synchronized (GPS/PPS-grade) timestamps. WGS-84 geodesy
+(llh2ecef / ecef2llh / geoid height table) + iterative Gauss-Newton least
+squares on pseudorange differences. Raises MlatNonConvergeError when the
+solver diverges (caller drops the fix; drop-and-continue).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..exceptions import MlatNonConvergeError
+
+C = 299792458.0  # m/s
+
+# WGS-84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2 - _F)
+
+# Coarse geoid undulation table (meters), 10-degree grid, lat 90..-90 (rows)
+# x lon -180..180 (cols) — role equivalent of the reference's geoid table.
+_GEOID = np.array([
+    [13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13],
+    [3, 1, -2, -3, -3, -3, -1, 3, 1, 5, 9, 11, 19, 27, 31, 34, 33, 34, 3],
+    [2, 2, 1, -1, -3, -7, -14, -24, -27, -25, -19, 3, 24, 37, 47, 60, 61, 58, 2],
+    [2, 9, 17, 10, 13, 1, -14, -30, -39, -46, -42, -21, 6, 29, 49, 65, 60, 57, 2],
+    [-8, 8, 8, 1, -11, -19, -16, -18, -22, -35, -40, -26, -12, 24, 45, 63, 62, 59, -8],
+    [-12, -10, -13, -20, -31, -34, -21, -16, -26, -34, -33, -35, -26, 2, 33, 59, 52, 51, -12],
+    [-8, -10, -8, -11, -19, -17, -14, -12, -8, -18, -13, -9, -11, -5, 9, 28, 27, 22, -8],
+    [-12, -13, -20, -31, -34, -21, -16, -26, -34, -33, -35, -26, 2, 33, 59, 52, 51, 36, -12],
+    [-8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8],
+    [-30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30],
+], dtype=np.float64)
+
+
+def llh2geoid(lat: float, lon: float) -> float:
+    """Geoid height above the WGS-84 ellipsoid (coarse bilinear lookup)."""
+    r = (90.0 - lat) / 20.0
+    c = (lon + 180.0) / 20.0
+    r = min(max(r, 0.0), _GEOID.shape[0] - 1.001)
+    c = min(max(c, 0.0), _GEOID.shape[1] - 1.001)
+    r0, c0 = int(r), int(c)
+    fr, fc = r - r0, c - c0
+    g = _GEOID
+    return float(
+        g[r0, c0] * (1 - fr) * (1 - fc) + g[r0 + 1, c0] * fr * (1 - fc) +
+        g[r0, c0 + 1] * (1 - fr) * fc + g[r0 + 1, c0 + 1] * fr * fc)
+
+
+def llh2ecef(llh: Sequence[float]) -> np.ndarray:
+    """(lat_deg, lon_deg, alt_m above ellipsoid) -> ECEF meters."""
+    lat, lon, alt = llh
+    lat, lon = math.radians(lat), math.radians(lon)
+    n = _A / math.sqrt(1 - _E2 * math.sin(lat) ** 2)
+    return np.array([
+        (n + alt) * math.cos(lat) * math.cos(lon),
+        (n + alt) * math.cos(lat) * math.sin(lon),
+        (n * (1 - _E2) + alt) * math.sin(lat),
+    ])
+
+
+def ecef2llh(xyz: Sequence[float]) -> Tuple[float, float, float]:
+    """ECEF meters -> (lat_deg, lon_deg, alt_m), Bowring's method."""
+    x, y, z = xyz
+    lon = math.atan2(y, x)
+    p = math.hypot(x, y)
+    b = _A * (1 - _F)
+    ep2 = (_A ** 2 - b ** 2) / b ** 2
+    theta = math.atan2(z * _A, p * b)
+    lat = math.atan2(z + ep2 * b * math.sin(theta) ** 3,
+                     p - _E2 * _A * math.cos(theta) ** 3)
+    n = _A / math.sqrt(1 - _E2 * math.sin(lat) ** 2)
+    alt = p / math.cos(lat) - n if abs(math.degrees(lat)) < 89 else \
+        z / math.sin(lat) - n * (1 - _E2)
+    return math.degrees(lat), math.degrees(lon), alt
+
+
+def mlat_iter(stations_ecef: np.ndarray, prange_rel: np.ndarray,
+              guess: np.ndarray, max_iter: int = 20,
+              tol_m: float = 0.5, raise_on_fail: bool = True) -> np.ndarray:
+    """Gauss-Newton on TDOA residuals.
+
+    stations_ecef: (N, 3); prange_rel: (N,) pseudoranges relative to station 0
+    (c * (t_i - t_0)). Solves for position xyz minimizing the residual of
+    range differences. Raises MlatNonConvergeError (unless raise_on_fail is
+    False, when the best iterate is returned for outer constrained loops).
+    """
+    xyz = guess.astype(np.float64).copy()
+
+    def residual(pos):
+        d = np.linalg.norm(stations_ecef - pos, axis=1)
+        return (d - d[0]) - prange_rel, d
+
+    # Levenberg-Marquardt: ground-station TDOA geometry is near-singular in
+    # the vertical, so undamped Gauss-Newton steps diverge wildly.
+    lam = 1e-3
+    resid, d = residual(xyz)
+    cost = float(resid @ resid)
+    for _ in range(max_iter * 4):
+        u = (xyz - stations_ecef) / d[:, None]
+        jac = (u - u[0])[1:]          # row 0 is identically zero
+        r = resid[1:]
+        a = jac.T @ jac + lam * np.eye(3)
+        g = jac.T @ r
+        try:
+            delta = np.linalg.solve(a, -g)
+        except np.linalg.LinAlgError:
+            break
+        new_xyz = xyz + delta
+        new_resid, new_d = residual(new_xyz)
+        new_cost = float(new_resid @ new_resid)
+        if new_cost < cost:
+            xyz, resid, d, cost = new_xyz, new_resid, new_d, new_cost
+            lam = max(lam * 0.3, 1e-9)
+            if np.linalg.norm(delta) < tol_m:
+                return xyz
+        else:
+            lam *= 10.0
+            if lam > 1e12:
+                break
+    if raise_on_fail:
+        raise MlatNonConvergeError()
+    return xyz
+
+
+def mlat(replies: Dict[Tuple[float, float, float], float],
+         altitude_ft: Optional[float] = None) -> Tuple[float, float, float]:
+    """Solve a position from {station_llh: timestamp_s} observations.
+
+    Seeds from the station centroid; with exactly 3 stations an altitude
+    constraint (decoded AC field, feet) substitutes for the missing fourth
+    observation. Returns (lat_deg, lon_deg, alt_m).
+    """
+    items = sorted(replies.items(), key=lambda kv: kv[1])
+    if len(items) < 3:
+        raise MlatNonConvergeError("need >= 3 stations")
+    stations = np.array([llh2ecef(s) for s, _ in items])
+    t0 = items[0][1]
+    prange_rel = np.array([(t - t0) * C for _, t in items])
+
+    # Seed above the station plane: planar ground-station geometry has a
+    # mirror solution below ground; aircraft are above it.
+    lat_c, lon_c, _ = ecef2llh(stations.mean(axis=0))
+    alt_m = altitude_ft * 0.3048 if altitude_ft is not None else 8000.0
+    guess = llh2ecef((lat_c, lon_c, alt_m))
+    if altitude_ft is not None:
+        lat, lon = lat_c, lon_c
+        if len(items) == 3:
+            # add a virtual range-to-geocenter constraint by iterating with
+            # altitude reprojection each step
+            # alternating projection: Gauss-Newton step, then re-pin altitude
+            xyz = guess.copy()
+            for _ in range(25):
+                xyz = mlat_iter(stations, prange_rel, xyz, max_iter=3,
+                                tol_m=5.0, raise_on_fail=False)
+                la, lo, _ = ecef2llh(xyz)
+                xyz = llh2ecef((la, lo, alt_m))
+            d = np.linalg.norm(stations - xyz, axis=1)
+            resid = (d - d[0]) - prange_rel
+            if np.max(np.abs(resid)) > 500.0:
+                raise MlatNonConvergeError()
+            lat, lon, alt = ecef2llh(xyz)
+            return lat, lon, alt
+    xyz = mlat_iter(stations, prange_rel, guess)
+    return ecef2llh(xyz)

@@ -1,0 +1,110 @@
+"""Multi-chip sharded demod pipeline (SURVEY.md §2.7 / §5.7 / §5.8).
+
+The reference scales by thread-per-block pipelining on one machine; the TPU
+rebuild shards over a device mesh instead:
+
+  - axis "channel": data parallelism over SDR channels / capture shards
+  - axis "time":    sequence parallelism over time blocks of one stream,
+                    with overlap-save halo exchange between neighboring
+                    shards via `lax.ppermute` over ICI — the stream analog
+                    of GNU Radio's set_history look-back.
+
+Each time shard owns `block` samples; it receives the last `left_halo`
+samples of its left neighbor (noise-floor warmup + peak look-back) and the
+first `right_halo` samples of its right neighbor (a frame starting near the
+shard edge extends 240 chips into the neighbor). Detections are claimed by
+the shard that owns the preamble start sample, so the overlap region never
+duplicates or drops a frame.
+
+Detection tables stay fixed-shape per shard; indices are globalized with the
+shard's time offset before being returned (gathered to host by jit's output
+sharding, or all_gather'd explicitly for multi-host).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DspConfig
+from ..dsp.pipeline import DetectionTable, demod_block
+
+
+def make_mesh(n_channel: int = 1, n_time: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("channel", "time") mesh over the available devices."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    n = n_channel * n_time
+    if n > len(devices):
+        raise ValueError(f"mesh {n_channel}x{n_time} needs {n} devices, "
+                         f"have {len(devices)}")
+    devs = np.asarray(devices[:n]).reshape(n_channel, n_time)
+    return Mesh(devs, ("channel", "time"))
+
+
+def _exchange_halos(x: jax.Array, left: int, right: int,
+                    axis: str = "time") -> jax.Array:
+    """Ring halo exchange along the time axis of the mesh.
+
+    x: (C_loc, N_loc, 2) owned samples. Returns (C_loc, L+N_loc+R, 2) with
+    the left halo from the previous shard and the right halo from the next
+    (zeros at the stream boundaries — same semantics as the start/end of a
+    file capture).
+    """
+    n_shards = jax.lax.axis_size(axis)
+    # Send my tail to my right neighbor -> it becomes their left halo.
+    tail = x[:, -left:, :]
+    left_halo = jax.lax.ppermute(
+        tail, axis, [(i, i + 1) for i in range(n_shards - 1)])
+    # Send my head to my left neighbor -> it becomes their right halo.
+    head = x[:, :right, :]
+    right_halo = jax.lax.ppermute(
+        head, axis, [(i + 1, i) for i in range(n_shards - 1)])
+    return jnp.concatenate([left_halo, x, right_halo], axis=1)
+
+
+def _globalize(table: DetectionTable, block: int,
+               axis: str = "time") -> DetectionTable:
+    """Local detection indices -> global sample offsets within the step."""
+    offset = jax.lax.axis_index(axis).astype(jnp.int32) * block
+    valid = table.index >= 0
+    new_index = jnp.where(valid, table.index + offset, -1)
+    return table._replace(index=new_index)
+
+
+def make_sharded_demod(mesh: Mesh, cfg: DspConfig):
+    """Build the jitted multi-device demod step.
+
+    Returns fn(iq) where iq is a global float32 array of shape
+    (n_channels, n_time_shards * block_size, 2) sharded
+    P("channel", "time", None); output DetectionTable arrays have a leading
+    (n_channels, n_time_shards) axis pair, indices global in the step.
+    """
+    left, right = cfg.left_halo, cfg.right_halo
+
+    def shard_fn(iq_shard):
+        # iq_shard: (C_loc, N_loc, 2) float32
+        padded = _exchange_halos(iq_shard, left, right)
+        table = jax.vmap(lambda x: demod_block(x, cfg))(padded)
+        table = _globalize(table, cfg.block_size)
+        # keep a leading time axis of size 1 per shard for clean stacking
+        return jax.tree.map(lambda a: a[:, None], table)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P("channel", "time", None),
+        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+    )
+    return jax.jit(fn)
+
+
+def shard_input(iq, mesh: Mesh):
+    """Place a host (C, T, 2) float32 array with the pipeline's sharding."""
+    return jax.device_put(
+        iq, NamedSharding(mesh, P("channel", "time", None)))

@@ -74,7 +74,12 @@ def magnitude_squared(iq: jax.Array) -> jax.Array:
     """
     if jnp.iscomplexobj(iq):
         return (jnp.real(iq) ** 2 + jnp.imag(iq) ** 2).astype(jnp.float32)
-    assert iq.shape[-1] == 2, "expected (..., 2) float32 (I,Q) layout"
+    assert iq.shape[-1] == 2, "expected (..., 2) (I,Q) layout"
+    if iq.dtype in (jnp.int8, jnp.int16):
+        # quantized SDR wire formats (rtl-sdr 8-bit, USRP sc16): convert on
+        # device — 4-8x less host->device traffic than float32
+        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
+        iq = iq.astype(jnp.float32) * scale
     return iq[..., 0] ** 2 + iq[..., 1] ** 2
 
 
@@ -369,6 +374,59 @@ def demod_block(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def demod_block_jit(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
     return demod_block(iq, cfg)
+
+
+# --- packed single-array output (device->host transfer efficiency) -----------
+#
+# The table is 10 arrays (one uint8); on tunneled/remote device runtimes each
+# D2H transfer pays a large fixed latency, so the production path packs the
+# whole table into ONE int32 matrix fetched in a single transfer.
+#
+# Row k (detection k): [index, df, nbits, syndrome, status,
+#                       ref_level(bitcast), noise(bitcast), w0..w6]
+# where w0..w6 are the 112 frame bits packed 16 per int32 word (MSB first).
+# Final extra row: [n_detected, n_overflow, 0, ...].
+
+PACKED_COLS = 14
+
+
+def pack_table(table: DetectionTable) -> jax.Array:
+    k = table.index.shape[0]
+    words = table.bits.astype(jnp.int32).reshape(k, 7, 16)
+    shifts = (15 - jnp.arange(16, dtype=jnp.int32))[None, None, :]
+    packed_bits = jnp.sum(words << shifts, axis=-1)            # (K, 7)
+    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    rows = jnp.concatenate([
+        table.index[:, None], table.df[:, None], table.nbits[:, None],
+        table.syndrome[:, None], table.status[:, None],
+        f2i(table.ref_level)[:, None], f2i(table.noise)[:, None],
+        packed_bits,
+    ], axis=1)                                                  # (K, 14)
+    tail = jnp.zeros((1, PACKED_COLS), jnp.int32)
+    tail = tail.at[0, 0].set(table.n_detected.astype(jnp.int32))
+    tail = tail.at[0, 1].set(table.n_overflow.astype(jnp.int32))
+    return jnp.concatenate([rows, tail], axis=0)                # (K+1, 14)
+
+
+def unpack_table(arr) -> DetectionTable:
+    """Host-side inverse of pack_table (numpy)."""
+    arr = np.asarray(arr)
+    rows, tail = arr[:-1], arr[-1]
+    words = rows[:, 7:14].astype(np.uint32)
+    bits = ((words[:, :, None] >> (15 - np.arange(16))[None, None, :]) & 1)
+    bits = bits.reshape(rows.shape[0], 112).astype(np.uint8)
+    i2f = lambda x: x.astype(np.int32).view(np.float32)
+    return DetectionTable(
+        index=rows[:, 0], bits=bits, df=rows[:, 1], nbits=rows[:, 2],
+        syndrome=rows[:, 3], status=rows[:, 4],
+        ref_level=i2f(rows[:, 5].copy()), noise=i2f(rows[:, 6].copy()),
+        n_detected=tail[0], n_overflow=tail[1])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def demod_block_packed_jit(iq: jax.Array, cfg: DspConfig) -> jax.Array:
+    """demod_block + pack_table: one (K+1, 14) int32 output array."""
+    return pack_table(demod_block(iq, cfg))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

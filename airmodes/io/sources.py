@@ -79,6 +79,31 @@ class buffered_framer:
         self._pending = np.zeros(0, dtype=np.complex64)
 
 
+def raw_file_chunks(path: str, *, dtype: str = "complex64",
+                    chunk_samples: int = 1 << 20) -> Iterator[np.ndarray]:
+    """Raw complex64 chunks from a recorded capture (no framing) — the input
+    to a streaming resampler when the SDR rate != channel rate."""
+    with open(path, "rb") as f:
+        while True:
+            if dtype == "complex64":
+                samples = np.fromfile(f, np.complex64, chunk_samples)
+            elif dtype == "sc16":
+                raw = np.fromfile(f, np.int16, chunk_samples * 2)
+                samples = ((raw[0::2].astype(np.float32) +
+                            1j * raw[1::2].astype(np.float32)) / 32768.0
+                           ).astype(np.complex64)
+            elif dtype == "uc8":
+                raw = np.fromfile(f, np.uint8, chunk_samples * 2)
+                samples = (((raw[0::2].astype(np.float32) - 127.5) +
+                            1j * (raw[1::2].astype(np.float32) - 127.5))
+                           / 127.5).astype(np.complex64)
+            else:
+                raise ValueError(f"unknown file dtype {dtype}")
+            if len(samples) == 0:
+                return
+            yield samples
+
+
 def file_source(path: str, cfg: DspConfig, *, dtype: str = "complex64",
                 start_sample: int = 0) -> Iterator[Block]:
     """Replay a recorded capture (ref: blocks.file_source, complex64).

@@ -1,0 +1,96 @@
+"""Sharded pipeline tests on a virtual 8-device CPU mesh.
+
+Verifies that the ("channel","time") shard_map pipeline with ppermute halo
+exchange produces exactly the same decoded message set as the single-device
+path, including frames straddling shard boundaries (SURVEY.md §5.7 dedup).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from airmodes.config import DspConfig
+from airmodes.dsp import host
+from airmodes.dsp.pipeline import demod_block_jit, iq_to_device_layout
+from airmodes.dist import sharded
+from airmodes.io import sources
+from airmodes.testing import encoder
+
+CFG = DspConfig(block_size=1 << 14, max_detections=32)
+
+
+def single_device_hexes(iq, cfg=CFG):
+    msgs = []
+    for block, start in sources.frame_blocks(iq, cfg):
+        table = demod_block_jit(block, cfg)
+        msgs.extend(host.table_to_messages(table, start, cfg.channel_rate))
+    return sorted(m.split()[1] for m in msgs)
+
+
+def sharded_hexes(iq, mesh, cfg=CFG):
+    n_time = mesh.shape["time"]
+    n_chan = mesh.shape["channel"]
+    total = n_time * cfg.block_size
+    buf = np.zeros((n_chan, total), np.complex64)
+    buf[0, : len(iq)] = iq
+    x = iq_to_device_layout(buf)
+    fn = sharded.make_sharded_demod(mesh, cfg)
+    table = jax.block_until_ready(fn(sharded.shard_input(x, mesh)))
+    hexes = []
+    for c in range(n_chan):
+        for t in range(n_time):
+            sub = type(table)(*(np.asarray(f)[c, t] for f in table))
+            # indices are already global within the step; block_start=0
+            msgs = host.table_to_messages(sub, 0, cfg.channel_rate)
+            hexes.extend(m.split()[1] for m in msgs)
+    return sorted(hexes)
+
+
+@pytest.fixture(scope="module")
+def capture():
+    frames = encoder.random_df17_frames(24, seed=20)
+    frames += [(encoder.df11_frame(0x500000 + i), 56) for i in range(6)]
+    total = 8 * CFG.block_size
+    # deliberately place some frames right at shard boundaries
+    iq, truth = encoder.make_capture(
+        frames, snr_db=22.0, spacing=4300, start=CFG.block_size - 130,
+        seed=20, total_samples=total)
+    return iq, truth
+
+
+def test_time_sharded_matches_single(capture):
+    iq, truth = capture
+    mesh = sharded.make_mesh(n_channel=1, n_time=8)
+    ref = single_device_hexes(iq)
+    got = sharded_hexes(iq, mesh)
+    assert got == ref
+    assert {t.hex for t in truth} <= set(got)
+
+
+def test_channel_time_mesh(capture):
+    iq, truth = capture
+    mesh = sharded.make_mesh(n_channel=2, n_time=4)
+    cfg = DspConfig(block_size=1 << 15, max_detections=32)
+    ref = single_device_hexes(iq, cfg)
+    got = sharded_hexes(iq, mesh, cfg)
+    assert got == ref
+
+
+def test_channel_only_mesh(capture):
+    iq, truth = capture
+    mesh = sharded.make_mesh(n_channel=8, n_time=1)
+    cfg = DspConfig(block_size=1 << 17, max_detections=64)
+    got = sharded_hexes(iq, mesh, cfg)
+    assert {t.hex for t in truth} <= set(got)
+
+
+def test_boundary_frame_owned_once():
+    """Frame preamble exactly at a shard boundary: decoded exactly once."""
+    mesh = sharded.make_mesh(n_channel=1, n_time=8)
+    frame = int("8d4840d6202cc371c32ce0576098", 16)
+    for start in (CFG.block_size - 1, CFG.block_size, 2 * CFG.block_size - 60):
+        iq, _ = encoder.make_capture(
+            [(frame, 112)], snr_db=25.0, start=start, seed=21,
+            total_samples=8 * CFG.block_size)
+        got = sharded_hexes(iq, mesh)
+        assert got.count("8d4840d6202cc371c32ce0576098") == 1, start

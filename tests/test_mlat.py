@@ -1,0 +1,78 @@
+"""Multilateration solver tests with synthetic station/timestamp data
+(replacing the reference's python/mlat.py __main__ self-test)."""
+
+import numpy as np
+import pytest
+
+from airmodes.decode import mlat
+from airmodes.exceptions import MlatNonConvergeError
+
+
+def test_llh_ecef_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        lat = float(rng.uniform(-85, 85))
+        lon = float(rng.uniform(-180, 180))
+        alt = float(rng.uniform(0, 12000))
+        la, lo, al = mlat.ecef2llh(mlat.llh2ecef((lat, lon, alt)))
+        assert abs(la - lat) < 1e-6
+        assert abs(lo - lon) < 1e-6
+        assert abs(al - alt) < 1e-2
+
+
+def _synthesize(target_llh, stations_llh, jitter_ns=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    target = mlat.llh2ecef(target_llh)
+    replies = {}
+    for s in stations_llh:
+        d = np.linalg.norm(mlat.llh2ecef(s) - target)
+        t = d / mlat.C + rng.standard_normal() * jitter_ns * 1e-9
+        replies[tuple(s)] = float(t)
+    return replies
+
+
+STATIONS4 = [
+    (47.0, 8.0, 500.0),
+    (47.3, 8.5, 600.0),
+    (46.8, 8.6, 450.0),
+    (47.2, 7.7, 550.0),
+]
+
+
+def test_mlat_4_stations_exact():
+    target = (47.1, 8.25, 10000.0)
+    replies = _synthesize(target, STATIONS4)
+    lat, lon, alt = mlat.mlat(replies)
+    assert abs(lat - target[0]) < 1e-3
+    assert abs(lon - target[1]) < 1e-3
+    assert abs(alt - target[2]) < 150.0
+
+
+def test_mlat_4_stations_jittered():
+    target = (47.05, 8.3, 11000.0)
+    replies = _synthesize(target, STATIONS4, jitter_ns=30.0, seed=3)
+    lat, lon, alt = mlat.mlat(replies)
+    # 30 ns timing jitter -> tens-of-meters-to-km class error
+    assert abs(lat - target[0]) < 0.05
+    assert abs(lon - target[1]) < 0.05
+
+
+def test_mlat_3_stations_with_altitude():
+    target = (47.1, 8.25, 9144.0)  # 30000 ft
+    replies = _synthesize(target, STATIONS4[:3])
+    lat, lon, alt = mlat.mlat(replies, altitude_ft=30000.0)
+    assert abs(lat - target[0]) < 5e-3
+    assert abs(lon - target[1]) < 5e-3
+    assert abs(alt - target[2]) < 50.0
+
+
+def test_mlat_too_few_stations():
+    target = (47.1, 8.25, 10000.0)
+    replies = _synthesize(target, STATIONS4[:2])
+    with pytest.raises(MlatNonConvergeError):
+        mlat.mlat(replies)
+
+
+def test_geoid_lookup_sane():
+    assert -110.0 < mlat.llh2geoid(47.0, 8.0) < 90.0
+    assert -110.0 < mlat.llh2geoid(-30.0, 150.0) < 90.0

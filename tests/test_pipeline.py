@@ -157,3 +157,16 @@ def test_float32_iq_layout_matches_complex():
         t_f = demod_block_jit(iq_to_device_layout(block), cfg)
         for a, b in zip(t_c, t_f):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_table_roundtrip():
+    from airmodes.dsp.pipeline import demod_block_packed_jit, unpack_table
+    frames = encoder.random_df17_frames(10, seed=12)
+    iq, truth = encoder.make_capture(frames, snr_db=20.0, seed=12)
+    for block, start in sources.frame_blocks(iq, CFG):
+        ref = demod_block_jit(block, CFG)
+        packed = demod_block_packed_jit(block, CFG)
+        got = unpack_table(packed)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        msgs = host.table_to_messages(got, start, CFG.channel_rate)
