@@ -1,0 +1,226 @@
+"""GUI receiver (ref: gr-air-modes apps/modes_gui, PyQt4).
+
+Live aircraft table + azimuth coverage map + per-aircraft detail, driven by
+the same demod pipeline as modes_rx. Backend selection:
+
+  - PyQt5/PySide6 when importable: widget GUI (table via QAbstractTableModel
+    wrapper over outputs.gui_model.dashboard, polar az_map painting)
+  - otherwise: a curses terminal dashboard (headless-friendly), same models
+
+The data models live in outputs/gui_model.py and outputs/az_map.py and are
+fully testable without a display.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+from typing import Optional
+
+from ..outputs.az_map import az_map_model, output_az_map
+from ..outputs.gui_model import COLUMNS, dashboard, output_dashboard
+from ..decode.parse import parse
+
+
+def _qt_modules():
+    try:
+        from PyQt5 import QtCore, QtWidgets  # type: ignore
+        return QtCore, QtWidgets
+    except ImportError:
+        try:
+            from PySide6 import QtCore, QtWidgets  # type: ignore
+            return QtCore, QtWidgets
+        except ImportError:
+            return None
+
+
+# --------------------------------------------------------------------------
+# Qt backend
+# --------------------------------------------------------------------------
+
+def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
+    QtCore, QtWidgets = _qt_modules()
+
+    class AircraftTable(QtCore.QAbstractTableModel):
+        def rowCount(self, parent=None):
+            return len(dash.aircraft)
+
+        def columnCount(self, parent=None):
+            return len(COLUMNS)
+
+        def headerData(self, i, orient, role):
+            if role == QtCore.Qt.DisplayRole and orient == QtCore.Qt.Horizontal:
+                return COLUMNS[i]
+            return None
+
+        def data(self, index, role):
+            if role != QtCore.Qt.DisplayRole:
+                return None
+            rows = dash.rows()
+            if index.row() >= len(rows):
+                return None
+            v = rows[index.row()][index.column()]
+            return "" if v is None else str(v)
+
+    class AzMap(QtWidgets.QWidget):
+        def paintEvent(self, ev):
+            from PyQt5 import QtGui  # type: ignore
+            p = QtGui.QPainter(self)
+            w, h = self.width(), self.height()
+            cx, cy, r = w // 2, h // 2, min(w, h) // 2 - 8
+            p.drawEllipse(cx - r, cy - r, 2 * r, 2 * r)
+            maxr = max(azm.max_range(), 1.0)
+            import math
+            pts = []
+            for brg, rng in azm.polygon():
+                rr = r * min(rng / maxr, 1.0)
+                a = math.radians(brg - 90.0)
+                pts.append(QtCore.QPointF(cx + rr * math.cos(a),
+                                          cy + rr * math.sin(a)))
+            if pts:
+                p.drawPolygon(QtGui.QPolygonF(pts))
+
+    app = QtWidgets.QApplication(sys.argv)
+    win = QtWidgets.QMainWindow()
+    win.setWindowTitle("airmodes — Mode S live")
+    split = QtWidgets.QSplitter()
+    table_model = AircraftTable()
+    view = QtWidgets.QTableView()
+    view.setModel(table_model)
+    split.addWidget(view)
+    split.addWidget(AzMap())
+    win.setCentralWidget(split)
+    win.resize(1100, 500)
+    win.show()
+
+    timer = QtCore.QTimer()
+
+    def refresh():
+        dash.prune()
+        table_model.layoutChanged.emit()
+        split.widget(1).update()
+    timer.timeout.connect(refresh)
+    timer.start(1000)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    return app.exec_()
+
+
+# --------------------------------------------------------------------------
+# curses backend (headless terminals)
+# --------------------------------------------------------------------------
+
+def run_curses(feed, dash: dashboard, azm: az_map_model,
+               max_seconds: Optional[float] = None) -> int:
+    import curses
+
+    stop = threading.Event()
+
+    def ui(scr):
+        curses.use_default_colors()
+        scr.nodelay(True)
+        t0 = time.time()
+        while not stop.is_set():
+            if max_seconds and time.time() - t0 > max_seconds:
+                break
+            try:
+                if scr.getch() in (ord("q"), 27):
+                    break
+            except curses.error:
+                pass
+            scr.erase()
+            rows = dash.rows()
+            scr.addstr(0, 0, f"airmodes live — {len(rows)} aircraft "
+                             f"(q to quit)", curses.A_BOLD)
+            hdr = (f"{'icao':7s}{'ident':9s}{'sqk':5s}{'alt':>7s}{'spd':>5s}"
+                   f"{'hdg':>5s}{'vs':>7s}{'lat':>10s}{'lon':>11s}"
+                   f"{'rng':>7s}{'brg':>5s}{'dBFS':>7s}")
+            scr.addstr(2, 0, hdr, curses.A_UNDERLINE)
+            maxy, maxx = scr.getmaxyx()
+            for i, r in enumerate(rows[: maxy - 4]):
+                icao, ident, sqk, alt, spd, hdg, vs, lat, lon, rng, brg, rssi, _ = r
+                def s(v, fmt="{}"):
+                    return "" if v is None else fmt.format(v)
+                line = (f"{icao:7s}{(ident or ''):9s}{s(sqk,'{:04d}'):5s}"
+                        f"{s(alt):>7s}{s(spd,'{:.0f}'):>5s}{s(hdg,'{:.0f}'):>5s}"
+                        f"{s(vs,'{:+.0f}'):>7s}{s(lat,'{:.4f}'):>10s}"
+                        f"{s(lon,'{:.4f}'):>11s}{s(rng,'{:.1f}'):>7s}"
+                        f"{s(brg,'{:.0f}'):>5s}{s(rssi,'{:.1f}'):>7s}")
+                scr.addstr(3 + i, 0, line[: maxx - 1])
+            scr.refresh()
+            dash.prune()
+            time.sleep(0.5)
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+    try:
+        import curses
+        curses.wrapper(ui)
+    finally:
+        stop.set()
+    return 0
+
+
+# --------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    from .modes_rx import build_argparser, parse_location
+    ap = build_argparser()
+    ap.prog = "modes_gui"
+    ap.add_argument("--backend", choices=["auto", "qt", "curses"],
+                    default="auto")
+    ap.add_argument("--duration", type=float, default=None,
+                    help="auto-exit after N seconds (curses backend)")
+    args = ap.parse_args(argv)
+
+    loc = parse_location(args.location)
+    my_pos = (loc[0], loc[1]) if loc else None
+    shared = parse(my_pos)
+    dash_plugin = output_dashboard(parser=shared)
+    az_plugin = output_az_map(parser=shared, my_position=my_pos)
+
+    def feed():
+        from ..config import DspConfig
+        from ..dsp import host
+        from ..dsp.pipeline import demod_block_packed_jit, iq_to_device_layout, unpack_table
+        from ..io import sources as src_mod
+        cfg = DspConfig(channel_rate=args.channel_rate,
+                        threshold_db=args.threshold,
+                        block_size=args.block_size,
+                        max_detections=args.max_detections)
+        if args.source == "synthetic":
+            blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 64)
+        elif args.source == "udp":
+            blocks = src_mod.udp_source(cfg, port=args.udp_port)
+        else:
+            blocks = src_mod.file_source(args.source, cfg,
+                                         dtype=args.file_format)
+        epoch = time.time()
+        for block, start in blocks:
+            table = unpack_table(
+                demod_block_packed_jit(iq_to_device_layout(block), cfg))
+            for m in host.table_to_messages(table, start, cfg.channel_rate,
+                                            epoch=epoch):
+                dash_plugin.output(m)
+                az_plugin.output(m)
+            if args.throttle:
+                time.sleep(cfg.block_size / cfg.channel_rate)
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "qt" if _qt_modules() else "curses"
+    if backend == "qt":
+        if not _qt_modules():
+            print("PyQt5/PySide6 not installed; use --backend curses",
+                  file=sys.stderr)
+            return 2
+        return run_qt(feed, dash_plugin.model, az_plugin.model)
+    return run_curses(feed, dash_plugin.model, az_plugin.model,
+                      max_seconds=args.duration)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,189 @@
+"""ctypes binding for the native IQ streaming runtime (iqstream.cc).
+
+Builds the shared library on first use with g++ (cached next to the source);
+`airmodes.io.sources` remains the pure-Python fallback when no compiler is
+available. Python<->C boundary is a C ABI — no pybind11 dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "iqstream.cc")
+_LIB = os.path.join(_HERE, "libiqstream.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-pthread", _SRC, "-o", _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native library."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            try:
+                _build()
+            except (OSError, subprocess.CalledProcessError) as e:
+                raise NativeUnavailable(f"cannot build iqstream: {e}") from e
+        lib = ctypes.CDLL(_LIB)
+        u64, i64, f32 = ctypes.c_uint64, ctypes.c_int64, ctypes.c_float
+        vp, cp, ip = ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+        lib.iq_stream_create.restype = vp
+        lib.iq_stream_create.argtypes = [u64, u64, u64, u64]
+        lib.iq_stream_destroy.argtypes = [vp]
+        lib.iq_stream_push_f32.restype = u64
+        lib.iq_stream_push_f32.argtypes = [vp, ctypes.c_void_p, u64]
+        lib.iq_stream_push_uc8.restype = u64
+        lib.iq_stream_push_uc8.argtypes = [vp, ctypes.c_void_p, u64]
+        lib.iq_stream_push_sc16.restype = u64
+        lib.iq_stream_push_sc16.argtypes = [vp, ctypes.c_void_p, u64]
+        lib.iq_stream_set_eof.argtypes = [vp]
+        lib.iq_stream_dropped.restype = u64
+        lib.iq_stream_dropped.argtypes = [vp]
+        lib.iq_stream_start_file.restype = ip
+        lib.iq_stream_start_file.argtypes = [vp, cp, ip, ctypes.c_double]
+        lib.iq_stream_start_udp.restype = ip
+        lib.iq_stream_start_udp.argtypes = [vp, cp, ip]
+        lib.iq_stream_next_block.restype = ip
+        lib.iq_stream_next_block.argtypes = [vp, ctypes.c_void_p,
+                                             ctypes.POINTER(i64)]
+        lib.iq_stream_next_block_i8.restype = ip
+        lib.iq_stream_next_block_i8.argtypes = [vp, ctypes.c_void_p,
+                                                ctypes.POINTER(i64), f32]
+        lib.iq_stream_available.restype = u64
+        lib.iq_stream_available.argtypes = [vp]
+        _lib = lib
+        return lib
+
+
+_FMT = {"complex64": 0, "f32": 0, "sc16": 1, "uc8": 2}
+
+
+class IQStream:
+    """Native streaming source: ring buffer + overlap-save framer.
+
+    Drop-in high-throughput replacement for io.sources framing; yields
+    (block_f32_pairs, start_sample) like the Python framer, or int8 blocks
+    via next_block_i8 for the quantized device path.
+    """
+
+    def __init__(self, cfg, ring_samples: int = 1 << 24):
+        lib = load()
+        self._lib = lib
+        self.cfg = cfg
+        self.left, self.block, self.right = (
+            cfg.left_halo, cfg.block_size, cfg.right_halo)
+        self.total = self.left + self.block + self.right
+        self._h = lib.iq_stream_create(ring_samples, self.left, self.block,
+                                       self.right)
+
+    # --- producer -----------------------------------------------------------
+
+    def push(self, iq: np.ndarray) -> int:
+        """Push complex64 or float32 (N,2) samples; returns samples taken."""
+        arr = np.ascontiguousarray(iq)
+        if arr.dtype == np.complex64:
+            arr = arr.view(np.float32)
+        n = arr.size // 2
+        return int(self._lib.iq_stream_push_f32(
+            self._h, arr.ctypes.data_as(ctypes.c_void_p), n))
+
+    def start_file(self, path: str, fmt: str = "complex64",
+                   throttle_sps: float = 0.0) -> None:
+        rc = self._lib.iq_stream_start_file(
+            self._h, path.encode(), _FMT[fmt], float(throttle_sps))
+        if rc != 0:
+            raise OSError(f"cannot open {path}")
+
+    def start_udp(self, host: str = "0.0.0.0", port: int = 10000) -> None:
+        rc = self._lib.iq_stream_start_udp(self._h, host.encode(), port)
+        if rc != 0:
+            raise OSError(f"cannot bind udp {host}:{port}")
+
+    def set_eof(self) -> None:
+        self._lib.iq_stream_set_eof(self._h)
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.iq_stream_dropped(self._h))
+
+    @property
+    def available(self) -> int:
+        return int(self._lib.iq_stream_available(self._h))
+
+    # --- consumer -----------------------------------------------------------
+
+    def next_block(self, out: Optional[np.ndarray] = None
+                   ) -> Optional[Tuple[np.ndarray, int]]:
+        """Next framed block as float32 (total, 2), or None at end of stream.
+        Blocks (with a short sleep loop) until data is available."""
+        import time as _t
+        if out is None:
+            out = np.empty((self.total, 2), np.float32)
+        start = ctypes.c_int64(0)
+        while True:
+            rc = self._lib.iq_stream_next_block(
+                self._h, out.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(start))
+            if rc == 1:
+                return out, int(start.value)
+            if rc == -1:
+                return None
+            _t.sleep(0.001)
+
+    def next_block_i8(self, scale: float = 127.0,
+                      out: Optional[np.ndarray] = None
+                      ) -> Optional[Tuple[np.ndarray, int]]:
+        import time as _t
+        if out is None:
+            out = np.empty((self.total, 2), np.int8)
+        start = ctypes.c_int64(0)
+        while True:
+            rc = self._lib.iq_stream_next_block_i8(
+                self._h, out.ctypes.data_as(ctypes.c_void_p),
+                ctypes.byref(start), float(scale))
+            if rc == 1:
+                return out, int(start.value)
+            if rc == -1:
+                return None
+            _t.sleep(0.001)
+
+    def blocks(self, i8: bool = False, scale: float = 127.0):
+        """Generator over all blocks until end of stream."""
+        while True:
+            nxt = self.next_block_i8(scale) if i8 else self.next_block()
+            if nxt is None:
+                return
+            yield nxt
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.iq_stream_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,332 @@
+// Native host runtime: IQ streaming ring buffer + overlap-save block framer.
+//
+// Role-equivalent of the GNU Radio buffer machinery the reference leans on
+// (single-writer ring buffers between block threads + set_history look-back;
+// SURVEY.md §2.7/§5.8 tier a). The TPU compute path is JAX/XLA; this is the
+// native runtime that feeds it: a producer thread (file reader or UDP
+// receiver) fills a lock-free SPSC ring of float32 I/Q pairs, converting
+// SDR wire formats (uc8 rtl-sdr offset bytes, sc16 USRP shorts) on the fly;
+// the consumer pulls fixed-size overlapped blocks
+// [left_halo | block | right_halo] ready for device transfer, carrying a
+// monotonically increasing int64 sample counter (the timestamp base).
+//
+// C ABI only; bound from Python with ctypes (airmodes/native/__init__.py).
+
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+namespace {
+
+struct Ring {
+  float* data = nullptr;        // interleaved I/Q, 2 floats per sample
+  uint64_t capacity = 0;        // samples, power of two
+  std::atomic<uint64_t> head{0};  // samples written (producer)
+  std::atomic<uint64_t> tail{0};  // samples consumed (consumer)
+  std::atomic<bool> eof{false};
+  std::atomic<uint64_t> dropped{0};
+
+  uint64_t mask() const { return capacity - 1; }
+};
+
+struct Stream {
+  Ring ring;
+  // framer geometry (samples)
+  uint64_t left = 0, block = 0, right = 0;
+  std::atomic<uint64_t> real_pushed{0};  // samples pushed (excl. EOF pad)
+  uint64_t next_start = 0;      // global sample index of next owned block
+  float* carry = nullptr;       // last `left` samples of the previous block
+  bool first_block = true;
+  // producer
+  std::thread pump;
+  std::atomic<bool> stop{false};
+  int sock_fd = -1;
+};
+
+inline uint64_t ring_free(const Ring& r) {
+  return r.capacity - (r.head.load(std::memory_order_acquire) -
+                       r.tail.load(std::memory_order_acquire));
+}
+inline uint64_t ring_avail(const Ring& r) {
+  return r.head.load(std::memory_order_acquire) -
+         r.tail.load(std::memory_order_acquire);
+}
+
+// Copy n samples into the ring at head (caller checked free space).
+void ring_write(Ring& r, const float* src, uint64_t n) {
+  uint64_t h = r.head.load(std::memory_order_relaxed);
+  uint64_t idx = h & r.mask();
+  uint64_t first = std::min(n, r.capacity - idx);
+  std::memcpy(r.data + 2 * idx, src, first * 2 * sizeof(float));
+  if (n > first)
+    std::memcpy(r.data, src + 2 * first, (n - first) * 2 * sizeof(float));
+  r.head.store(h + n, std::memory_order_release);
+}
+
+// Copy n samples from the ring at tail into dst (caller checked avail).
+void ring_read(Ring& r, float* dst, uint64_t n) {
+  uint64_t t = r.tail.load(std::memory_order_relaxed);
+  uint64_t idx = t & r.mask();
+  uint64_t first = std::min(n, r.capacity - idx);
+  std::memcpy(dst, r.data + 2 * idx, first * 2 * sizeof(float));
+  if (n > first)
+    std::memcpy(dst + 2 * first, r.data, (n - first) * 2 * sizeof(float));
+  r.tail.store(t + n, std::memory_order_release);
+}
+
+// --- SDR wire-format converters (hot loops, auto-vectorized) ---------------
+
+void convert_uc8(const uint8_t* in, float* out, uint64_t n_samples) {
+  constexpr float k = 1.0f / 127.5f;
+  for (uint64_t i = 0; i < 2 * n_samples; ++i)
+    out[i] = (static_cast<float>(in[i]) - 127.5f) * k;
+}
+
+void convert_sc16(const int16_t* in, float* out, uint64_t n_samples) {
+  constexpr float k = 1.0f / 32768.0f;
+  for (uint64_t i = 0; i < 2 * n_samples; ++i)
+    out[i] = static_cast<float>(in[i]) * k;
+}
+
+// f32 pairs -> int8 pairs (quantized device transfer format)
+void quantize_i8(const float* in, int8_t* out, uint64_t n_samples,
+                 float scale) {
+  for (uint64_t i = 0; i < 2 * n_samples; ++i) {
+    float v = in[i] * scale;
+    v = v > 127.f ? 127.f : (v < -127.f ? -127.f : v);
+    out[i] = static_cast<int8_t>(v + (v >= 0 ? 0.5f : -0.5f));
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- lifecycle -------------------------------------------------------------
+
+void* iq_stream_create(uint64_t ring_capacity_samples, uint64_t left,
+                       uint64_t block, uint64_t right) {
+  // round capacity up to a power of two
+  uint64_t cap = 1;
+  while (cap < ring_capacity_samples) cap <<= 1;
+  auto* s = new Stream();
+  s->ring.capacity = cap;
+  s->ring.data = new float[2 * cap];
+  s->left = left;
+  s->block = block;
+  s->right = right;
+  s->carry = new float[2 * left]();
+  return s;
+}
+
+void iq_stream_destroy(void* h) {
+  auto* s = static_cast<Stream*>(h);
+  s->stop.store(true);
+  if (s->sock_fd >= 0) ::shutdown(s->sock_fd, SHUT_RDWR);
+  if (s->pump.joinable()) s->pump.join();
+  if (s->sock_fd >= 0) ::close(s->sock_fd);
+  delete[] s->ring.data;
+  delete[] s->carry;
+  delete s;
+}
+
+// ---- producer side ---------------------------------------------------------
+
+// Push float32 I/Q pairs. Returns samples accepted (may be < n when full).
+uint64_t iq_stream_push_f32(void* h, const float* iq, uint64_t n) {
+  auto* s = static_cast<Stream*>(h);
+  uint64_t take = std::min(n, ring_free(s->ring));
+  if (take) ring_write(s->ring, iq, take);
+  if (take < n) s->ring.dropped.fetch_add(n - take);
+  s->real_pushed.fetch_add(take);
+  return take;
+}
+
+uint64_t iq_stream_push_uc8(void* h, const uint8_t* raw, uint64_t n) {
+  auto* s = static_cast<Stream*>(h);
+  static thread_local float* buf = nullptr;
+  static thread_local uint64_t buf_n = 0;
+  if (buf_n < n) { delete[] buf; buf = new float[2 * n]; buf_n = n; }
+  convert_uc8(raw, buf, n);
+  return iq_stream_push_f32(h, buf, n);
+}
+
+uint64_t iq_stream_push_sc16(void* h, const int16_t* raw, uint64_t n) {
+  auto* s = static_cast<Stream*>(h);
+  static thread_local float* buf = nullptr;
+  static thread_local uint64_t buf_n = 0;
+  if (buf_n < n) { delete[] buf; buf = new float[2 * n]; buf_n = n; }
+  convert_sc16(raw, buf, n);
+  return iq_stream_push_f32(h, buf, n);
+}
+
+void iq_stream_set_eof(void* h) {
+  static_cast<Stream*>(h)->ring.eof.store(true);
+}
+
+uint64_t iq_stream_dropped(void* h) {
+  return static_cast<Stream*>(h)->ring.dropped.load();
+}
+
+// ---- background pumps ------------------------------------------------------
+
+// Pump a recorded file through the ring. format: 0=f32 pairs, 1=sc16, 2=uc8.
+// throttle_sps > 0 replays at that sample rate (real-time file replay).
+int iq_stream_start_file(void* h, const char* path, int format,
+                         double throttle_sps) {
+  auto* s = static_cast<Stream*>(h);
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  s->pump = std::thread([s, f, format, throttle_sps]() {
+    constexpr uint64_t CHUNK = 1 << 16;
+    auto* raw = new uint8_t[CHUNK * 8];
+    auto* conv = new float[CHUNK * 2];
+    auto t0 = std::chrono::steady_clock::now();
+    uint64_t sent = 0;
+    while (!s->stop.load()) {
+      uint64_t elem = format == 0 ? 8 : (format == 1 ? 4 : 2);
+      uint64_t n = std::fread(raw, elem, CHUNK, f);
+      if (n == 0) break;
+      const float* src;
+      if (format == 0) {
+        src = reinterpret_cast<const float*>(raw);
+      } else if (format == 1) {
+        convert_sc16(reinterpret_cast<const int16_t*>(raw), conv, n);
+        src = conv;
+      } else {
+        convert_uc8(raw, conv, n);
+        src = conv;
+      }
+      uint64_t off = 0;
+      while (off < n && !s->stop.load()) {
+        uint64_t took = iq_stream_push_f32(s, src + 2 * off, n - off);
+        off += took;
+        if (took == 0)
+          std::this_thread::sleep_for(std::chrono::microseconds(200));
+      }
+      sent += n;
+      if (throttle_sps > 0) {
+        auto target = t0 + std::chrono::duration_cast<
+            std::chrono::steady_clock::duration>(
+            std::chrono::duration<double>(sent / throttle_sps));
+        std::this_thread::sleep_until(target);
+      }
+    }
+    std::fclose(f);
+    delete[] raw;
+    delete[] conv;
+    s->ring.eof.store(true);
+  });
+  return 0;
+}
+
+// UDP receiver pump: binds host:port, expects float32 I/Q pair datagrams.
+int iq_stream_start_udp(void* h, const char* host, int port) {
+  auto* s = static_cast<Stream*>(h);
+  int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  int one = 1;
+  ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  addr.sin_addr.s_addr = host ? ::inet_addr(host) : INADDR_ANY;
+  if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0) {
+    ::close(fd);
+    return -2;
+  }
+  s->sock_fd = fd;
+  s->pump = std::thread([s, fd]() {
+    auto* buf = new uint8_t[1 << 16];
+    while (!s->stop.load()) {
+      ssize_t n = ::recv(fd, buf, 1 << 16, 0);
+      if (n <= 0) break;
+      uint64_t samples = static_cast<uint64_t>(n) / 8;
+      const float* src = reinterpret_cast<const float*>(buf);
+      uint64_t off = 0;
+      while (off < samples && !s->stop.load()) {
+        uint64_t took = iq_stream_push_f32(s, src + 2 * off, samples - off);
+        off += took;
+        if (took == 0)
+          std::this_thread::sleep_for(std::chrono::microseconds(200));
+      }
+    }
+    delete[] buf;
+    s->ring.eof.store(true);
+  });
+  return 0;
+}
+
+// ---- consumer side: overlap-save block framer ------------------------------
+
+// Fill `out` with left+block+right float32 I/Q pairs. Returns:
+//   1 and sets *start_sample on success;
+//   0 when not enough data yet (caller retries / sleeps);
+//  -1 on end-of-stream with no remaining full block (a final partial block
+//     is emitted zero-padded, then -1 forever).
+int iq_stream_next_block(void* h, float* out, int64_t* start_sample) {
+  auto* s = static_cast<Stream*>(h);
+  const uint64_t need = s->block + s->right;
+  uint64_t avail = ring_avail(s->ring);
+  bool eof = s->ring.eof.load(std::memory_order_acquire);
+  if (eof && s->next_start >= s->real_pushed.load()) return -1;
+  if (avail < need) {
+    if (!eof) return 0;
+    // zero-pad the stream tail so the remaining real samples frame into
+    // full blocks; termination is by real_pushed, not ring emptiness
+    uint64_t pad = need - avail;
+    static thread_local float* zeros = nullptr;
+    static thread_local uint64_t zn = 0;
+    if (zn < pad) { delete[] zeros; zeros = new float[2 * pad](); zn = pad; }
+    ring_write(s->ring, zeros, std::min(pad, ring_free(s->ring)));
+    if (ring_avail(s->ring) < need) return 0;  // ring too small (shouldn't happen)
+  }
+  std::memcpy(out, s->carry, 2 * s->left * sizeof(float));
+  // peek block+right without consuming right (it belongs to the next block)
+  uint64_t t = s->ring.tail.load(std::memory_order_relaxed);
+  uint64_t cap = s->ring.capacity;
+  for (uint64_t i = 0; i < need; ++i) {
+    uint64_t idx = (t + i) & s->ring.mask();
+    out[2 * (s->left + i)] = s->ring.data[2 * idx];
+    out[2 * (s->left + i) + 1] = s->ring.data[2 * idx + 1];
+  }
+  // carry = last `left` samples of the owned block
+  for (uint64_t i = 0; i < s->left; ++i) {
+    uint64_t idx = (t + s->block - s->left + i) & s->ring.mask();
+    s->carry[2 * i] = s->ring.data[2 * idx];
+    s->carry[2 * i + 1] = s->ring.data[2 * idx + 1];
+  }
+  s->ring.tail.store(t + s->block, std::memory_order_release);
+  *start_sample = static_cast<int64_t>(s->next_start);
+  s->next_start += s->block;
+  (void)cap;
+  return 1;
+}
+
+// Same, but emits int8 quantized pairs for the low-bandwidth device path.
+int iq_stream_next_block_i8(void* h, int8_t* out, int64_t* start_sample,
+                            float scale) {
+  auto* s = static_cast<Stream*>(h);
+  const uint64_t total = s->left + s->block + s->right;
+  static thread_local float* buf = nullptr;
+  static thread_local uint64_t buf_n = 0;
+  if (buf_n < total) { delete[] buf; buf = new float[2 * total]; buf_n = total; }
+  int rc = iq_stream_next_block(h, buf, start_sample);
+  if (rc == 1) quantize_i8(buf, out, total, scale);
+  return rc;
+}
+
+uint64_t iq_stream_available(void* h) {
+  return ring_avail(static_cast<Stream*>(h)->ring);
+}
+
+}  // extern "C"

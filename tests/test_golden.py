@@ -1,0 +1,95 @@
+"""Cross-validation against the numpy reference decoder, SNR sweep shape,
+and ECC fault injection (SURVEY.md §5.3 rebuild requirements)."""
+
+import numpy as np
+import pytest
+
+from airmodes.config import DspConfig
+from airmodes.dsp import host
+from airmodes.dsp.pipeline import demod_block_jit
+from airmodes.io import sources
+from airmodes.testing import encoder, golden
+
+CFG = DspConfig(block_size=1 << 16, max_detections=64)
+
+
+def jax_decode(iq, cfg=CFG):
+    out = []
+    for block, start in sources.frame_blocks(iq, cfg):
+        table = demod_block_jit(block, cfg)
+        for m in host.table_to_messages(table, start, cfg.channel_rate):
+            parts = m.split()
+            out.append((int(float(parts[5]) * cfg.channel_rate + 0.5), parts[1]))
+    return sorted(out)
+
+
+def test_jax_matches_numpy_reference_decoder():
+    """The vectorized device pipeline and the sequential numpy oracle must
+    produce the identical (index, hex) detection set."""
+    frames = encoder.random_df17_frames(25, seed=40)
+    frames += [(encoder.df11_frame(0x600000 + i), 56) for i in range(5)]
+    iq, truth = encoder.make_capture(frames, snr_db=14.0, spacing=2000,
+                                     seed=40)
+    ref = sorted(golden.reference_decode(iq, CFG))
+    got = jax_decode(iq)
+    assert got == ref
+    # and both found (at least) the injected traffic at this healthy SNR
+    hexes = {h for _, h in got}
+    missing = [t.hex for t in truth if t.hex not in hexes]
+    assert len(missing) <= 2  # a couple may fall below threshold at 14 dB
+
+
+def test_jax_matches_reference_near_threshold():
+    """Agreement must hold even at marginal SNR where edge decisions bite."""
+    frames = encoder.random_df17_frames(30, seed=41)
+    iq, _ = encoder.make_capture(frames, snr_db=8.0, spacing=2000, seed=41)
+    assert jax_decode(iq) == sorted(golden.reference_decode(iq, CFG))
+
+
+def test_snr_sweep_monotone():
+    pts = golden.snr_sweep([3.0, 10.0, 20.0], n_msgs=25, seed=7)
+    rates = [p.rate for p in pts]
+    assert rates[2] >= 0.95          # high SNR decodes nearly everything
+    assert rates[0] <= rates[2]      # low SNR strictly worse
+    assert pts[0].injected == 25
+
+
+def test_ecc_fault_injection_single_bit():
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=42,
+                                     random_phase=False)
+    bad = golden.inject_chip_errors(iq, truth[0], [55], mode="erase")
+    got = {h for _, h in jax_decode(bad)}
+    assert "8d4840d6202cc371c32ce0576098" in got
+
+
+def test_ecc_fault_injection_two_bits():
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=43,
+                                     random_phase=False)
+    bad = golden.inject_chip_errors(iq, truth[0], [30, 77], mode="erase")
+    got = {h for _, h in jax_decode(bad)}
+    assert "8d4840d6202cc371c32ce0576098" in got
+
+
+def test_confident_flip_not_corrected():
+    """A confidently-wrong bit (pulse in the wrong chip) must NOT be
+    corrected — the reference only flips low-confidence bits."""
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=44,
+                                     random_phase=False)
+    bad = golden.inject_chip_errors(iq, truth[0], [40], mode="flip")
+    got = {h for _, h in jax_decode(bad)}
+    assert "8d4840d6202cc371c32ce0576098" not in got
+
+
+def test_too_many_lowconf_bits_rejected():
+    """More erased bits than max_lowconf_bits -> frame dropped, not wrongly
+    'corrected' (bounded brute force, ref semantics)."""
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=45,
+                                     random_phase=False)
+    bad = golden.inject_chip_errors(iq, truth[0], [10, 30, 50, 70, 90, 100],
+                                    mode="erase")
+    got = {h for _, h in jax_decode(bad)}
+    assert "8d4840d6202cc371c32ce0576098" not in got

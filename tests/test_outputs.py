@@ -1,0 +1,164 @@
+"""Output plugin tests: console, SBS-1 socket, SQLite, KML, raw TCP,
+FlightGear packets, dashboard, azimuth map."""
+
+import os
+import socket
+import sqlite3
+import time
+
+import pytest
+
+from airmodes.decode.parse import parse
+from airmodes.testing import encoder
+
+
+def wire(frame: int, nbits: int, syndrome: int = 0, status: int = 0,
+         ts: float = 1700000000.0) -> str:
+    return (f"{frame >> (nbits - 5)} {frame:0{nbits // 4}x} {syndrome:06x} "
+            f"{status} -20.00 {ts:.9f}")
+
+
+IDENT = wire(encoder.df17_frame(0x4840D6, encoder.me_identification("KLM1023", tc=4)), 112)
+VEL = wire(encoder.df17_frame(0x4840D6, encoder.me_velocity(250.0, 45.0, -640.0)), 112)
+POS_E = wire(encoder.df17_frame(0x4840D6, encoder.me_airborne_position(
+    30000.0, 47.3, 8.2, odd=False)), 112, ts=1700000001.0)
+POS_O = wire(encoder.df17_frame(0x4840D6, encoder.me_airborne_position(
+    30000.0, 47.3, 8.2, odd=True)), 112, ts=1700000002.0)
+
+
+def test_output_print_lines():
+    from airmodes.outputs.msprint import output_print
+    lines = []
+    plug = output_print(callback=lines.append)
+    for m in (IDENT, VEL, POS_E, POS_O):
+        plug.output(m)
+    assert any("KLM1023" in ln for ln in lines)
+    assert any("velocity" in ln for ln in lines)
+    assert any("47.3" in ln for ln in lines)
+    plug.output("garbage")  # must not raise
+    assert len(lines) == 4
+
+
+def test_output_sbs1_socket():
+    from airmodes.outputs.sbs1 import output_sbs1
+    plug = output_sbs1(port=0, host="127.0.0.1")
+    cli = socket.create_connection(("127.0.0.1", plug.port), timeout=5)
+    time.sleep(0.05)
+    for m in (IDENT, VEL, POS_E, POS_O):
+        plug.output(m)
+    cli.settimeout(5)
+    data = b""
+    while b"MSG,3" not in data:
+        data += cli.recv(4096)
+    text = data.decode()
+    assert "MSG,1" in text and "KLM1023" in text
+    assert "MSG,4" in text
+    assert "MSG,3" in text and "4840D6" in text
+    cli.close()
+    plug.close()
+
+
+def test_output_sql(tmp_path):
+    from airmodes.outputs.sql import output_sql
+    db = str(tmp_path / "t.db")
+    plug = output_sql(db)
+    for m in (IDENT, VEL, POS_E, POS_O):
+        plug.output(m)
+    plug.close()
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT ident FROM aircraft").fetchone()[0] == "KLM1023"
+    lat, lon = con.execute("SELECT lat, lon FROM positions").fetchone()
+    assert abs(lat - 47.3) < 0.01 and abs(lon - 8.2) < 0.01
+    spd = con.execute("SELECT speed FROM vectors").fetchone()[0]
+    assert abs(spd - 250.0) < 3.0
+
+
+def test_output_kml(tmp_path):
+    from airmodes.outputs.sql import output_sql
+    from airmodes.outputs.kml import output_kml, render_kml
+    db = str(tmp_path / "t.db")
+    plug = output_sql(db)
+    for m in (IDENT, POS_E, POS_O):
+        plug.output(m)
+    plug.close()
+    doc = render_kml(db, localpos=(47.0, 8.0))
+    assert "KLM1023" in doc and "<coordinates>" in doc
+    k = output_kml(str(tmp_path / "t.kml"), db, (47.0, 8.0), interval=60)
+    k.write_once()
+    k.close()
+    assert "KLM1023" in open(tmp_path / "t.kml").read()
+
+
+def test_output_raw_socket():
+    from airmodes.outputs.raw_server import output_raw
+    plug = output_raw(port=0, host="127.0.0.1")
+    cli = socket.create_connection(("127.0.0.1", plug.port), timeout=5)
+    time.sleep(0.05)
+    plug.output(IDENT)
+    cli.settimeout(5)
+    line = cli.recv(4096).decode()
+    assert line.startswith("*8d4840d6") and line.rstrip().endswith(";")
+    cli.close()
+    plug.close()
+
+
+def test_output_flightgear_packets():
+    from airmodes.outputs.flightgear import output_flightgear, FG_MAGIC
+    import struct
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    plug = output_flightgear("127.0.0.1", port)
+    for m in (IDENT, VEL, POS_E, POS_O):
+        plug.output(m)
+    pkt, _ = rx.recvfrom(8192)
+    magic, version = struct.unpack("!II", pkt[:8])
+    assert magic == FG_MAGIC
+    # callsign field at offset 24
+    assert b"KLM1023" in pkt[:32]
+    plug.close()
+    rx.close()
+
+
+def test_dashboard_and_az_map():
+    from airmodes.outputs.gui_model import output_dashboard
+    from airmodes.outputs.az_map import output_az_map
+    dash = output_dashboard(parser=parse(my_position=(47.0, 8.0)))
+    azm = output_az_map(my_position=(47.0, 8.0))
+    for m in (IDENT, VEL, POS_E, POS_O):
+        dash.output(m)
+        azm.output(m)
+    rows = dash.model.rows()
+    assert len(rows) == 1
+    st = dash.model.aircraft[0x4840D6]
+    assert st.ident == "KLM1023"
+    assert st.lat is not None and abs(st.lat - 47.3) < 0.01
+    assert st.n_messages == 4
+    assert azm.model.max_range() > 10.0
+    # staleness eviction
+    dash.model.prune(now=st.last_seen + 120.0)
+    assert not dash.model.aircraft
+
+
+def test_zmq_relay_roundtrip():
+    from airmodes.io.relay import zmq_pubsub_iface, local_pubsub, HAVE_ZMQ
+    got = []
+    bus = local_pubsub()
+    bus.subscribe("dl_data", got.append)
+    bus.publish("dl_data", "hello")
+    assert got == ["hello"]
+    if not HAVE_ZMQ:
+        pytest.skip("pyzmq unavailable")
+    pub = zmq_pubsub_iface(pubaddr="tcp://127.0.0.1:*")
+    addr = pub._pub.getsockopt(__import__("zmq").LAST_ENDPOINT).decode()
+    sub = zmq_pubsub_iface(subaddr=addr)
+    received = []
+    sub.subscribe("dl_data", received.append)
+    deadline = time.time() + 5
+    while not received and time.time() < deadline:
+        pub.publish("dl_data", IDENT)
+        time.sleep(0.05)
+    assert received and received[0] == IDENT
+    sub.close()
+    pub.close()
