@@ -50,8 +50,10 @@ class DspConfig:
 
     @property
     def left_halo(self) -> int:
-        """Samples of left context a block needs (noise window + peak lookback)."""
-        return self.noise_window + self.sps
+        """Samples of left context a block needs: the noise window plus two
+        extra 128-sample rows of lookback for the Pallas fused kernel's
+        tiled prefix-sum noise floor (and peak/NMS lookback)."""
+        return self.noise_window + 130
 
     @property
     def right_halo(self) -> int:

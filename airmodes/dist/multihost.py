@@ -1,0 +1,126 @@
+"""Multi-host pod driver (SURVEY.md §2.7 / §5.8 tier c).
+
+The reference's cross-machine story is a ZeroMQ TCP relay; the TPU-native
+equivalent is `jax.distributed` over DCN for the control plane plus the
+("channel","time") mesh spanning all hosts' devices, with ICI carrying the
+overlap-save halos. Each host feeds its local time shards, the jitted step
+runs SPMD, and each host converts only the detection-table shards it owns to
+wire messages (the fan-out stays host-local, exactly like the reference's
+per-process plugins), or forwards them to host 0 over the zmq relay.
+
+This module is exercised on a virtual CPU mesh in tests; on a real pod it is
+driven by `initialize()` with the standard coordinator env/args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DspConfig
+from ..dsp import host as host_mod
+from ..dsp.pipeline import iq_to_device_layout
+from . import sharded
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize passthrough (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+
+
+@dataclasses.dataclass
+class PodPipeline:
+    """Streaming multi-device demod over a mesh spanning all local (and on a
+    pod, all global) devices."""
+
+    cfg: DspConfig
+    n_channel: int = 1
+    n_time: Optional[int] = None
+
+    def __post_init__(self):
+        n_dev = len(jax.devices())
+        if self.n_time is None:
+            self.n_time = max(n_dev // self.n_channel, 1)
+        self.mesh = sharded.make_mesh(self.n_channel, self.n_time)
+        self.step_fn = sharded.make_sharded_demod(self.mesh, self.cfg)
+        self.samples_per_step = self.n_time * self.cfg.block_size
+
+    def run_step(self, iq_step: np.ndarray, step_start_sample: int,
+                 epoch: float = 0.0,
+                 stats: Optional[host_mod.BlockStats] = None) -> List[str]:
+        """One SPMD step over (n_channel, n_time*block, 2) float32 input.
+
+        Returns the wire messages for every channel/time shard, indices
+        globalized with step_start_sample.
+        """
+        x = iq_to_device_layout(iq_step)
+        table = self.step_fn(sharded.shard_input(x, self.mesh))
+        msgs: List[str] = []
+        idx = np.asarray(table.index)
+        for c in range(idx.shape[0]):
+            for t in range(idx.shape[1]):
+                sub = type(table)(*(np.asarray(f)[c, t] for f in table))
+                msgs.extend(host_mod.table_to_messages(
+                    sub, step_start_sample, self.cfg.channel_rate,
+                    epoch=epoch, stats=stats))
+        return sorted(msgs, key=lambda m: float(m.split()[5]))
+
+    def run_stream(self, chunks: Iterable[np.ndarray],
+                   epoch: float = 0.0) -> Iterable[List[str]]:
+        """Drive a (n_channel, N) complex64 chunk iterator through steps.
+
+        Chunks are buffered to step granularity with the halo carried
+        between steps by sharded halo exchange (zeros at stream edges)."""
+        pending = np.zeros((self.n_channel, 0), np.complex64)
+        start = 0
+        for chunk in chunks:
+            pending = np.concatenate([pending, chunk], axis=1)
+            while pending.shape[1] >= self.samples_per_step:
+                step = pending[:, : self.samples_per_step]
+                pending = pending[:, self.samples_per_step:]
+                buf = np.stack([np.stack([s.real, s.imag], axis=-1)
+                                for s in step]).astype(np.float32)
+                yield self.run_step(buf, start, epoch=epoch)
+                start += self.samples_per_step
+        if pending.shape[1]:
+            pad = np.zeros((self.n_channel, self.samples_per_step),
+                           np.complex64)
+            pad[:, : pending.shape[1]] = pending
+            buf = np.stack([np.stack([s.real, s.imag], axis=-1)
+                            for s in pad]).astype(np.float32)
+            yield self.run_step(buf, start, epoch=epoch)
+
+
+def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],
+                   n_steps: int = 4, seed: int = 0) -> List[dict]:
+    """Measure samples/s over several mesh shapes (scaling efficiency)."""
+    import time
+    from ..testing import encoder
+    out = []
+    for n_ch, n_t in meshes:
+        pipe = PodPipeline(cfg, n_channel=n_ch, n_time=n_t)
+        total = pipe.samples_per_step
+        frames = encoder.random_df17_frames(16, seed=seed)
+        iq, _ = encoder.make_capture(frames, snr_db=18.0,
+                                     spacing=total // 20, seed=seed,
+                                     total_samples=total)
+        step = np.stack([np.stack([iq.real, iq.imag], -1)] * n_ch
+                        ).astype(np.float32)
+        pipe.run_step(step, 0)  # compile
+        t0 = time.time()
+        for _ in range(n_steps):
+            pipe.run_step(step, 0)
+        dt = (time.time() - t0) / n_steps
+        out.append({"mesh": (n_ch, n_t),
+                    "samples_per_s": n_ch * total / dt})
+    return out

@@ -1,0 +1,207 @@
+"""Pallas TPU kernel: fused magnitude + noise floor + preamble detection.
+
+The hot loop of the receiver (ref: lib/preamble_impl.cc + the
+complex_to_mag_squared / moving_average front-end blocks) as ONE pass over
+HBM: each grid step DMAs an overlapping window of raw I/Q pairs into VMEM,
+computes |IQ|^2, the trailing moving-average noise floor, the 4-pulse +
+quiet-chip preamble test at every sample offset, and non-max suppression —
+writing only a boolean hit mask and the reference level per sample. The XLA
+pipeline reads ~5 arrays of the block; this kernel reads the 8-byte input
+once and writes 5 bytes, the memory-bound speed-of-light for the stage.
+
+Key structure:
+  - overlapping windows via manual async DMA from an ANY-space input ref
+    (BlockSpec index maps cannot express overlap)
+  - the trailing 128-sample window sum is built by log-doubling (7 shifted
+    VPU adds: ws_k[i] = ws_{k-1}[i] + ws_{k-1}[i + 2^(k-1)]) — Mosaic
+    supports neither cumsum nor 2D->1D reshapes, and this needs only static
+    1D slices
+  - grid steps are sequential on TPU; tiles are independent anyway
+
+Constraints (asserted): cfg.noise_window == 128, block_size % tile == 0,
+tile % 128 == 0. Falls back to the jnp path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DspConfig
+from ..constants import PREAMBLE_PULSE_CHIPS, PREAMBLE_QUIET_CHIPS
+
+_LOOKBACK = 258  # 2 x 128 noise rows + peak/NMS lookback slack
+
+
+def _halo_r(cfg: DspConfig, tile: int) -> int:
+    half = cfg.nms_chips * cfg.sps
+    # pulses/quiet up to chip 15 plus peak look-ahead and NMS right window;
+    # rounded so the DMA window length is a multiple of 128 lanes
+    need = max(16 * cfg.sps + half + 4, 130)
+    # 1D f32 memrefs are (1024,)-tiled on TPU: DMA slice offsets and lengths
+    # must be 1024-aligned, so round (LOOKBACK + tile + r) to a 1024 multiple
+    r = 766  # (258 + 766) % 1024 == 0
+    while r < need:
+        r += 1024
+    return r
+
+
+def _detect_kernel(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
+                   cfg: DspConfig, tile: int):
+    sps = cfg.sps
+    half = cfg.nms_chips * sps
+    wl = _LOOKBACK + tile + _halo_r(cfg, tile)
+
+    i = pl.program_id(0)
+    # absolute DMA origin: tile_start - LOOKBACK == i * tile (left halo = 258);
+    # planar I/Q 1D streams keep the window slice 128-lane aligned
+    origin = pl.multiple_of(i * tile, 1024)
+    dma_i = pltpu.make_async_copy(
+        i_hbm.at[pl.ds(origin, wl)], win_i, sems.at[0])
+    dma_q = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(origin, wl)], win_q, sems.at[1])
+    dma_i.start()
+    dma_q.start()
+    dma_i.wait()
+    dma_q.wait()
+
+    xi = win_i[:]
+    xq = win_q[:]
+    m = xi * xi + xq * xq                            # (wl,)
+
+    # --- noise floor: trailing 128-sample window sum by log-doubling ------
+    # ws[i] = sum m[i : i+128] after 7 shifted adds (pure VPU, no reshape):
+    ws = m
+    length = wl
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        length -= s
+        ws = (jax.lax.slice_in_dim(ws, 0, length) +
+              jax.lax.slice_in_dim(ws, s, s + length))
+    # trailing mean at local index l is ws[l - 128] / 128
+
+    # --- candidate test over extended range [ts-half, ts+tile+half) -------
+    ext = tile + 2 * half
+    base = _LOOKBACK - half                           # local index of ext[0]
+
+    def sl(off, n=ext):
+        return jax.lax.slice_in_dim(m, base + off, base + off + n)
+
+    pulses = [sl(c * sps) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+    nf = jax.lax.slice_in_dim(ws, base - 128, base - 128 + ext) * (1.0 / 128.0)
+    thresh = jnp.float32(cfg.threshold)
+
+    ok = pulses[0] > nf * thresh
+    ok &= pulses[0] >= sl(-1)
+    ok &= pulses[0] > sl(1)
+    ptol = jnp.float32(cfg.pulse_tolerance)
+    for p in pulses:
+        ok &= (p > nf * thresh) & (p > ref * ptol)
+    qtol = jnp.float32(cfg.quiet_tolerance)
+    for q in PREAMBLE_QUIET_CHIPS:
+        ok &= sl(q * sps) < ref * qtol
+
+    score = jnp.where(ok, ref, 0.0)
+
+    # --- NMS: earliest-max within +-half (owned positions only) -----------
+    owned = jax.lax.slice_in_dim(score, half, half + tile)
+    left_max = jnp.zeros_like(owned)
+    right_max = jnp.zeros_like(owned)
+    for d in range(1, half + 1):
+        left_max = jnp.maximum(
+            left_max, jax.lax.slice_in_dim(score, half - d, half - d + tile))
+        right_max = jnp.maximum(
+            right_max, jax.lax.slice_in_dim(score, half + d, half + d + tile))
+    ok_owned = jax.lax.slice_in_dim(ok, half, half + tile)
+    keep = ok_owned & (owned > left_max) & (owned >= right_max)
+
+    # i1->i8 extui lacks a Mosaic lowering for 1D vectors; where() -> i32 works
+    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    ref_ref[:] = jax.lax.slice_in_dim(ref, half, half + tile)
+
+
+def preamble_detect_pallas(iq, cfg: DspConfig, tile: int = 16384,
+                           interpret: bool = False):
+    """(left+block+right, 2) f32 -> (mask int32 (block,), ref f32 (block,)).
+
+    Semantics match dsp.pipeline.preamble_detect except the noise floor is
+    the exact trailing window mean (the jnp path uses a mean-centered cumsum
+    approximation with <1e-5 relative error).
+    """
+    assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
+    assert cfg.left_halo == _LOOKBACK
+    n = cfg.block_size
+    assert n % tile == 0 and tile % 128 == 0
+    wl = _LOOKBACK + tile + _halo_r(cfg, tile)
+    needed = (n // tile - 1) * tile + wl
+
+    iq = jnp.asarray(iq)
+    if iq.dtype in (jnp.int8, jnp.int16):
+        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
+        iq = iq.astype(jnp.float32) * scale
+    if iq.shape[0] < needed:
+        # 128-alignment rounding of the DMA window can exceed the block's
+        # right halo by a few samples; zero-pad (the stream-tail semantics)
+        iq = jnp.pad(iq, ((0, needed - iq.shape[0]), (0, 0)))
+    xi = iq[:, 0]
+    xq = iq[:, 1]
+    kern = functools.partial(_detect_kernel, cfg=cfg, tile=tile)
+    mask, ref = pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=(jax.ShapeDtypeStruct((n,), jnp.int32),
+                   jax.ShapeDtypeStruct((n,), jnp.float32)),
+        out_specs=(pl.BlockSpec((tile,), lambda i: (i,),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile,), lambda i: (i,),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((wl,), jnp.float32),
+                        pltpu.VMEM((wl,), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xi, xq)
+    return mask, ref
+
+
+def demod_block_pallas(iq, cfg: DspConfig, tile: int = 16384,
+                       interpret: bool = False):
+    """Full demod step with the Pallas fused detector front-end; slicing,
+    CRC, and ECC reuse the XLA stages (they are K-sized, not N-sized)."""
+    from ..dsp import pipeline as P
+
+    mask, ref = preamble_detect_pallas(iq, cfg, tile=tile,
+                                       interpret=interpret)
+    mag2 = P.magnitude_squared(iq)
+    noise = P.noise_floor(mag2, cfg.noise_window)
+    det_idx, valid, n_det, overflow = P.compact_detections(
+        mask.astype(bool), cfg.max_detections)
+    left = cfg.left_halo
+    safe_idx = jnp.where(valid, det_idx, 0)
+    ref_level = ref[safe_idx]
+    noise_at = noise[left + safe_idx]
+    bits, confidence = P.slice_bits(mag2, det_idx, valid, ref_level, cfg, left)
+    out_bits, df, nbits, synd, status = P.crc_check_and_correct(
+        bits, confidence, cfg)
+    status = jnp.where(valid, status, P.STATUS_FAIL)
+    return P.DetectionTable(
+        index=jnp.where(valid, det_idx, -1),
+        bits=out_bits.astype(jnp.uint8),
+        df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
+        status=status, ref_level=ref_level, noise=noise_at,
+        n_detected=n_det, n_overflow=overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def demod_block_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
+                                  interpret: bool = False):
+    """Pallas-front-end demod + pack_table: one (K+1, 14) int32 output."""
+    from ..dsp.pipeline import pack_table
+    return pack_table(demod_block_pallas(iq, cfg, tile=tile,
+                                         interpret=interpret))

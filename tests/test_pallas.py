@@ -1,0 +1,67 @@
+"""Pallas fused detector kernel: parity with the XLA path (interpret mode on
+the CPU test mesh; the compiled kernel is exercised on real TPU)."""
+
+import numpy as np
+import pytest
+import jax
+
+from airmodes.config import DspConfig
+from airmodes.dsp import pipeline as P
+from airmodes.io import sources
+from airmodes.kernels.preamble_pallas import (demod_block_pallas,
+                                              preamble_detect_pallas)
+from airmodes.testing import encoder
+
+CFG = DspConfig(block_size=1 << 15, max_detections=64)
+
+
+def both_paths(iq, cfg=CFG, tile=4096):
+    for block, start in sources.frame_blocks(iq, cfg):
+        x = P.iq_to_device_layout(block)
+        mask_p, ref_p = preamble_detect_pallas(x, cfg, tile=tile,
+                                               interpret=True)
+        mag2 = P.magnitude_squared(jax.numpy.asarray(x))
+        noise = P.noise_floor(mag2, cfg.noise_window)
+        mask_j, ref_j = P.preamble_detect(mag2, noise, cfg, cfg.left_halo,
+                                          cfg.block_size)
+        yield (np.asarray(mask_p).astype(bool), np.asarray(ref_p),
+               np.asarray(mask_j), np.asarray(ref_j))
+
+
+@pytest.mark.parametrize("snr", [10.0, 18.0, 30.0])
+def test_detection_mask_parity(snr):
+    frames = encoder.random_df17_frames(12, seed=int(snr))
+    iq, truth = encoder.make_capture(frames, snr_db=snr, spacing=2500,
+                                     seed=int(snr))
+    total_hits = 0
+    for mp, rp, mj, rj in both_paths(iq):
+        np.testing.assert_array_equal(mp, mj)
+        sel = mp
+        if sel.any():
+            np.testing.assert_allclose(rp[sel], rj[sel], rtol=1e-5)
+        total_hits += int(mp.sum())
+    if snr >= 18:
+        assert total_hits >= len(truth)
+
+
+def test_full_demod_pallas_table_matches():
+    frames = encoder.random_df17_frames(10, seed=70)
+    iq, _ = encoder.make_capture(frames, snr_db=20.0, spacing=3000, seed=70)
+    for block, _ in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        tp = demod_block_pallas(x, CFG, tile=4096, interpret=True)
+        tj = P.demod_block(jax.numpy.asarray(x), CFG)
+        for a, b in zip(tp, tj):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tile_size_invariance():
+    frames = encoder.random_df17_frames(6, seed=71)
+    iq, _ = encoder.make_capture(frames, snr_db=20.0, spacing=4000, seed=71,
+                                 total_samples=CFG.block_size)
+    block, _ = next(sources.frame_blocks(iq, CFG))
+    x = P.iq_to_device_layout(block)
+    m1, r1 = preamble_detect_pallas(x, CFG, tile=4096, interpret=True)
+    m2, r2 = preamble_detect_pallas(x, CFG, tile=8192, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
