@@ -63,6 +63,8 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="stop after N blocks (testing)")
     out.add_argument("--pub", default=None, metavar="ADDR",
                      help="also publish raw messages on a zmq PUB socket")
+    out.add_argument("--profile", default=None, metavar="LOGDIR",
+                     help="capture a jax.profiler trace of the run")
     return p
 
 
@@ -78,8 +80,6 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from ..config import DspConfig
     from ..dsp import host
-    from ..dsp.pipeline import (demod_block_packed_jit, iq_to_device_layout,
-                                unpack_table)
     from ..io import sources as src_mod
     from ..io.relay import local_pubsub
     from ..resample.polyphase import rational_rate
@@ -164,20 +164,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         blocks = src_mod.file_source(args.source, cfg,
                                      dtype=args.file_format)
 
-    # --- run loop ---------------------------------------------------------
+    # --- run loop: double-buffered device pipeline --------------------------
+    from ..io.stream import run_pipelined
+    from ..utils.profiling import trace
+    import itertools
     stats = host.BlockStats()
     epoch = time.time()
     t_stats = time.time()
     n_blocks = 0
     samples_done = 0
+    if args.max_blocks:
+        blocks = itertools.islice(blocks, args.max_blocks)
     try:
-        for block, start in blocks:
-            if args.max_blocks and n_blocks >= args.max_blocks:
-                break
-            table = unpack_table(
-                demod_block_packed_jit(iq_to_device_layout(block), cfg))
-            msgs = host.table_to_messages(
-                table, start, cfg.channel_rate, epoch=epoch, stats=stats)
+      with trace(args.profile):
+        for msgs in run_pipelined(blocks, cfg, epoch=epoch, stats=stats):
             for m in msgs:
                 bus.publish("dl_data", m)
             n_blocks += 1

@@ -50,10 +50,10 @@ class DspConfig:
 
     @property
     def left_halo(self) -> int:
-        """Samples of left context a block needs: the noise window plus two
-        extra 128-sample rows of lookback for the Pallas fused kernel's
-        tiled prefix-sum noise floor (and peak/NMS lookback)."""
-        return self.noise_window + 130
+        """Samples of left context a block needs: the noise window plus one
+        extra 128-sample row of lookback (peak/NMS lookback; keeps the
+        Pallas kernels' DMA windows row-aligned)."""
+        return self.noise_window + 128
 
     @property
     def right_halo(self) -> int:

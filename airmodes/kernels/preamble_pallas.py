@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DspConfig
 from ..constants import PREAMBLE_PULSE_CHIPS, PREAMBLE_QUIET_CHIPS
 
-_LOOKBACK = 258  # 2 x 128 noise rows + peak/NMS lookback slack
+_LOOKBACK = 256  # 2 x 128-sample rows: noise window + peak/NMS lookback
 
 
 def _halo_r(cfg: DspConfig, tile: int) -> int:
@@ -45,7 +45,7 @@ def _halo_r(cfg: DspConfig, tile: int) -> int:
     need = max(16 * cfg.sps + half + 4, 130)
     # 1D f32 memrefs are (1024,)-tiled on TPU: DMA slice offsets and lengths
     # must be 1024-aligned, so round (LOOKBACK + tile + r) to a 1024 multiple
-    r = 766  # (258 + 766) % 1024 == 0
+    r = 768  # (256 + 768) % 1024 == 0
     while r < need:
         r += 1024
     return r
@@ -205,3 +205,132 @@ def demod_block_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
     from ..dsp.pipeline import pack_table
     return pack_table(demod_block_pallas(iq, cfg, tile=tile,
                                          interpret=interpret))
+
+
+# -----------------------------------------------------------------------------
+# v2: 2D (rows, 128) layout — full VPU sublane utilization
+# -----------------------------------------------------------------------------
+#
+# The 1D kernel's vectors occupy one sublane; laying the stream out as
+# (rows, 128) rows of 128 samples fills the (8, 128) VPU tile. A shift by k
+# samples becomes two static 2D slices + a lane concat (row borrow):
+#   value_at(x, 128*(row0+r) + c + k) = concat(x[row0: , k:], x[row0+1:, :k])
+
+_HALO_R2 = 1792  # (256 + tile + 1792) % 1024 == 0; covers ws margin + frames
+
+
+def _shift2d(x, k: int, row0: int, nrows: int):
+    """(nrows, 128) view of x at sample offset k from rows [row0, row0+nrows)."""
+    if k == 0:
+        return x[row0: row0 + nrows]
+    if k > 0:
+        assert k < 128
+        a = x[row0: row0 + nrows, k:]
+        b = x[row0 + 1: row0 + 1 + nrows, :k]
+    else:
+        k = 128 + k  # k in (-128, 0)
+        a = x[row0 - 1: row0 - 1 + nrows, k:]
+        b = x[row0: row0 + nrows, :k]
+    return jnp.concatenate([a, b], axis=1)
+
+
+def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
+                      cfg: DspConfig, tile: int):
+    sps = cfg.sps
+    half = cfg.nms_chips * sps
+    rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
+    trows = tile // 128
+
+    i = pl.program_id(0)
+    row0 = pl.multiple_of(i * trows, 8)
+    dma_i = pltpu.make_async_copy(
+        i_hbm.at[pl.ds(row0, rows_w), :], win_i, sems.at[0])
+    dma_q = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(row0, rows_w), :], win_q, sems.at[1])
+    dma_i.start()
+    dma_q.start()
+    dma_i.wait()
+    dma_q.wait()
+
+    xi = win_i[:]
+    xq = win_q[:]
+    m = xi * xi + xq * xq                           # (rows_w, 128)
+
+    # trailing 128-sample window sum by log-doubling (row-borrow shifts)
+    ws = m
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        nr = ws.shape[0] - 1
+        ws = ws[:nr] + _shift2d(ws, s, 0, nr)
+    # ws[r, c] = sum m[128r + c : 128r + c + 128]
+
+    # candidate tests for rows [1, 1 + nrows) (positions 128..); the owned
+    # tile is rows [2, 2 + trows), one margin row each side for NMS shifts
+    nrows = trows + 2
+    pulses = [_shift2d(m, c * sps, 1, nrows) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+    nf = ws[0:nrows] * (1.0 / 128.0)                # ws[r-1, c] for row r
+    thresh = jnp.float32(cfg.threshold)
+
+    ok = pulses[0] > nf * thresh
+    ok &= pulses[0] >= _shift2d(m, -1, 1, nrows)
+    ok &= pulses[0] > _shift2d(m, 1, 1, nrows)
+    ptol = jnp.float32(cfg.pulse_tolerance)
+    for p in pulses:
+        ok &= (p > nf * thresh) & (p > ref * ptol)
+    qtol = jnp.float32(cfg.quiet_tolerance)
+    for q in PREAMBLE_QUIET_CHIPS:
+        ok &= _shift2d(m, q * sps, 1, nrows) < ref * qtol
+
+    score = jnp.where(ok, ref, 0.0)                 # rows 1..1+nrows
+
+    owned = score[1: 1 + trows]
+    left_max = jnp.zeros_like(owned)
+    right_max = jnp.zeros_like(owned)
+    for d in range(1, half + 1):
+        left_max = jnp.maximum(left_max, _shift2d(score, -d, 1, trows))
+        right_max = jnp.maximum(right_max, _shift2d(score, d, 1, trows))
+    keep = ok[1: 1 + trows] & (owned > left_max) & (owned >= right_max)
+
+    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    ref_ref[:] = ref[1: 1 + trows]
+
+
+def preamble_detect_pallas_2d(iq, cfg: DspConfig, tile: int = 16384,
+                              interpret: bool = False):
+    """2D-layout fused detector; same contract as preamble_detect_pallas."""
+    assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
+    assert cfg.left_halo == _LOOKBACK
+    n = cfg.block_size
+    assert n % tile == 0 and tile % 1024 == 0
+    rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
+    needed_rows = (n // tile - 1) * (tile // 128) + rows_w
+
+    iq = jnp.asarray(iq)
+    if iq.dtype in (jnp.int8, jnp.int16):
+        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
+        iq = iq.astype(jnp.float32) * scale
+    pad_rows = needed_rows - iq.shape[0] // 128
+    xi = iq[: (iq.shape[0] // 128) * 128, 0].reshape(-1, 128)
+    xq = iq[: (iq.shape[0] // 128) * 128, 1].reshape(-1, 128)
+    if pad_rows > 0:
+        xi = jnp.pad(xi, ((0, pad_rows), (0, 0)))
+        xq = jnp.pad(xq, ((0, pad_rows), (0, 0)))
+
+    kern = functools.partial(_detect_kernel_2d, cfg=cfg, tile=tile)
+    mask, ref = pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=(jax.ShapeDtypeStruct((n // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((n // 128, 128), jnp.float32)),
+        out_specs=(pl.BlockSpec((tile // 128, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile // 128, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((rows_w, 128), jnp.float32),
+                        pltpu.VMEM((rows_w, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xi, xq)
+    return mask.reshape(n), ref.reshape(n)

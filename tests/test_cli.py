@@ -1,0 +1,67 @@
+"""modes_rx CLI end-to-end: file source -> demod -> plugins."""
+
+import socket
+import sqlite3
+import threading
+
+import numpy as np
+import pytest
+
+from airmodes.apps.modes_rx import build_argparser, main, parse_location
+from airmodes.testing import encoder
+
+
+@pytest.fixture(scope="module")
+def capture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    frames = encoder.random_df17_frames(12, seed=90)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=8000,
+                                     seed=90, total_samples=1 << 17)
+    path = str(d / "cap.c64")
+    iq.tofile(path)
+    return path, truth, d
+
+
+def test_cli_file_to_db_and_print(capture, capsys):
+    path, truth, d = capture
+    db = str(d / "out.db")
+    rc = main(["-s", path, "--block-size", "65536", "-d", db,
+               "-l", "47.0,8.0", "--stats-interval", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Type 17" in out
+    con = sqlite3.connect(db)
+    n = con.execute("SELECT COUNT(*) FROM aircraft").fetchone()[0]
+    assert n >= 10
+
+
+def test_cli_resampled_file(tmp_path):
+    frames = encoder.random_df17_frames(6, seed=91)
+    iq, truth = encoder.make_capture(frames, rate=4e6, snr_db=25.0,
+                                     spacing=16000, seed=91)
+    path = str(tmp_path / "cap4m.c64")
+    iq.tofile(path)
+    rc = main(["-s", path, "-r", "4e6", "--block-size", "65536", "-n",
+               "--stats-interval", "0"])
+    assert rc == 0
+
+
+def test_cli_rejects_sdr_sources(capsys):
+    assert main(["-s", "uhd"]) == 2
+
+
+def test_cli_location_parsing():
+    assert parse_location("47.5,8.25") == (47.5, 8.25, 0.0)
+    assert parse_location("47.5,8.25,430") == (47.5, 8.25, 430.0)
+    assert parse_location(None) is None
+
+
+def test_cli_argparser_covers_reference_options():
+    ap = build_argparser()
+    args = ap.parse_args(["-s", "x.c64", "-r", "8e6", "-T", "6.5",
+                          "-P", "30003", "-K", "k.kml", "-d", "a.db",
+                          "-w", "9988", "-m", "localhost:5000",
+                          "-l", "1,2", "-n", "-g", "30", "-f", "1090e6"])
+    assert args.rate == 8e6 and args.threshold == 6.5
+    assert args.sbs1 == 30003 and args.raw == 9988
+    assert args.flightgear == "localhost:5000"
