@@ -47,6 +47,7 @@ class AircraftReport:
     heading_deg: Optional[float] = None
     vertical_rate_fpm: Optional[float] = None
     speed_type: Optional[str] = None     # "GS" | "IAS" | "TAS"
+    gnss_baro_diff_ft: Optional[float] = None
     on_surface: bool = False
     flight_status: Optional[int] = None
     capability: Optional[int] = None
@@ -228,6 +229,10 @@ class parse:
         if rep["vr"]:
             report.vertical_rate_fpm = (rep["vr"] - 1) * 64.0 * \
                 (-1 if rep["s_vr"] else 1)
+        if rep["dif"]:
+            # GNSS height above/below barometric altitude, 25 ft steps
+            report.gnss_baro_diff_ft = (rep["dif"] - 1) * 25.0 * \
+                (-1 if rep["s_dif"] else 1)
 
     # --- helpers ---------------------------------------------------------------
 

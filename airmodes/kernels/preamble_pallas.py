@@ -220,18 +220,29 @@ _HALO_R2 = 1792  # (256 + tile + 1792) % 1024 == 0; covers ws margin + frames
 
 
 def _shift2d(x, k: int, row0: int, nrows: int):
-    """(nrows, 128) view of x at sample offset k from rows [row0, row0+nrows)."""
+    """(nrows, 128) view of x at sample offset k from rows [row0, row0+nrows).
+
+    Mosaic cannot lower ragged lane concats, so the row borrow is a cyclic
+    lane roll plus a one-row roll selected per lane (all supported ops).
+    Callers must keep [row0, row0+nrows) away from the array edges by one
+    row, since the row roll wraps there.
+    """
     if k == 0:
         return x[row0: row0 + nrows]
+    assert -128 < k < 128
+    rows = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
+    # pltpu.roll wants non-negative shifts; use the modular equivalents
+    z = pltpu.roll(x, (128 - k) % 128, axis=1)  # z[r, c] = x[r, (c+k) % 128]
     if k > 0:
-        assert k < 128
-        a = x[row0: row0 + nrows, k:]
-        b = x[row0 + 1: row0 + 1 + nrows, :k]
+        zn = pltpu.roll(z, rows - 1, axis=0)    # next row
+        y = jnp.where(lane < 128 - k, z[row0: row0 + nrows],
+                      zn[row0: row0 + nrows])
     else:
-        k = 128 + k  # k in (-128, 0)
-        a = x[row0 - 1: row0 - 1 + nrows, k:]
-        b = x[row0: row0 + nrows, :k]
-    return jnp.concatenate([a, b], axis=1)
+        zp = pltpu.roll(z, 1, axis=0)           # previous row
+        y = jnp.where(lane >= -k, z[row0: row0 + nrows],
+                      zp[row0: row0 + nrows])
+    return y
 
 
 def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,

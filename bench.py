@@ -89,7 +89,7 @@ def main():
     # TPU sits behind a zero-egress loopback relay (~30-50 MB/s, high
     # variance), which caps this number far below what PCIe-attached hosts
     # see; it is reported alongside the per-chip demod figure.
-    iters = 16
+    iters = 12
     t0 = time.time()
     inflight = []
     for i in range(iters):
@@ -109,14 +109,14 @@ def main():
     jax.block_until_ready(step(devs[0], cfg))
     t0 = time.time()
     inflight = []
-    for i in range(16):
+    for i in range(12):
         inflight.append(step(devs[i % n_blocks], cfg))
         if len(inflight) > 2:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)
     dev_dt = time.time() - t0
-    dev_msps = 16 * cfg.block_size / dev_dt / 1e6
+    dev_msps = 12 * cfg.block_size / dev_dt / 1e6
 
     baseline_msps = 10.0  # reference real-time ceiling on desktop CPU
     result = {

@@ -88,3 +88,14 @@ def test_parse_df17_position_local_roundtrip():
     assert rep.lat is not None
     assert abs(rep.lat - 47.3) < 1e-3 and abs(rep.lon - 8.2) < 1e-3
     assert rep.range_nm is not None and rep.range_nm < 30
+
+
+def test_parse_known_velocity_vector():
+    """mode-s.org worked example: DF17 BDS0,9 subtype 1 ground speed."""
+    rep = parse().parse("17 8d485020994409940838175b284f 000000 0 -20.0 1.0")
+    assert rep.icao == 0x485020
+    assert rep.bds == "BDS0,9"
+    assert abs(rep.speed_kt - 159.20) < 0.01
+    assert abs(rep.heading_deg - 182.88) < 0.01
+    assert rep.vertical_rate_fpm == -832.0
+    assert rep.speed_type == "GS"
