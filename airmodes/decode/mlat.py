@@ -169,3 +169,62 @@ def mlat(replies: Dict[Tuple[float, float, float], float],
             return lat, lon, alt
     xyz = mlat_iter(stations, prange_rel, guess)
     return ecef2llh(xyz)
+
+
+class mlat_coordinator:
+    """Match the same frame heard by multiple receivers and solve TDOA.
+
+    Receivers feed raw wire messages via report(station, message); frames
+    with identical hex payloads within `window_s` of each other form one
+    observation set, solved once >= min_stations copies arrive. The
+    reference's remote-receiver story shipped raw messages over a TCP/zmq
+    relay to one host, which is exactly how this is meant to be fed
+    (io/relay.py + outputs/raw_server.py).
+    """
+
+    def __init__(self, stations, min_stations: int = 4,
+                 window_s: float = 0.1):
+        # stations: {name: (lat, lon, alt_m)}
+        self.stations = dict(stations)
+        self.min_stations = min_stations
+        self.window_s = window_s
+        self._pending = {}  # hex -> {station: timestamp}
+        self._seen_t = {}   # hex -> first timestamp
+
+    def report(self, station: str, message: str):
+        """Feed one wire message from a named station; returns a position
+        (lat, lon, alt_m) when this message completes an observation set."""
+        parts = message.split()
+        if len(parts) != 6 or station not in self.stations:
+            return None
+        hexframe, t = parts[1], float(parts[5])
+        obs = self._pending.setdefault(hexframe, {})
+        first = self._seen_t.setdefault(hexframe, t)
+        if abs(t - first) > self.window_s:
+            # stale duplicate from a much later retransmission: start over
+            self._pending[hexframe] = obs = {}
+            self._seen_t[hexframe] = first = t
+        obs[station] = t
+        if len(obs) < self.min_stations:
+            return None
+        replies = {self.stations[s]: ts for s, ts in obs.items()}
+        del self._pending[hexframe]
+        del self._seen_t[hexframe]
+        # altitude constraint from the frame itself when decodable
+        alt_ft = None
+        try:
+            from .parse import parse as _parse
+            rep = _parse().parse(message)
+            alt_ft = rep.altitude_ft
+        except Exception:
+            pass
+        try:
+            return mlat(replies, altitude_ft=alt_ft)
+        except MlatNonConvergeError:
+            return None
+
+    def prune(self, now: float):
+        for h in [h for h, t in self._seen_t.items()
+                  if now - t > 10 * self.window_s]:
+            self._pending.pop(h, None)
+            self._seen_t.pop(h, None)

@@ -345,3 +345,162 @@ def preamble_detect_pallas_2d(iq, cfg: DspConfig, tile: int = 16384,
         interpret=interpret,
     )(xi, xq)
     return mask.reshape(n), ref.reshape(n)
+
+
+# -----------------------------------------------------------------------------
+# batched variant: grid (batch, tiles) — many blocks/channels per device call
+# -----------------------------------------------------------------------------
+#
+# vmap cannot batch a pallas_call whose inputs live in ANY/HBM space, so the
+# batch is a leading grid dimension instead: each grid step DMAs its window
+# out of one batch row. Batching amortizes the XLA tail's per-op dispatch
+# overhead and the host<->device per-call cost across C blocks.
+
+
+def _detect_kernel_b(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
+                     cfg: DspConfig, tile: int):
+    sps = cfg.sps
+    half = cfg.nms_chips * sps
+    wl = _LOOKBACK + tile + _halo_r(cfg, tile)
+
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    origin = pl.multiple_of(i * tile, 1024)
+    dma_i = pltpu.make_async_copy(
+        i_hbm.at[c, pl.ds(origin, wl)], win_i, sems.at[0])
+    dma_q = pltpu.make_async_copy(
+        q_hbm.at[c, pl.ds(origin, wl)], win_q, sems.at[1])
+    dma_i.start()
+    dma_q.start()
+    dma_i.wait()
+    dma_q.wait()
+    _detect_body(win_i[:], win_q[:], mask_ref, ref_ref, cfg=cfg, tile=tile,
+                 wl=wl, half=half, sps=sps)
+
+
+def _detect_body(xi, xq, mask_ref, ref_ref, *, cfg, tile, wl, half, sps):
+    m = xi * xi + xq * xq
+    ws = m
+    length = wl
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        length -= s
+        ws = (jax.lax.slice_in_dim(ws, 0, length) +
+              jax.lax.slice_in_dim(ws, s, s + length))
+    ext = tile + 2 * half
+    base = _LOOKBACK - half
+
+    def sl(off, n=ext):
+        return jax.lax.slice_in_dim(m, base + off, base + off + n)
+
+    pulses = [sl(c * sps) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+    nf = jax.lax.slice_in_dim(ws, base - 128, base - 128 + ext) * (1.0 / 128.0)
+    thresh = jnp.float32(cfg.threshold)
+    ok = pulses[0] > nf * thresh
+    ok &= pulses[0] >= sl(-1)
+    ok &= pulses[0] > sl(1)
+    ptol = jnp.float32(cfg.pulse_tolerance)
+    for p in pulses:
+        ok &= (p > nf * thresh) & (p > ref * ptol)
+    qtol = jnp.float32(cfg.quiet_tolerance)
+    for q in PREAMBLE_QUIET_CHIPS:
+        ok &= sl(q * sps) < ref * qtol
+    score = jnp.where(ok, ref, 0.0)
+    owned = jax.lax.slice_in_dim(score, half, half + tile)
+    left_max = jnp.zeros_like(owned)
+    right_max = jnp.zeros_like(owned)
+    for d in range(1, half + 1):
+        left_max = jnp.maximum(
+            left_max, jax.lax.slice_in_dim(score, half - d, half - d + tile))
+        right_max = jnp.maximum(
+            right_max, jax.lax.slice_in_dim(score, half + d, half + d + tile))
+    ok_owned = jax.lax.slice_in_dim(ok, half, half + tile)
+    keep = ok_owned & (owned > left_max) & (owned >= right_max)
+    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    ref_ref[:] = jax.lax.slice_in_dim(ref, half, half + tile)
+
+
+def preamble_detect_pallas_batch(iq, cfg: DspConfig, tile: int = 16384,
+                                 interpret: bool = False):
+    """(C, left+block+right, 2) -> (mask (C, block) int32, ref (C, block))."""
+    assert cfg.noise_window == 128
+    assert cfg.left_halo == _LOOKBACK
+    n = cfg.block_size
+    assert n % tile == 0 and tile % 1024 == 0
+    wl = _LOOKBACK + tile + _halo_r(cfg, tile)
+    needed = (n // tile - 1) * tile + wl
+
+    iq = jnp.asarray(iq)
+    if iq.dtype in (jnp.int8, jnp.int16):
+        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
+        iq = iq.astype(jnp.float32) * scale
+    if iq.shape[1] < needed:
+        iq = jnp.pad(iq, ((0, 0), (0, needed - iq.shape[1]), (0, 0)))
+    batch = iq.shape[0]
+    xi = iq[:, :, 0]
+    xq = iq[:, :, 1]
+    kern = functools.partial(_detect_kernel_b, cfg=cfg, tile=tile)
+    # flat 1D outputs (a (1, tile) 2D block violates Mosaic's (8, 128)
+    # minimum block tiling); reshaped to (batch, n) outside the kernel
+    tiles = n // tile
+    mask, ref = pl.pallas_call(
+        kern,
+        grid=(batch, tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=(jax.ShapeDtypeStruct((batch * n,), jnp.int32),
+                   jax.ShapeDtypeStruct((batch * n,), jnp.float32)),
+        out_specs=(pl.BlockSpec((tile,), lambda c, i: (c * tiles + i,),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile,), lambda c, i: (c * tiles + i,),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((wl,), jnp.float32),
+                        pltpu.VMEM((wl,), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xi, xq)
+    return mask.reshape(batch, n), ref.reshape(batch, n)
+
+
+def demod_batch_pallas(iq, cfg: DspConfig, tile: int = 16384,
+                       interpret: bool = False):
+    """Batched full demod: (C, L+N+R, 2) -> DetectionTable with leading C.
+
+    Pallas batched detect + vmapped XLA tail (batching amortizes the tail's
+    small-op dispatch overhead across blocks)."""
+    from ..dsp import pipeline as P
+
+    mask, ref = preamble_detect_pallas_batch(iq, cfg, tile=tile,
+                                             interpret=interpret)
+
+    def tail(iq_c, mask_c, ref_c):
+        mag2 = P.magnitude_squared(iq_c)
+        noise = P.noise_floor(mag2, cfg.noise_window)
+        det_idx, valid, n_det, overflow = P.compact_detections(
+            mask_c.astype(bool), cfg.max_detections)
+        left = cfg.left_halo
+        safe_idx = jnp.where(valid, det_idx, 0)
+        ref_level = ref_c[safe_idx]
+        noise_at = noise[left + safe_idx]
+        bits, confidence = P.slice_bits(mag2, det_idx, valid, ref_level,
+                                        cfg, left)
+        out_bits, df, nbits, synd, status = P.crc_check_and_correct(
+            bits, confidence, cfg)
+        status = jnp.where(valid, status, P.STATUS_FAIL)
+        return P.DetectionTable(
+            index=jnp.where(valid, det_idx, -1),
+            bits=out_bits.astype(jnp.uint8),
+            df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
+            status=status, ref_level=ref_level, noise=noise_at,
+            n_detected=n_det, n_overflow=overflow)
+
+    return jax.vmap(tail)(iq, mask, ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def demod_batch_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
+                                  interpret: bool = False):
+    """Batched demod + per-block packing: (C, L+N+R, 2) -> (C, K+1, 14)."""
+    from ..dsp.pipeline import pack_table
+    table = demod_batch_pallas(iq, cfg, tile=tile, interpret=interpret)
+    return jax.vmap(pack_table)(table)

@@ -76,3 +76,23 @@ def test_mlat_too_few_stations():
 def test_geoid_lookup_sane():
     assert -110.0 < mlat.llh2geoid(47.0, 8.0) < 90.0
     assert -110.0 < mlat.llh2geoid(-30.0, 150.0) < 90.0
+
+
+def test_mlat_coordinator_from_messages():
+    from airmodes.decode.mlat import mlat_coordinator, llh2ecef, C
+    from airmodes.testing import encoder
+    target = (47.1, 8.25, 9144.0)
+    stations = {f"st{i}": s for i, s in enumerate(STATIONS4)}
+    coord = mlat_coordinator(stations, min_stations=4)
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("TEST"))
+    t_ecef = llh2ecef(target)
+    pos = None
+    for name, s in stations.items():
+        d = np.linalg.norm(llh2ecef(s) - t_ecef)
+        t = 1000.0 + d / C
+        msg = f"17 {frame:028x} 000000 0 -20.0 {t:.9f}"
+        pos = coord.report(name, msg) or pos
+    assert pos is not None
+    lat, lon, alt = pos
+    assert abs(lat - target[0]) < 1e-3
+    assert abs(lon - target[1]) < 1e-3

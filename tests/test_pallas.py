@@ -65,3 +65,21 @@ def test_tile_size_invariance():
     m2, r2 = preamble_detect_pallas(x, CFG, tile=8192, interpret=True)
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
+
+
+def test_batched_pallas_matches_single():
+    from airmodes.kernels.preamble_pallas import demod_batch_pallas, demod_block_pallas
+    frames = encoder.random_df17_frames(8, seed=72)
+    iq1, _ = encoder.make_capture(frames, snr_db=18.0, spacing=3000, seed=72,
+                                  total_samples=CFG.block_size)
+    iq2, _ = encoder.make_capture(
+        encoder.random_df17_frames(5, seed=73), snr_db=25.0, spacing=5000,
+        seed=73, total_samples=CFG.block_size)
+    b1 = P.iq_to_device_layout(next(sources.frame_blocks(iq1, CFG))[0])
+    b2 = P.iq_to_device_layout(next(sources.frame_blocks(iq2, CFG))[0])
+    batch = np.stack([b1, b2])
+    tb = demod_batch_pallas(batch, CFG, tile=4096, interpret=True)
+    for c, single in enumerate([b1, b2]):
+        ts = demod_block_pallas(single, CFG, tile=4096, interpret=True)
+        for a, b in zip(ts, tb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[c])
