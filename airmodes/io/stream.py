@@ -41,31 +41,76 @@ def run_pipelined(
     depth: int = 2,
     step=None,
     quantize_i8: bool = False,
+    batch: int = 1,
     on_messages: Optional[Callable[[List[str]], None]] = None,
 ) -> Iterator[List[str]]:
     """Drive framed blocks through the demod with `depth` steps in flight.
 
-    Yields the wire-message list per block, in stream order.
+    batch > 1 stacks that many blocks per device call (amortizing per-call
+    transfer and small-op overheads; requires the Pallas batched kernel or
+    the vmapped XLA path). Yields the wire-message list per block, in
+    stream order; a trailing partial batch is padded with the last block
+    and the padding's messages dropped.
     """
+    if batch > 1 and step is None:
+        import jax
+        if jax.default_backend() == "tpu":
+            from ..kernels.preamble_pallas import demod_batch_packed_pallas_jit
+            step = demod_batch_packed_pallas_jit
+        else:
+            from ..dsp.pipeline import demod_block, pack_table
+            import functools
+            import jax.numpy as jnp
+
+            @functools.partial(jax.jit, static_argnames=("cfg",))
+            def step(xb, cfg):
+                return jax.vmap(
+                    lambda x: pack_table(demod_block(x, cfg)))(xb)
     step = step or _default_step(cfg)
     inflight: deque = deque()
 
-    def drain_one():
-        packed, start = inflight.popleft()
-        table = unpack_table(packed)
-        msgs = host_mod.table_to_messages(
-            table, start, cfg.channel_rate, epoch=epoch, stats=stats)
-        if on_messages:
-            on_messages(msgs)
-        return msgs
-
-    for block, start in blocks:
+    def to_dev_layout(block):
         x = iq_to_device_layout(block)
         if quantize_i8 and x.dtype == np.float32:
             peak = float(np.max(np.abs(x))) or 1.0
             x = np.clip(np.round(x * (120.0 / peak)), -127, 127).astype(np.int8)
-        inflight.append((step(x, cfg), start))
-        if len(inflight) > depth:
-            yield drain_one()
+        return x
+
+    def drain_one():
+        packed, starts, n_real = inflight.popleft()
+        arr = np.asarray(packed)
+        out = []
+        for j in range(n_real):
+            table = unpack_table(arr[j] if batch > 1 else arr)
+            msgs = host_mod.table_to_messages(
+                table, starts[j], cfg.channel_rate, epoch=epoch, stats=stats)
+            if on_messages:
+                on_messages(msgs)
+            out.append(msgs)
+        return out
+
+    if batch == 1:
+        for block, start in blocks:
+            inflight.append((step(to_dev_layout(block), cfg), [start], 1))
+            if len(inflight) > depth:
+                yield from drain_one()
+        while inflight:
+            yield from drain_one()
+        return
+
+    acc: List[Tuple[np.ndarray, int]] = []
+    for item in blocks:
+        acc.append(item)
+        if len(acc) == batch:
+            xb = np.stack([to_dev_layout(b) for b, _ in acc])
+            inflight.append((step(xb, cfg), [s for _, s in acc], batch))
+            acc = []
+            if len(inflight) > depth:
+                yield from drain_one()
+    if acc:
+        pads = [acc[-1][0]] * (batch - len(acc))
+        xb = np.stack([to_dev_layout(b) for b, _ in acc] +
+                      [to_dev_layout(p) for p in pads])
+        inflight.append((step(xb, cfg), [s for _, s in acc], len(acc)))
     while inflight:
-        yield drain_one()
+        yield from drain_one()

@@ -358,18 +358,20 @@ def preamble_detect_pallas_2d(iq, cfg: DspConfig, tile: int = 16384,
 
 
 def _detect_kernel_b(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
-                     cfg: DspConfig, tile: int):
+                     cfg: DspConfig, tile: int, stride: int):
     sps = cfg.sps
     half = cfg.nms_chips * sps
     wl = _LOOKBACK + tile + _halo_r(cfg, tile)
 
     c = pl.program_id(0)
     i = pl.program_id(1)
-    origin = pl.multiple_of(i * tile, 1024)
+    # batch rows flattened into one 1D stream (Mosaic cannot slice single
+    # rows of a (batch, N) f32 memref); stride is 1024-aligned
+    origin = pl.multiple_of(c * stride + i * tile, 1024)
     dma_i = pltpu.make_async_copy(
-        i_hbm.at[c, pl.ds(origin, wl)], win_i, sems.at[0])
+        i_hbm.at[pl.ds(origin, wl)], win_i, sems.at[0])
     dma_q = pltpu.make_async_copy(
-        q_hbm.at[c, pl.ds(origin, wl)], win_q, sems.at[1])
+        q_hbm.at[pl.ds(origin, wl)], win_q, sems.at[1])
     dma_i.start()
     dma_q.start()
     dma_i.wait()
@@ -437,9 +439,13 @@ def preamble_detect_pallas_batch(iq, cfg: DspConfig, tile: int = 16384,
     if iq.shape[1] < needed:
         iq = jnp.pad(iq, ((0, 0), (0, needed - iq.shape[1]), (0, 0)))
     batch = iq.shape[0]
-    xi = iq[:, :, 0]
-    xq = iq[:, :, 1]
-    kern = functools.partial(_detect_kernel_b, cfg=cfg, tile=tile)
+    stride = -(-iq.shape[1] // 1024) * 1024
+    if stride != iq.shape[1]:
+        iq = jnp.pad(iq, ((0, 0), (0, stride - iq.shape[1]), (0, 0)))
+    xi = iq[:, :, 0].reshape(-1)
+    xq = iq[:, :, 1].reshape(-1)
+    kern = functools.partial(_detect_kernel_b, cfg=cfg, tile=tile,
+                             stride=stride)
     # flat 1D outputs (a (1, tile) 2D block violates Mosaic's (8, 128)
     # minimum block tiling); reshaped to (batch, n) outside the kernel
     tiles = n // tile

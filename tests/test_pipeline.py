@@ -170,3 +170,16 @@ def test_packed_table_roundtrip():
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         msgs = host.table_to_messages(got, start, CFG.channel_rate)
+
+
+def test_run_pipelined_batched_matches_serial():
+    from airmodes.io.stream import run_pipelined
+    frames = encoder.random_df17_frames(20, seed=13)
+    iq, truth = encoder.make_capture(frames, snr_db=20.0, spacing=6000,
+                                     seed=13, total_samples=5 * CFG.block_size)
+    serial = [m for msgs in run_pipelined(
+        sources.frame_blocks(iq, CFG), CFG) for m in msgs]
+    batched = [m for msgs in run_pipelined(
+        sources.frame_blocks(iq, CFG), CFG, batch=2) for m in msgs]
+    assert serial == batched
+    assert {t.hex for t in truth} <= {m.split()[1] for m in serial}
