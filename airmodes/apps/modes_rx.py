@@ -39,6 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     src.add_argument("--udp-port", type=int, default=10000)
     src.add_argument("--throttle", action="store_true",
                      help="replay files at real-time rate")
+    src.add_argument("--start-sample", type=int, default=0,
+                     help="resume a file capture from this sample counter")
 
     dsp = p.add_argument_group("dsp")
     dsp.add_argument("-T", "--threshold", type=float, default=5.0,
@@ -162,7 +164,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 4)
     else:
         blocks = src_mod.file_source(args.source, cfg,
-                                     dtype=args.file_format)
+                                     dtype=args.file_format,
+                                     start_sample=args.start_sample)
 
     # --- run loop: double-buffered device pipeline --------------------------
     from ..io.stream import run_pipelined

@@ -109,11 +109,16 @@ def file_source(path: str, cfg: DspConfig, *, dtype: str = "complex64",
     """Replay a recorded capture (ref: blocks.file_source, complex64).
 
     dtype: complex64 | interleaved int16 ("sc16") | interleaved uint8 ("uc8",
-    rtl-sdr style offset-127.5).
+    rtl-sdr style offset-127.5). start_sample > 0 seeks into the capture and
+    resumes the global sample counter there (checkpoint/resume: the stream
+    position IS the sample counter, SURVEY.md §5.4).
     """
     framer = buffered_framer(cfg, start_sample)
     chunk_samples = 1 << 22
+    bytes_per_sample = {"complex64": 8, "sc16": 4, "uc8": 2}[dtype]
     with open(path, "rb") as f:
+        if start_sample:
+            f.seek(start_sample * bytes_per_sample)
         while True:
             if dtype == "complex64":
                 raw = np.fromfile(f, np.complex64, chunk_samples)

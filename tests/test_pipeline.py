@@ -183,3 +183,27 @@ def test_run_pipelined_batched_matches_serial():
         sources.frame_blocks(iq, CFG), CFG, batch=2) for m in msgs]
     assert serial == batched
     assert {t.hex for t in truth} <= {m.split()[1] for m in serial}
+
+
+def test_file_source_resume(tmp_path):
+    """Resuming from a sample counter yields the same remaining messages."""
+    frames = encoder.random_df17_frames(10, seed=14)
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, spacing=9000,
+                                     seed=14, total_samples=2 * CFG.block_size)
+    path = str(tmp_path / "cap.c64")
+    iq.tofile(path)
+    full = []
+    for block, start in sources.file_source(path, CFG):
+        t = demod_block_jit(block, CFG)
+        full.extend(host.table_to_messages(t, start, CFG.channel_rate))
+    resume_at = CFG.block_size
+    tail = []
+    for block, start in sources.file_source(path, CFG,
+                                            start_sample=resume_at):
+        t = demod_block_jit(block, CFG)
+        tail.extend(host.table_to_messages(t, start, CFG.channel_rate))
+    # all full-run messages with timestamps past the resume point (plus a
+    # halo margin) must appear identically in the resumed run
+    margin = (resume_at + CFG.left_halo) / CFG.channel_rate
+    want = [m for m in full if float(m.split()[5]) > margin]
+    assert set(want) <= set(tail)
