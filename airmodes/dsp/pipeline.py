@@ -115,6 +115,20 @@ def _shifted(x: jax.Array, shift: int, n: int) -> jax.Array:
     return jax.lax.dynamic_slice_in_dim(x, shift, n)
 
 
+def chip_energy(mag2: jax.Array, sps: int) -> jax.Array:
+    """ce[i] = mean(mag2[i : i+sps]) — forward chip-energy integration.
+
+    At sps > 1 all preamble pulse/quiet/peak decisions use chip energies:
+    a detection offset misaligned with the true chip phase leaks pulse
+    energy into the quiet chips and fails the quiet check, so the aligned
+    phase wins (the reference's 're-center on best peak within the chip').
+    For sps == 1 this is the identity.
+    """
+    if sps == 1:
+        return mag2
+    return sum(jnp.roll(mag2, -s) for s in range(sps)) * (1.0 / sps)
+
+
 def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
                     left: int, n_owned: int):
     """Vectorized 4-pulse + quiet-chip preamble check over the owned region.
@@ -128,7 +142,7 @@ def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
     Returns (mask, ref_level) over the owned region.
     """
     sps = cfg.sps
-    m = mag2
+    m = chip_energy(mag2, sps)
 
     pulses = [_shifted(m, left + c * sps, n_owned) for c in PREAMBLE_PULSE_CHIPS]
     ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
@@ -137,7 +151,7 @@ def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
     thresh = jnp.float32(cfg.threshold)
 
     ok = pulses[0] > nf * thresh
-    # local peak on the first pulse
+    # local peak on the first pulse (chip-energy domain)
     ok &= pulses[0] >= _shifted(m, left - 1, n_owned)
     ok &= pulses[0] > _shifted(m, left + 1, n_owned)
     # all four pulses above threshold and within tolerance of the reference

@@ -70,59 +70,8 @@ def _detect_kernel(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
     dma_i.wait()
     dma_q.wait()
 
-    xi = win_i[:]
-    xq = win_q[:]
-    m = xi * xi + xq * xq                            # (wl,)
-
-    # --- noise floor: trailing 128-sample window sum by log-doubling ------
-    # ws[i] = sum m[i : i+128] after 7 shifted adds (pure VPU, no reshape):
-    ws = m
-    length = wl
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        length -= s
-        ws = (jax.lax.slice_in_dim(ws, 0, length) +
-              jax.lax.slice_in_dim(ws, s, s + length))
-    # trailing mean at local index l is ws[l - 128] / 128
-
-    # --- candidate test over extended range [ts-half, ts+tile+half) -------
-    ext = tile + 2 * half
-    base = _LOOKBACK - half                           # local index of ext[0]
-
-    def sl(off, n=ext):
-        return jax.lax.slice_in_dim(m, base + off, base + off + n)
-
-    pulses = [sl(c * sps) for c in PREAMBLE_PULSE_CHIPS]
-    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
-    nf = jax.lax.slice_in_dim(ws, base - 128, base - 128 + ext) * (1.0 / 128.0)
-    thresh = jnp.float32(cfg.threshold)
-
-    ok = pulses[0] > nf * thresh
-    ok &= pulses[0] >= sl(-1)
-    ok &= pulses[0] > sl(1)
-    ptol = jnp.float32(cfg.pulse_tolerance)
-    for p in pulses:
-        ok &= (p > nf * thresh) & (p > ref * ptol)
-    qtol = jnp.float32(cfg.quiet_tolerance)
-    for q in PREAMBLE_QUIET_CHIPS:
-        ok &= sl(q * sps) < ref * qtol
-
-    score = jnp.where(ok, ref, 0.0)
-
-    # --- NMS: earliest-max within +-half (owned positions only) -----------
-    owned = jax.lax.slice_in_dim(score, half, half + tile)
-    left_max = jnp.zeros_like(owned)
-    right_max = jnp.zeros_like(owned)
-    for d in range(1, half + 1):
-        left_max = jnp.maximum(
-            left_max, jax.lax.slice_in_dim(score, half - d, half - d + tile))
-        right_max = jnp.maximum(
-            right_max, jax.lax.slice_in_dim(score, half + d, half + d + tile))
-    ok_owned = jax.lax.slice_in_dim(ok, half, half + tile)
-    keep = ok_owned & (owned > left_max) & (owned >= right_max)
-
-    # i1->i8 extui lacks a Mosaic lowering for 1D vectors; where() -> i32 works
-    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
-    ref_ref[:] = jax.lax.slice_in_dim(ref, half, half + tile)
+    _detect_body(win_i[:], win_q[:], mask_ref, ref_ref, cfg=cfg, tile=tile,
+                 wl=wl, half=half, sps=sps)
 
 
 def preamble_detect_pallas(iq, cfg: DspConfig, tile: int = 16384,
@@ -269,10 +218,17 @@ def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
 
     # trailing 128-sample window sum by log-doubling (row-borrow shifts)
     ws = m
+    mraw = m
     for s in (1, 2, 4, 8, 16, 32, 64):
         nr = ws.shape[0] - 1
         ws = ws[:nr] + _shift2d(ws, s, 0, nr)
     # ws[r, c] = sum m[128r + c : 128r + c + 128]
+
+    if sps > 1:
+        # chip-energy integration (see _detect_body)
+        nr_ce = mraw.shape[0] - 1
+        m = sum(_shift2d(mraw, s, 0, nr_ce)
+                for s in range(sps)) * (1.0 / sps)
 
     # candidate tests for rows [1, 1 + nrows) (positions 128..); the owned
     # tile is rows [2, 2 + trows), one margin row each side for NMS shifts
@@ -382,12 +338,19 @@ def _detect_kernel_b(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
 
 def _detect_body(xi, xq, mask_ref, ref_ref, *, cfg, tile, wl, half, sps):
     m = xi * xi + xq * xq
+    # noise floor from raw sample power (trailing 128 window, log-doubling)
     ws = m
     length = wl
     for s in (1, 2, 4, 8, 16, 32, 64):
         length -= s
         ws = (jax.lax.slice_in_dim(ws, 0, length) +
               jax.lax.slice_in_dim(ws, s, s + length))
+    # chip-energy integration: all pulse/quiet/peak decisions at sps > 1
+    # compare means over the chip so misaligned phases fail the quiet check
+    if sps > 1:
+        ce_len = wl - (sps - 1)
+        m = sum(jax.lax.slice_in_dim(m, s, s + ce_len)
+                for s in range(sps)) * (1.0 / sps)
     ext = tile + 2 * half
     base = _LOOKBACK - half
 

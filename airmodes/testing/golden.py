@@ -36,11 +36,17 @@ def reference_decode(iq: np.ndarray, cfg: Optional[DspConfig] = None
     """
     cfg = cfg or DspConfig()
     sps = cfg.sps
-    m = np.abs(iq.astype(np.complex64)) ** 2
-    n = len(m)
+    m_raw = np.abs(iq.astype(np.complex64)) ** 2
+    n = len(m_raw)
     w = cfg.noise_window
-    cs = np.cumsum(np.concatenate([[0.0], m]).astype(np.float64))
+    cs = np.cumsum(np.concatenate([[0.0], m_raw]).astype(np.float64))
     thresh = cfg.threshold
+    # chip-energy integration (matches the pipeline at sps > 1)
+    if sps > 1:
+        ck = np.convolve(m_raw, np.ones(sps) / sps, "full")[sps - 1:]
+        m = ck.astype(np.float64)
+    else:
+        m = m_raw
 
     out = []
     i = w + 1
@@ -92,12 +98,9 @@ def _slice_and_check(m, i, ref, cfg):
     conf = np.zeros(MAX_FRAME_BITS, bool)
     level = ref * cfg.confidence_level
     for b in range(MAX_FRAME_BITS):
-        if sps == 1:
-            e0 = m[start + 2 * b]
-            e1 = m[start + 2 * b + 1]
-        else:
-            e0 = m[start + 2 * b * sps: start + (2 * b + 1) * sps].mean()
-            e1 = m[start + (2 * b + 1) * sps: start + (2 * b + 2) * sps].mean()
+        # m is already chip-energy integrated at sps > 1
+        e0 = m[start + 2 * b * sps]
+        e1 = m[start + (2 * b + 1) * sps]
         bits[b] = e0 > e1
         conf[b] = (e0 > level) ^ (e1 > level)
     df = int("".join(map(str, bits[:5])), 2)
