@@ -25,8 +25,8 @@ def _default_step(cfg: DspConfig):
     from ..dsp.pipeline import demod_block_packed_jit
     if jax.default_backend() == "tpu":
         try:
-            from ..kernels.preamble_pallas import demod_block_packed_pallas_jit
-            return demod_block_packed_pallas_jit
+            from ..kernels.preamble_pallas import demod_block_packed_fast_jit
+            return demod_block_packed_fast_jit
         except Exception:
             pass
     return demod_block_packed_jit
@@ -55,8 +55,8 @@ def run_pipelined(
     if batch > 1 and step is None:
         import jax
         if jax.default_backend() == "tpu":
-            from ..kernels.preamble_pallas import demod_batch_packed_pallas_jit
-            step = demod_batch_packed_pallas_jit
+            from ..kernels.preamble_pallas import demod_batch_packed_fast_jit
+            step = demod_batch_packed_fast_jit
         else:
             from ..dsp.pipeline import demod_block, pack_table
             import functools

@@ -196,8 +196,6 @@ def _shift2d(x, k: int, row0: int, nrows: int):
 
 def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
                       cfg: DspConfig, tile: int):
-    sps = cfg.sps
-    half = cfg.nms_chips * sps
     rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
     trows = tile // 128
 
@@ -211,55 +209,7 @@ def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
     dma_q.start()
     dma_i.wait()
     dma_q.wait()
-
-    xi = win_i[:]
-    xq = win_q[:]
-    m = xi * xi + xq * xq                           # (rows_w, 128)
-
-    # trailing 128-sample window sum by log-doubling (row-borrow shifts)
-    ws = m
-    mraw = m
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        nr = ws.shape[0] - 1
-        ws = ws[:nr] + _shift2d(ws, s, 0, nr)
-    # ws[r, c] = sum m[128r + c : 128r + c + 128]
-
-    if sps > 1:
-        # chip-energy integration (see _detect_body)
-        nr_ce = mraw.shape[0] - 1
-        m = sum(_shift2d(mraw, s, 0, nr_ce)
-                for s in range(sps)) * (1.0 / sps)
-
-    # candidate tests for rows [1, 1 + nrows) (positions 128..); the owned
-    # tile is rows [2, 2 + trows), one margin row each side for NMS shifts
-    nrows = trows + 2
-    pulses = [_shift2d(m, c * sps, 1, nrows) for c in PREAMBLE_PULSE_CHIPS]
-    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
-    nf = ws[0:nrows] * (1.0 / 128.0)                # ws[r-1, c] for row r
-    thresh = jnp.float32(cfg.threshold)
-
-    ok = pulses[0] > nf * thresh
-    ok &= pulses[0] >= _shift2d(m, -1, 1, nrows)
-    ok &= pulses[0] > _shift2d(m, 1, 1, nrows)
-    ptol = jnp.float32(cfg.pulse_tolerance)
-    for p in pulses:
-        ok &= (p > nf * thresh) & (p > ref * ptol)
-    qtol = jnp.float32(cfg.quiet_tolerance)
-    for q in PREAMBLE_QUIET_CHIPS:
-        ok &= _shift2d(m, q * sps, 1, nrows) < ref * qtol
-
-    score = jnp.where(ok, ref, 0.0)                 # rows 1..1+nrows
-
-    owned = score[1: 1 + trows]
-    left_max = jnp.zeros_like(owned)
-    right_max = jnp.zeros_like(owned)
-    for d in range(1, half + 1):
-        left_max = jnp.maximum(left_max, _shift2d(score, -d, 1, trows))
-        right_max = jnp.maximum(right_max, _shift2d(score, d, 1, trows))
-    keep = ok[1: 1 + trows] & (owned > left_max) & (owned >= right_max)
-
-    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
-    ref_ref[:] = ref[1: 1 + trows]
+    _detect_body_2d(win_i[:], win_q[:], mask_ref, ref_ref, cfg=cfg, tile=tile)
 
 
 def preamble_detect_pallas_2d(iq, cfg: DspConfig, tile: int = 16384,
@@ -429,6 +379,244 @@ def preamble_detect_pallas_batch(iq, cfg: DspConfig, tile: int = 16384,
         interpret=interpret,
     )(xi, xq)
     return mask.reshape(batch, n), ref.reshape(batch, n)
+
+
+def _detect_kernel_2d_b(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems,
+                        *, cfg: DspConfig, tile: int, stride_rows: int):
+    rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
+    trows = tile // 128
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = pl.multiple_of(c * stride_rows + i * trows, 8)
+    dma_i = pltpu.make_async_copy(
+        i_hbm.at[pl.ds(row0, rows_w), :], win_i, sems.at[0])
+    dma_q = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(row0, rows_w), :], win_q, sems.at[1])
+    dma_i.start()
+    dma_q.start()
+    dma_i.wait()
+    dma_q.wait()
+    _detect_body_2d(win_i[:], win_q[:], mask_ref, ref_ref, cfg=cfg, tile=tile)
+
+
+def _detect_body_2d(xi, xq, mask_ref, ref_ref, *, cfg: DspConfig, tile: int):
+    sps = cfg.sps
+    half = cfg.nms_chips * sps
+    trows = tile // 128
+    m = xi * xi + xq * xq                           # (rows_w, 128)
+
+    # trailing 128-sample window sum by log-doubling (row-borrow shifts)
+    ws = m
+    mraw = m
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        nr = ws.shape[0] - 1
+        ws = ws[:nr] + _shift2d(ws, s, 0, nr)
+    # ws[r, c] = sum m[128r + c : 128r + c + 128]
+
+    if sps > 1:
+        # chip-energy integration (see _detect_body)
+        nr_ce = mraw.shape[0] - 1
+        m = sum(_shift2d(mraw, s, 0, nr_ce)
+                for s in range(sps)) * (1.0 / sps)
+
+    # candidate tests for rows [1, 1 + nrows); the owned tile is rows
+    # [2, 2 + trows), one margin row each side for NMS shifts
+    nrows = trows + 2
+    pulses = [_shift2d(m, c * sps, 1, nrows) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+    nf = ws[0:nrows] * (1.0 / 128.0)                # ws[r-1, c] for row r
+    thresh = jnp.float32(cfg.threshold)
+
+    ok = pulses[0] > nf * thresh
+    ok &= pulses[0] >= _shift2d(m, -1, 1, nrows)
+    ok &= pulses[0] > _shift2d(m, 1, 1, nrows)
+    ptol = jnp.float32(cfg.pulse_tolerance)
+    for p in pulses:
+        ok &= (p > nf * thresh) & (p > ref * ptol)
+    qtol = jnp.float32(cfg.quiet_tolerance)
+    for q in PREAMBLE_QUIET_CHIPS:
+        ok &= _shift2d(m, q * sps, 1, nrows) < ref * qtol
+
+    score = jnp.where(ok, ref, 0.0)                 # rows 1..1+nrows
+
+    owned = score[1: 1 + trows]
+    left_max = jnp.zeros_like(owned)
+    right_max = jnp.zeros_like(owned)
+    for d in range(1, half + 1):
+        left_max = jnp.maximum(left_max, _shift2d(score, -d, 1, trows))
+        right_max = jnp.maximum(right_max, _shift2d(score, d, 1, trows))
+    keep = ok[1: 1 + trows] & (owned > left_max) & (owned >= right_max)
+
+    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    ref_ref[:] = ref[1: 1 + trows]
+
+
+def preamble_detect_pallas_2d_batch(iq, cfg: DspConfig, tile: int = 16384,
+                                    interpret: bool = False):
+    """Batched 2D-layout detector: (C, L+N+R, 2) -> ((C, N) mask, (C, N) ref).
+
+    Batch rows are flattened into one row stream (grid (C, tiles)); the
+    per-batch row stride is 8-row aligned so every DMA origin stays on an
+    f32 (8, 128) tile boundary.
+    """
+    assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
+    assert cfg.left_halo == _LOOKBACK
+    n = cfg.block_size
+    assert n % tile == 0 and tile % 1024 == 0
+    rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
+    needed_rows = (n // tile - 1) * (tile // 128) + rows_w
+    stride_rows = -(-needed_rows // 8) * 8
+
+    iq = jnp.asarray(iq)
+    if iq.dtype in (jnp.int8, jnp.int16):
+        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
+        iq = iq.astype(jnp.float32) * scale
+    batch = iq.shape[0]
+    want = stride_rows * 128
+    if iq.shape[1] < want:
+        iq = jnp.pad(iq, ((0, 0), (0, want - iq.shape[1]), (0, 0)))
+    xi = iq[:, :want, 0].reshape(batch * stride_rows, 128)
+    xq = iq[:, :want, 1].reshape(batch * stride_rows, 128)
+
+    kern = functools.partial(_detect_kernel_2d_b, cfg=cfg, tile=tile,
+                             stride_rows=stride_rows)
+    tiles = n // tile
+    trows = tile // 128
+    mask, ref = pl.pallas_call(
+        kern,
+        grid=(batch, tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=(jax.ShapeDtypeStruct((batch * n // 128, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((batch * n // 128, 128), jnp.float32)),
+        out_specs=(pl.BlockSpec((trows, 128), lambda c, i: (c * tiles + i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((trows, 128), lambda c, i: (c * tiles + i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((rows_w, 128), jnp.float32),
+                        pltpu.VMEM((rows_w, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xi, xq)
+    return mask.reshape(batch, n), ref.reshape(batch, n)
+
+
+# -----------------------------------------------------------------------------
+# fast path: 2D detect kernel + K-sized gather tail (no full-block XLA ops)
+# -----------------------------------------------------------------------------
+#
+# After the fused detect kernel the only remaining block-sized XLA work in
+# demod_block_pallas is magnitude/noise-floor recomputation (feeding
+# slice_bits) and top_k compaction. The fast tail replaces the first with a
+# per-detection gather: each detection reads its own (128 + 242*sps)-sample
+# window straight from the raw I/Q block and derives noise floor, chip
+# energies, bits, and confidence from that window — O(K) work instead of
+# O(N). Bit decisions are float-identical to dsp.pipeline.slice_bits (same
+# ops in the same order on the same values); the reported `noise` field is
+# the exact trailing-window mean rather than the jnp path's mean-centered
+# cumsum approximation (<1e-5 relative difference).
+
+
+def gather_tail(iq, det_idx, valid, ref, n_det, overflow, cfg: DspConfig):
+    """K-sized tail: raw (L+N+R, 2) block + detection indices -> DetectionTable."""
+    from ..dsp import pipeline as P
+
+    sps = cfg.sps
+    left = cfg.left_halo
+    nw = cfg.noise_window
+    iq = jnp.asarray(iq)
+    scale = None
+    if iq.dtype == jnp.int8:
+        scale = 1.0 / 127.0
+    elif iq.dtype == jnp.int16:
+        scale = 1.0 / 32767.0
+
+    W = nw + 242 * sps
+    safe_idx = jnp.where(valid, det_idx, 0)
+    start = left + safe_idx - nw                       # >= 128 > 0
+    # one contiguous (W, 2) slab per detection: vmapped dynamic_slice lowers
+    # to a gather with slice_sizes=(W, 2) — K big slices, not K*W tiny ones
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(iq, (s, 0), (W, 2)))(start)
+    win = win.astype(jnp.float32)
+    if scale is not None:
+        win = win * scale
+    w2 = win[..., 0] ** 2 + win[..., 1] ** 2           # (K, W)
+
+    noise_at = jnp.mean(w2[:, :nw], axis=1)            # exact trailing mean
+    ref_level = ref[safe_idx]
+
+    # data chip energies: chips 16..240 of the event, at window offset
+    # nw + chip*sps (+ sub-sample s); identical arithmetic to slice_bits
+    n_chips = 224
+    chip0 = nw + 16 * sps
+    if sps == 1:
+        energies = jax.lax.slice_in_dim(w2, chip0, chip0 + n_chips, axis=1)
+    else:
+        span = n_chips * sps
+        energies = sum(
+            jax.lax.slice_in_dim(w2, chip0 + s, chip0 + s + span, axis=1)[:, ::sps]
+            for s in range(sps)) * (1.0 / sps)
+
+    e0 = energies[:, 0::2]
+    e1 = energies[:, 1::2]
+    bits = e0 > e1
+    level = ref_level[:, None] * jnp.float32(cfg.confidence_level)
+    confidence = jnp.logical_xor(e0 > level, e1 > level)
+
+    out_bits, df, nbits, synd, status = P.crc_check_and_correct(
+        bits, confidence, cfg)
+    status = jnp.where(valid, status, P.STATUS_FAIL)
+    return P.DetectionTable(
+        index=jnp.where(valid, det_idx, -1),
+        bits=out_bits.astype(jnp.uint8),
+        df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
+        status=status, ref_level=ref_level, noise=noise_at,
+        n_detected=n_det, n_overflow=overflow)
+
+
+def demod_block_pallas_fast(iq, cfg: DspConfig, tile: int = 16384,
+                            interpret: bool = False):
+    """Fast single-block demod: 2D detect kernel + K-sized gather tail."""
+    from ..dsp import pipeline as P
+
+    mask, ref = preamble_detect_pallas_2d(iq, cfg, tile=tile,
+                                          interpret=interpret)
+    det_idx, valid, n_det, overflow = P.compact_detections(
+        mask.astype(bool), cfg.max_detections)
+    return gather_tail(iq, det_idx, valid, ref, n_det, overflow, cfg)
+
+
+def demod_batch_pallas_fast(iq, cfg: DspConfig, tile: int = 16384,
+                            interpret: bool = False):
+    """Fast batched demod: (C, L+N+R, 2) -> DetectionTable with leading C."""
+    from ..dsp import pipeline as P
+
+    mask, ref = preamble_detect_pallas_2d_batch(iq, cfg, tile=tile,
+                                                interpret=interpret)
+
+    def tail(iq_c, mask_c, ref_c):
+        det_idx, valid, n_det, overflow = P.compact_detections(
+            mask_c.astype(bool), cfg.max_detections)
+        return gather_tail(iq_c, det_idx, valid, ref_c, n_det, overflow, cfg)
+
+    return jax.vmap(tail)(iq, mask, ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def demod_block_packed_fast_jit(iq, cfg: DspConfig, tile: int = 16384,
+                                interpret: bool = False):
+    from ..dsp.pipeline import pack_table
+    return pack_table(demod_block_pallas_fast(iq, cfg, tile=tile,
+                                              interpret=interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def demod_batch_packed_fast_jit(iq, cfg: DspConfig, tile: int = 16384,
+                                interpret: bool = False):
+    from ..dsp.pipeline import pack_table
+    table = demod_batch_pallas_fast(iq, cfg, tile=tile, interpret=interpret)
+    return jax.vmap(pack_table)(table)
 
 
 def demod_batch_pallas(iq, cfg: DspConfig, tile: int = 16384,

@@ -1,10 +1,16 @@
 """Benchmark: sustained demod throughput (Msamples/s per chip).
 
-Runs the full single-chip demod pipeline (magnitude -> noise floor ->
-preamble detect -> slice -> CRC/ECC -> detection table) over a synthetic
-2 Msps capture containing real Mode S traffic, including host->device
-transfer of the IQ stream and device->host fetch of the detection tables
-(the honest streaming cost).
+Runs the full demod pipeline (magnitude -> noise floor -> preamble detect ->
+slice -> CRC/ECC -> detection table) over a synthetic 2 Msps capture
+containing real Mode S traffic. Two figures:
+
+- primary `value`: per-chip demod throughput with device-resident input
+  blocks, fetch-synced (every call's packed table is pulled to host before
+  it counts) — the kernel capability the BASELINE targets.
+- `streaming_incl_relay_msps`: the same loop but shipping each int8 batch
+  host->device first. In this dev harness the TPU sits behind a zero-egress
+  loopback relay (~6 ms fixed + 30-400 MB/s, high run-to-run variance),
+  which caps this figure far below what PCIe-attached hosts see.
 
 Baseline: the reference (gr-air-modes) sustains real-time on a desktop CPU
 at its highest supported channel rate, 10 Msps (BASELINE.md — no published
@@ -47,76 +53,94 @@ def build_capture(cfg, n_blocks: int, msg_rate_hz: float = 100.0, seed: int = 0)
     return blocks, truth
 
 
+def pick_step(cfg, batch):
+    """Fastest available batched packed step, with fallbacks."""
+    import jax
+    from airmodes.dsp.pipeline import demod_block, pack_table
+    import functools
+
+    candidates = []
+    try:
+        from airmodes.kernels.preamble_pallas import demod_batch_packed_fast_jit
+        candidates.append(("pallas2d-fast", demod_batch_packed_fast_jit))
+    except Exception:
+        pass
+    try:
+        from airmodes.kernels.preamble_pallas import demod_batch_packed_pallas_jit
+        candidates.append(("pallas1d", demod_batch_packed_pallas_jit))
+    except Exception:
+        pass
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def xla_step(xb, cfg):
+        return jax.vmap(lambda x: pack_table(demod_block(x, cfg)))(xb)
+
+    candidates.append(("xla", xla_step))
+    for name, step in candidates:
+        try:
+            out = np.asarray(step(batch[:1], cfg))
+            assert out.shape[0] == 1
+            return name, step
+        except Exception as e:
+            print(f"# {name} unavailable ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    raise RuntimeError("no demod step compiled")
+
+
 def main():
     import jax
-    import numpy as np
     import airmodes
     from airmodes.dsp import host
-    from airmodes.dsp.pipeline import demod_block_packed_jit, unpack_table
+    from airmodes.dsp.pipeline import unpack_table
 
     cfg = airmodes.DspConfig(block_size=1 << 22, max_detections=256)
-    n_blocks = 4
-    blocks, truth = build_capture(cfg, n_blocks)
+    C = 8
+    blocks, truth = build_capture(cfg, C)
+    batch = np.stack(blocks)
 
-    # Prefer the fused Pallas front-end (2x the XLA path on TPU); fall back
-    # to the pure-XLA program if the backend can't compile it.
-    step = demod_block_packed_jit
-    kernel = "xla"
     t0 = time.time()
-    try:
-        from airmodes.kernels.preamble_pallas import demod_block_packed_pallas_jit
-        jax.block_until_ready(demod_block_packed_pallas_jit(blocks[0], cfg))
-        step = demod_block_packed_pallas_jit
-        kernel = "pallas"
-    except Exception as e:
-        print(f"# pallas front-end unavailable ({type(e).__name__}); "
-              "using XLA path", file=sys.stderr)
-        jax.block_until_ready(step(blocks[0], cfg))
+    kernel, step = pick_step(cfg, batch)
     compile_s = time.time() - t0
 
     # correctness gate: the bench capture must decode its injected traffic
+    arr = np.asarray(step(batch, cfg))
     msgs = []
-    for i, b in enumerate(blocks):
-        t = unpack_table(step(b, cfg))
+    for i in range(C):
+        t = unpack_table(arr[i])
         msgs.extend(host.table_to_messages(t, i * cfg.block_size,
                                            cfg.channel_rate))
     want = {t.hex for t in truth}
     got = {m.split()[1] for m in msgs}
     missing = len(want - got)
 
-    # streaming loop — H2D of each int8 block, device demod, one packed D2H
-    # fetch per block, two steps in flight. NOTE: in this dev harness the
-    # TPU sits behind a zero-egress loopback relay (~30-50 MB/s, high
-    # variance), which caps this number far below what PCIe-attached hosts
-    # see; it is reported alongside the per-chip demod figure.
-    iters = 12
+    # streaming loop — H2D of each int8 batch + demod + packed D2H per call
+    iters = 4
     t0 = time.time()
     inflight = []
     for i in range(iters):
-        inflight.append(step(blocks[i % n_blocks], cfg))
-        if len(inflight) > 2:
+        inflight.append(step(batch, cfg))
+        if len(inflight) > 1:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)
     stream_dt = time.time() - t0
-    stream_msps = iters * cfg.block_size / stream_dt / 1e6
+    stream_msps = iters * C * cfg.block_size / stream_dt / 1e6
 
-    # primary metric: sustained per-chip demod throughput (device-resident
-    # blocks, includes the packed table fetch) — the kernel capability the
-    # BASELINE targets, independent of the harness relay.
-    devs = [jax.device_put(b) for b in blocks]
-    jax.block_until_ready(devs)
-    jax.block_until_ready(step(devs[0], cfg))
+    # primary metric: device-resident input, fetch-synced per call
+    dev = jax.device_put(batch)
+    jax.block_until_ready(dev)
+    np.asarray(step(dev, cfg))
+    iters = 10
     t0 = time.time()
     inflight = []
-    for i in range(12):
-        inflight.append(step(devs[i % n_blocks], cfg))
-        if len(inflight) > 2:
+    for i in range(iters):
+        inflight.append(step(dev, cfg))
+        if len(inflight) > 1:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)
     dev_dt = time.time() - t0
-    dev_msps = 12 * cfg.block_size / dev_dt / 1e6
+    dev_msps = iters * C * cfg.block_size / dev_dt / 1e6
 
     baseline_msps = 10.0  # reference real-time ceiling on desktop CPU
     result = {
@@ -126,10 +150,11 @@ def main():
         "vs_baseline": round(dev_msps / baseline_msps, 2),
         "streaming_incl_relay_msps": round(stream_msps, 2),
         "kernel": kernel,
+        "batch_blocks": C,
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} kernel={kernel} "
-          f"compile={compile_s:.1f}s block={cfg.block_size} "
+          f"compile={compile_s:.1f}s block={cfg.block_size} C={C} "
           f"stream={stream_msps:.1f} Msps (wall {stream_dt:.2f}s) "
           f"device={dev_msps:.0f} Msps decoded={len(got)}/{len(want)} "
           f"missing={missing}", file=sys.stderr)

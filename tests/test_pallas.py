@@ -67,6 +67,70 @@ def test_tile_size_invariance():
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
 
 
+def test_fast_path_matches_xla():
+    """2D detect kernel + K-sized gather tail == XLA reference path.
+
+    Float fields are allclose, not bit-equal: `noise` because the fast tail
+    reports the exact trailing-window mean while the jnp path uses a
+    mean-centered-cumsum approximation (<1e-5 relative), `ref_level` because
+    XLA fuses the 4-pulse sum differently inside the 2D kernel (1 ULP).
+    Everything discrete (indices, bits, status) must match exactly.
+    """
+    from airmodes.kernels.preamble_pallas import demod_block_pallas_fast
+    frames = encoder.random_df17_frames(10, seed=80)
+    iq, _ = encoder.make_capture(frames, snr_db=16.0, spacing=3000, seed=80)
+    for block, _ in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        tf = demod_block_pallas_fast(x, CFG, tile=4096, interpret=True)
+        tj = P.demod_block(jax.numpy.asarray(x), CFG)
+        for name, a, b in zip(tf._fields, tf, tj):
+            a, b = np.asarray(a), np.asarray(b)
+            if name == "noise":
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+            elif name == "ref_level":
+                np.testing.assert_allclose(a, b, rtol=1e-5)
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fast_path_int8_input():
+    """Fast path accepts int8 (N, 2) wire format and still decodes."""
+    from airmodes.dsp.host import table_to_messages
+    from airmodes.kernels.preamble_pallas import demod_block_pallas_fast
+    frames = encoder.random_df17_frames(6, seed=81)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=4000,
+                                     seed=81, total_samples=CFG.block_size)
+    want = {t.hex for t in truth}
+    got = set()
+    for block, start in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        peak = float(np.max(np.abs(x))) or 1.0
+        x8 = np.clip(np.round(x * (120.0 / peak)), -127, 127).astype(np.int8)
+        t = demod_block_pallas_fast(x8, CFG, tile=4096, interpret=True)
+        got |= {m.split()[1]
+                for m in table_to_messages(t, start, CFG.channel_rate)}
+    assert want <= got
+
+
+def test_fast_batch_matches_fast_single():
+    from airmodes.kernels.preamble_pallas import (demod_batch_pallas_fast,
+                                                  demod_block_pallas_fast)
+    frames = encoder.random_df17_frames(8, seed=82)
+    iq1, _ = encoder.make_capture(frames, snr_db=18.0, spacing=3000, seed=82,
+                                  total_samples=CFG.block_size)
+    iq2, _ = encoder.make_capture(
+        encoder.random_df17_frames(5, seed=83), snr_db=25.0, spacing=5000,
+        seed=83, total_samples=CFG.block_size)
+    b1 = P.iq_to_device_layout(next(sources.frame_blocks(iq1, CFG))[0])
+    b2 = P.iq_to_device_layout(next(sources.frame_blocks(iq2, CFG))[0])
+    batch = np.stack([b1, b2])
+    tb = demod_batch_pallas_fast(batch, CFG, tile=4096, interpret=True)
+    for c, single in enumerate([b1, b2]):
+        ts = demod_block_pallas_fast(single, CFG, tile=4096, interpret=True)
+        for a, b in zip(ts, tb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[c])
+
+
 def test_batched_pallas_matches_single():
     from airmodes.kernels.preamble_pallas import demod_batch_pallas, demod_block_pallas
     frames = encoder.random_df17_frames(8, seed=72)

@@ -128,6 +128,32 @@ def test_detection_overflow_counter():
     assert stats.preambles >= 12
 
 
+def test_compact_two_stage_matches_dense():
+    """Two-stage grouped compaction == plain top_k on typical masks, and
+    accounts per-group spill into the overflow counter."""
+    from airmodes.dsp.pipeline import compact_detections
+    rng = np.random.default_rng(5)
+    n = 1 << 15
+    mask = np.zeros(n, bool)
+    mask[rng.choice(n, 40, replace=False)] = True
+    det, valid, n_det, ovf = (np.asarray(x) for x in
+                              compact_detections(mask, 64))
+    want = np.flatnonzero(mask)
+    assert list(det[valid == 1]) == list(want)
+    assert int(n_det) == 40 and int(ovf) == 0
+
+    # pathological: 30 hits inside ONE 1024-sample group (> per_group=16)
+    mask2 = np.zeros(n, bool)
+    mask2[2048:2048 + 60:2] = True
+    det2, valid2, n_det2, ovf2 = (np.asarray(x) for x in
+                                  compact_detections(mask2, 64))
+    kept = det2[valid2 == 1]
+    assert int(n_det2) == 30
+    assert len(kept) == 16          # per-group cap
+    assert int(ovf2) == 30 - 16     # spill is accounted, not silent
+    assert list(kept) == list(np.flatnonzero(mask2)[:16])
+
+
 def test_buffered_framer_matches_frame_blocks():
     cfg = DspConfig(block_size=4096)
     rng = np.random.default_rng(10)
