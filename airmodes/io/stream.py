@@ -55,8 +55,17 @@ def run_pipelined(
     if batch > 1 and step is None:
         import jax
         if jax.default_backend() == "tpu":
-            from ..kernels.preamble_pallas import demod_batch_packed_fast_jit
-            step = demod_batch_packed_fast_jit
+            from ..kernels.preamble_pallas import (
+                demod_batch_packed_fast_jit, demod_batch_packed_planar_jit,
+                to_planar_i8)
+
+            def step(xb, cfg):
+                if xb.dtype == np.int8:
+                    # planar split on host (overlapped with device compute
+                    # by the in-flight window) -> traffic-minimal kernel
+                    xi, xq = to_planar_i8(xb, cfg)
+                    return demod_batch_packed_planar_jit(xi, xq, cfg)
+                return demod_batch_packed_fast_jit(xb, cfg)
         else:
             from ..dsp.pipeline import demod_block, pack_table
             import functools

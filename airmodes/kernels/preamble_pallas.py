@@ -172,9 +172,11 @@ def _shift2d(x, k: int, row0: int, nrows: int):
     """(nrows, 128) view of x at sample offset k from rows [row0, row0+nrows).
 
     Mosaic cannot lower ragged lane concats, so the row borrow is a cyclic
-    lane roll plus a one-row roll selected per lane (all supported ops).
-    Callers must keep [row0, row0+nrows) away from the array edges by one
-    row, since the row roll wraps there.
+    lane roll plus a static one-row-offset slice selected per lane. The
+    slice needs one margin row: row0 >= 1 for k < 0, row0 + nrows < rows
+    for k > 0 — every call site carries that margin (it was already
+    required to keep clear of the old full-array row-roll's wraparound,
+    which cost a second full VMEM pass per shift).
     """
     if k == 0:
         return x[row0: row0 + nrows]
@@ -184,13 +186,13 @@ def _shift2d(x, k: int, row0: int, nrows: int):
     # pltpu.roll wants non-negative shifts; use the modular equivalents
     z = pltpu.roll(x, (128 - k) % 128, axis=1)  # z[r, c] = x[r, (c+k) % 128]
     if k > 0:
-        zn = pltpu.roll(z, rows - 1, axis=0)    # next row
+        assert row0 + nrows < rows
         y = jnp.where(lane < 128 - k, z[row0: row0 + nrows],
-                      zn[row0: row0 + nrows])
+                      z[row0 + 1: row0 + 1 + nrows])   # next row
     else:
-        zp = pltpu.roll(z, 1, axis=0)           # previous row
+        assert row0 >= 1
         y = jnp.where(lane >= -k, z[row0: row0 + nrows],
-                      zp[row0: row0 + nrows])
+                      z[row0 - 1: row0 - 1 + nrows])   # previous row
     return y
 
 
@@ -311,15 +313,19 @@ def _detect_body(xi, xq, mask_ref, ref_ref, *, cfg, tile, wl, half, sps):
     ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
     nf = jax.lax.slice_in_dim(ws, base - 128, base - 128 + ext) * (1.0 / 128.0)
     thresh = jnp.float32(cfg.threshold)
-    ok = pulses[0] > nf * thresh
-    ok &= pulses[0] >= sl(-1)
+    ok = pulses[0] >= sl(-1)
     ok &= pulses[0] > sl(1)
+    # all-pulse threshold/tolerance tests fold into one min-compare
+    pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
+                       jnp.minimum(pulses[2], pulses[3]))
     ptol = jnp.float32(cfg.pulse_tolerance)
-    for p in pulses:
-        ok &= (p > nf * thresh) & (p > ref * ptol)
+    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # all-quiet tests fold into one max-compare
     qtol = jnp.float32(cfg.quiet_tolerance)
-    for q in PREAMBLE_QUIET_CHIPS:
-        ok &= sl(q * sps) < ref * qtol
+    quiet = sl(PREAMBLE_QUIET_CHIPS[0] * sps)
+    for q in PREAMBLE_QUIET_CHIPS[1:]:
+        quiet = jnp.maximum(quiet, sl(q * sps))
+    ok &= quiet < ref * qtol
     score = jnp.where(ok, ref, 0.0)
     owned = jax.lax.slice_in_dim(score, half, half + tile)
     left_max = jnp.zeros_like(owned)
@@ -400,6 +406,14 @@ def _detect_kernel_2d_b(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems,
 
 
 def _detect_body_2d(xi, xq, mask_ref, ref_ref, *, cfg: DspConfig, tile: int):
+    keep, ref_owned = _detect_keep_2d(xi, xq, cfg=cfg, tile=tile)
+    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
+    ref_ref[:] = ref_owned
+
+
+def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
+    """Shared 2D detect logic: (rows_w, 128) f32 I/Q windows ->
+    (keep bool (trows, 128), ref f32 (trows, 128)) over the owned tile."""
     sps = cfg.sps
     half = cfg.nms_chips * sps
     trows = tile // 128
@@ -427,15 +441,19 @@ def _detect_body_2d(xi, xq, mask_ref, ref_ref, *, cfg: DspConfig, tile: int):
     nf = ws[0:nrows] * (1.0 / 128.0)                # ws[r-1, c] for row r
     thresh = jnp.float32(cfg.threshold)
 
-    ok = pulses[0] > nf * thresh
-    ok &= pulses[0] >= _shift2d(m, -1, 1, nrows)
+    ok = pulses[0] >= _shift2d(m, -1, 1, nrows)
     ok &= pulses[0] > _shift2d(m, 1, 1, nrows)
+    # all-pulse threshold/tolerance tests fold into one min-compare
+    pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
+                       jnp.minimum(pulses[2], pulses[3]))
     ptol = jnp.float32(cfg.pulse_tolerance)
-    for p in pulses:
-        ok &= (p > nf * thresh) & (p > ref * ptol)
+    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # all-quiet tests fold into one max-compare
     qtol = jnp.float32(cfg.quiet_tolerance)
-    for q in PREAMBLE_QUIET_CHIPS:
-        ok &= _shift2d(m, q * sps, 1, nrows) < ref * qtol
+    quiet = _shift2d(m, PREAMBLE_QUIET_CHIPS[0] * sps, 1, nrows)
+    for q in PREAMBLE_QUIET_CHIPS[1:]:
+        quiet = jnp.maximum(quiet, _shift2d(m, q * sps, 1, nrows))
+    ok &= quiet < ref * qtol
 
     score = jnp.where(ok, ref, 0.0)                 # rows 1..1+nrows
 
@@ -447,8 +465,7 @@ def _detect_body_2d(xi, xq, mask_ref, ref_ref, *, cfg: DspConfig, tile: int):
         right_max = jnp.maximum(right_max, _shift2d(score, d, 1, trows))
     keep = ok[1: 1 + trows] & (owned > left_max) & (owned >= right_max)
 
-    mask_ref[:] = jnp.where(keep, jnp.int32(1), jnp.int32(0))
-    ref_ref[:] = ref[1: 1 + trows]
+    return keep, ref[1: 1 + trows]
 
 
 def preamble_detect_pallas_2d_batch(iq, cfg: DspConfig, tile: int = 16384,
@@ -660,4 +677,245 @@ def demod_batch_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
     """Batched demod + per-block packing: (C, L+N+R, 2) -> (C, K+1, 14)."""
     from ..dsp.pipeline import pack_table
     table = demod_batch_pallas(iq, cfg, tile=tile, interpret=interpret)
+    return jax.vmap(pack_table)(table)
+
+
+# -----------------------------------------------------------------------------
+# v3: traffic-minimal planar-int8 path with in-kernel candidate compaction
+# -----------------------------------------------------------------------------
+#
+# The dev chip sustains only ~35-40 GB/s per direction of HBM traffic
+# (scripts/tpu_bw_probe.py), so the fast path's ~38 B/sample (f32 planar
+# prep + full-block int32 mask + f32 ref outputs + compaction reads) is the
+# whole cost. This path cuts it to ~3 B/sample:
+#   - the host ships PLANAR int8 I and Q streams (no XLA prep, no f32
+#     intermediates); the kernel DMAs int8 and converts in VMEM
+#   - the kernel compacts in-kernel: per 128-lane column it extracts the
+#     first 4 hit row-indices (sublane min-reductions) + a count, writing
+#     ONE (8, 128) int32 block per tile instead of full-block mask+ref
+#   - the K-sized tail recomputes ref_level from its own gathered window
+#     (identical f32 op order -> identical floats)
+# Capacity accounting: >4 hits in one (tile-row, lane) column or >16 per
+# tile are physically pathological (NMS enforces spacing); spills are
+# counted into n_overflow, never silent.
+
+_LOOKBACK_ROWS = _LOOKBACK // 128          # 2
+_HALO_ROWS_I8 = 30                         # rows_w = trows + 32 (int8 tiling)
+CAND_PER_LANE = 4
+CAND_ROWS = 8                              # (8, 128) min f32/i32 block tile
+
+
+def _planar_geometry(cfg: DspConfig, tile: int):
+    trows = tile // 128
+    rows_w = _LOOKBACK_ROWS + trows + _HALO_ROWS_I8
+    assert rows_w % 32 == 0 and trows % 32 == 0, (
+        "int8 (32,128) tiling: tile must be a multiple of 4096")
+    tiles = cfg.block_size // tile
+    needed_rows = (tiles - 1) * trows + rows_w
+    stride_rows = -(-needed_rows // 32) * 32
+    return trows, rows_w, tiles, stride_rows
+
+
+def planar_length(cfg: DspConfig, tile: int = 16384) -> int:
+    """Per-channel padded sample count the planar path expects from the host."""
+    _, _, _, stride_rows = _planar_geometry(cfg, tile)
+    return stride_rows * 128
+
+
+def to_planar_i8(blocks: np.ndarray, cfg: DspConfig, tile: int = 16384):
+    """Host-side: (C, L+N+R, 2) int8 (or (L+N+R, 2)) -> padded planar
+    (C, P) int8 I and Q arrays for demod_batch_packed_planar_jit."""
+    x = np.asarray(blocks, dtype=np.int8)
+    if x.ndim == 2:
+        x = x[None]
+    p = planar_length(cfg, tile)
+    out_i = np.zeros((x.shape[0], p), np.int8)
+    out_q = np.zeros((x.shape[0], p), np.int8)
+    n = min(x.shape[1], p)
+    out_i[:, :n] = x[:, :n, 0]
+    out_q[:, :n] = x[:, :n, 1]
+    return out_i, out_q
+
+
+def _extract_cands(keep, trows: int):
+    """(trows, 128) bool -> (8, 128) int32: rows 0..3 = row-index of the
+    j-th hit per lane (sentinel trows), row 4 = per-lane hit count."""
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 0)
+    sent = jnp.int32(trows)
+    cand = jnp.where(keep, rowidx, sent)
+    rows = []
+    for _ in range(CAND_PER_LANE):
+        cj = jnp.min(cand, axis=0, keepdims=True)          # (1, 128)
+        rows.append(cj)
+        cand = jnp.where(cand == cj, sent, cand)
+    count = jnp.sum(keep.astype(jnp.int32), axis=0, keepdims=True)
+    zero = jnp.zeros_like(count)
+    rows += [count] + [zero] * (CAND_ROWS - CAND_PER_LANE - 1)
+    return jnp.concatenate(rows, axis=0)                   # (8, 128)
+
+
+def _detect_kernel_cands_i8(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
+                            cfg: DspConfig, tile: int, stride_rows: int):
+    trows, rows_w, tiles, _ = _planar_geometry(cfg, tile)
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = pl.multiple_of(c * stride_rows + i * trows, 32)
+    dma_i = pltpu.make_async_copy(
+        i_hbm.at[pl.ds(row0, rows_w), :], win_i, sems.at[0])
+    dma_q = pltpu.make_async_copy(
+        q_hbm.at[pl.ds(row0, rows_w), :], win_q, sems.at[1])
+    dma_i.start()
+    dma_q.start()
+    dma_i.wait()
+    dma_q.wait()
+    scale = jnp.float32(1.0 / 127.0)
+    xi = win_i[:].astype(jnp.float32) * scale
+    xq = win_q[:].astype(jnp.float32) * scale
+    keep, _ = _detect_keep_2d(xi, xq, cfg=cfg, tile=tile)
+    out_ref[:] = _extract_cands(keep, trows)
+
+
+def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
+                                 interpret: bool = False):
+    """(C, P) int8 planar I/Q (P = planar_length(cfg, tile)) ->
+    (C, tiles, 8, 128) int32 candidate blocks."""
+    assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
+    assert cfg.left_halo == _LOOKBACK
+    n = cfg.block_size
+    assert n % tile == 0
+    trows, rows_w, tiles, stride_rows = _planar_geometry(cfg, tile)
+    batch = xi8.shape[0]
+    p = stride_rows * 128
+    assert xi8.shape == (batch, p) and xq8.shape == (batch, p), (
+        "host must supply planar_length()-padded planar int8 arrays")
+
+    ri = xi8.reshape(batch * stride_rows, 128)
+    rq = xq8.reshape(batch * stride_rows, 128)
+    kern = functools.partial(_detect_kernel_cands_i8, cfg=cfg, tile=tile,
+                             stride_rows=stride_rows)
+    cands = pl.pallas_call(
+        kern,
+        grid=(batch, tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=jax.ShapeDtypeStruct((batch * tiles * CAND_ROWS, 128),
+                                       jnp.int32),
+        out_specs=pl.BlockSpec((CAND_ROWS, 128),
+                               lambda c, i: (c * tiles + i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rows_w, 128), jnp.int8),
+                        pltpu.VMEM((rows_w, 128), jnp.int8),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(ri, rq)
+    return cands.reshape(batch, tiles, CAND_ROWS, 128)
+
+
+def compact_candidates(cands, cfg: DspConfig, tile: int,
+                       per_tile: int = 16):
+    """(tiles, 8, 128) int32 candidate blocks -> earliest-K detection
+    indices (ascending), valid mask, total count, overflow.
+
+    Two-stage: per-tile earliest-`per_tile`, then a global earliest-K over
+    tiles*per_tile survivors; spills (per-lane > 4 or per-tile > per_tile)
+    land in the overflow counter via n_det - kept."""
+    trows = tile // 128
+    tiles = cands.shape[0]
+    n = cfg.block_size
+    r = cands[:, :CAND_PER_LANE, :]                     # (tiles, 4, 128)
+    count = cands[:, CAND_PER_LANE, :]                  # (tiles, 128)
+    lane = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    tbase = (jnp.arange(tiles, dtype=jnp.int32) * tile)[:, None, None]
+    idx = tbase + r * 128 + lane                        # valid iff r < trows
+    score = jnp.where(r < trows, n - idx, 0).reshape(tiles, -1)
+    sv, si = jax.lax.top_k(score, per_tile)             # (tiles, per_tile)
+    flat_idx = idx.reshape(tiles, -1)
+    cand_idx = jnp.take_along_axis(flat_idx, si, axis=1).reshape(-1)
+    v2, i2 = jax.lax.top_k(sv.reshape(-1), cfg.max_detections)
+    valid = v2 > 0
+    det_idx = jnp.where(valid, cand_idx[i2], -1)
+    n_det = jnp.sum(count)
+    overflow = n_det - jnp.sum(valid.astype(jnp.int32))
+    return det_idx, valid, n_det, overflow
+
+
+def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
+                       cfg: DspConfig):
+    """K-sized tail on planar int8 streams; recomputes ref_level from the
+    gathered window with the same f32 op order as the detect kernel."""
+    from ..dsp import pipeline as P
+
+    sps = cfg.sps
+    left = cfg.left_halo
+    nw = cfg.noise_window
+    W = nw + 242 * sps
+    scale = jnp.float32(1.0 / 127.0)
+
+    safe_idx = jnp.where(valid, det_idx, 0)
+    start = left + safe_idx - nw                        # >= 128 > 0
+    wi = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xi8, (s,), (W,)))(start)
+    wq = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xq8, (s,), (W,)))(start)
+    fi = wi.astype(jnp.float32) * scale
+    fq = wq.astype(jnp.float32) * scale
+    w2 = fi * fi + fq * fq                              # (K, W)
+
+    noise_at = jnp.mean(w2[:, :nw], axis=1)
+
+    # chip energies over the whole window, same fold order as the kernel
+    if sps == 1:
+        ce = w2
+    else:
+        ce_len = W - (sps - 1)
+        ce = sum(jax.lax.slice_in_dim(w2, s, s + ce_len, axis=1)
+                 for s in range(sps)) * (1.0 / sps)
+
+    # reference level: mean of the 4 preamble pulse chip energies
+    p = [ce[:, nw + c * sps] for c in PREAMBLE_PULSE_CHIPS]
+    ref_level = (p[0] + p[1] + p[2] + p[3]) * 0.25
+
+    # data chips 16..240 of the event
+    n_chips = 224
+    chip0 = nw + 16 * sps
+    energies = jax.lax.slice_in_dim(ce, chip0, chip0 + n_chips * sps,
+                                    axis=1)[:, ::sps]
+    e0 = energies[:, 0::2]
+    e1 = energies[:, 1::2]
+    bits = e0 > e1
+    level = ref_level[:, None] * jnp.float32(cfg.confidence_level)
+    confidence = jnp.logical_xor(e0 > level, e1 > level)
+
+    out_bits, df, nbits, synd, status = P.crc_check_and_correct(
+        bits, confidence, cfg)
+    status = jnp.where(valid, status, P.STATUS_FAIL)
+    return P.DetectionTable(
+        index=jnp.where(valid, det_idx, -1),
+        bits=out_bits.astype(jnp.uint8),
+        df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
+        status=status, ref_level=ref_level, noise=noise_at,
+        n_detected=n_det, n_overflow=overflow)
+
+
+def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
+                       interpret: bool = False):
+    """Planar-int8 batched demod: (C, P) x2 -> DetectionTable (leading C)."""
+    cands = preamble_detect_cands_planar(xi8, xq8, cfg, tile=tile,
+                                         interpret=interpret)
+
+    def tail(xi_c, xq_c, cands_c):
+        det_idx, valid, n_det, ovf = compact_candidates(cands_c, cfg, tile)
+        return gather_tail_planar(xi_c, xq_c, det_idx, valid, n_det, ovf,
+                                  cfg)
+
+    return jax.vmap(tail)(xi8, xq8, cands)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
+                                  tile: int = 16384,
+                                  interpret: bool = False):
+    """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 14) int32."""
+    from ..dsp.pipeline import pack_table
+    table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret)
     return jax.vmap(pack_table)(table)

@@ -29,12 +29,14 @@ import numpy as np
 def build_capture(cfg, n_blocks: int, msg_rate_hz: float = 100.0, seed: int = 0):
     """Synthetic capture with a realistic message density (~100 msg/s).
 
-    Blocks ship as int8 (I,Q) pairs — the SDR's native quantization and 4x
-    less host->device traffic than float32; the device rescales.
+    Blocks ship as PLANAR int8 I and Q streams — the SDR's native
+    quantization (4x less host->device traffic than float32) in the layout
+    the traffic-minimal kernel DMAs directly; the device rescales.
     """
     from airmodes.testing import encoder
     from airmodes.io import sources
     from airmodes.dsp.pipeline import iq_to_device_layout
+    from airmodes.kernels.preamble_pallas import planar_length
 
     total = n_blocks * cfg.block_size
     duration_s = total / cfg.channel_rate
@@ -46,45 +48,64 @@ def build_capture(cfg, n_blocks: int, msg_rate_hz: float = 100.0, seed: int = 0)
         seed=seed, total_samples=total)
     peak = float(np.max(np.abs(iq))) or 1.0
     scale = 120.0 / peak
-    blocks = []
-    for b, _ in sources.frame_blocks(iq, cfg):
+    p = planar_length(cfg)
+    xi = np.zeros((n_blocks, p), np.int8)
+    xq = np.zeros((n_blocks, p), np.int8)
+    for k, (b, _) in enumerate(sources.frame_blocks(iq, cfg)):
         f = iq_to_device_layout(b)
-        blocks.append(np.clip(np.round(f * scale), -127, 127).astype(np.int8))
-    return blocks, truth
+        n = f.shape[0]
+        xi[k, :n] = np.clip(np.round(f[:, 0] * scale), -127, 127)
+        xq[k, :n] = np.clip(np.round(f[:, 1] * scale), -127, 127)
+    return xi, xq, truth
 
 
-def pick_step(cfg, batch):
-    """Fastest available batched packed step, with fallbacks."""
+def pick_step(cfg, xi, xq):
+    """Fastest available batched packed step, with fallbacks.
+
+    Returns (name, step) where step takes the planar (C, P) int8 pair."""
     import jax
     from airmodes.dsp.pipeline import demod_block, pack_table
     import functools
 
     candidates = []
     try:
-        from airmodes.kernels.preamble_pallas import demod_batch_packed_fast_jit
-        candidates.append(("pallas2d-fast", demod_batch_packed_fast_jit))
+        from airmodes.kernels.preamble_pallas import (
+            demod_batch_packed_planar_jit)
+        candidates.append(
+            ("pallas-planar-i8",
+             lambda a, b, cfg: demod_batch_packed_planar_jit(a, b, cfg)))
     except Exception:
         pass
     try:
-        from airmodes.kernels.preamble_pallas import demod_batch_packed_pallas_jit
-        candidates.append(("pallas1d", demod_batch_packed_pallas_jit))
+        from airmodes.kernels.preamble_pallas import demod_batch_packed_fast_jit
+        candidates.append(
+            ("pallas2d-fast",
+             lambda a, b, cfg: demod_batch_packed_fast_jit(
+                 jnp_stack_iq(a, b), cfg)))
     except Exception:
         pass
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
-    def xla_step(xb, cfg):
-        return jax.vmap(lambda x: pack_table(demod_block(x, cfg)))(xb)
+    def xla_step(a, b, cfg):
+        return jax.vmap(
+            lambda x: pack_table(demod_block(x, cfg)))(jnp_stack_iq(a, b))
 
     candidates.append(("xla", xla_step))
     for name, step in candidates:
         try:
-            out = np.asarray(step(batch[:1], cfg))
+            out = np.asarray(step(xi[:1], xq[:1], cfg))
             assert out.shape[0] == 1
             return name, step
         except Exception as e:
             print(f"# {name} unavailable ({type(e).__name__}: {e})",
                   file=sys.stderr)
     raise RuntimeError("no demod step compiled")
+
+
+def jnp_stack_iq(a, b):
+    """Planar (C, P) int8 pair -> interleaved (C, P, 2) for legacy steps."""
+    import jax.numpy as jnp
+    return jnp.stack([jnp.asarray(a), jnp.asarray(b)], axis=-1)
 
 
 def main():
@@ -102,18 +123,17 @@ def main():
 
     cfg = airmodes.DspConfig(block_size=1 << 22, max_detections=256)
     C = 16
-    blocks, truth = build_capture(cfg, C)
-    batch = np.stack(blocks)
+    xi, xq, truth = build_capture(cfg, C)
 
     t0 = time.time()
-    kernel, step = pick_step(cfg, batch)
+    kernel, step = pick_step(cfg, xi, xq)
     compile_s = time.time() - t0
 
     # correctness gate: the bench capture must decode its injected traffic.
     # At 15 dB SNR an occasional message is genuinely marginal (the CPU
     # reference path misses the same ones — verified), so the gate is
     # >= 99.9% rather than exact.
-    arr = np.asarray(step(batch, cfg))
+    arr = np.asarray(step(xi, xq, cfg))
     msgs = []
     for i in range(C):
         t = unpack_table(arr[i])
@@ -128,7 +148,7 @@ def main():
     t0 = time.time()
     inflight = []
     for i in range(iters):
-        inflight.append(step(batch, cfg))
+        inflight.append(step(xi, xq, cfg))
         if len(inflight) > 1:
             np.asarray(inflight.pop(0))
     for o in inflight:
@@ -137,14 +157,15 @@ def main():
     stream_msps = iters * C * cfg.block_size / stream_dt / 1e6
 
     # primary metric: device-resident input, fetch-synced per call
-    dev = jax.device_put(batch)
-    jax.block_until_ready(dev)
-    np.asarray(step(dev, cfg))
+    di = jax.device_put(xi)
+    dq = jax.device_put(xq)
+    jax.block_until_ready((di, dq))
+    np.asarray(step(di, dq, cfg))
     iters = 10
     t0 = time.time()
     inflight = []
     for i in range(iters):
-        inflight.append(step(dev, cfg))
+        inflight.append(step(di, dq, cfg))
         if len(inflight) > 1:
             np.asarray(inflight.pop(0))
     for o in inflight:

@@ -131,6 +131,54 @@ def test_fast_batch_matches_fast_single():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[c])
 
 
+def test_planar_path_matches_fast():
+    """v3 planar-int8 path (in-kernel candidate compaction, tail-recomputed
+    ref_level) is bit-identical to the fast path on int8 input — discrete
+    fields AND ref_level (same f32 op order by construction)."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_pallas_fast, demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(16, seed=90)
+    iq, truth = encoder.make_capture(frames, snr_db=14.0, spacing=2500,
+                                     seed=90)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        peak = float(np.max(np.abs(x))) or 1.0
+        blocks.append(np.clip(np.round(x * (120.0 / peak)), -127, 127)
+                      .astype(np.int8))
+    batch = np.stack(blocks)
+    xi, xq = to_planar_i8(batch, CFG, tile=4096)
+    tp = demod_batch_planar(xi, xq, CFG, tile=4096, interpret=True)
+    tf = demod_batch_pallas_fast(batch, CFG, tile=4096, interpret=True)
+    for name, a, b in zip(tp._fields, tp, tf):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "noise":
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-9)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_planar_decodes_ground_truth():
+    from airmodes.dsp.host import table_to_messages
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(6, seed=91)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=4000,
+                                     seed=91, total_samples=CFG.block_size)
+    want = {t.hex for t in truth}
+    got = set()
+    for block, start in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        peak = float(np.max(np.abs(x))) or 1.0
+        x8 = np.clip(np.round(x * (120.0 / peak)), -127, 127).astype(np.int8)
+        xi, xq = to_planar_i8(x8, CFG, tile=4096)
+        t = demod_batch_planar(xi, xq, CFG, tile=4096, interpret=True)
+        one = type(t)(*(np.asarray(f)[0] for f in t))
+        got |= {m.split()[1]
+                for m in table_to_messages(one, start, CFG.channel_rate)}
+    assert want <= got
+
+
 def test_batched_pallas_matches_single():
     from airmodes.kernels.preamble_pallas import demod_batch_pallas, demod_block_pallas
     frames = encoder.random_df17_frames(8, seed=72)
