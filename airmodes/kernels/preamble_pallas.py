@@ -775,10 +775,63 @@ def _detect_kernel_cands_i8(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
     out_ref[:] = _extract_cands(keep, trows)
 
 
+def _detect_kernel_cands_i8_db(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
+                               cfg: DspConfig, tile: int, stride_rows: int,
+                               nsteps: int, nbuf: int):
+    """Prefetching variant: grid is flat (batch*tiles,); each step starts
+    the window DMA for step g+nbuf-1 into a rotating VMEM slot before
+    waiting on its own, keeping nbuf-1 input DMAs in flight — this hides
+    the per-DMA issue latency that dominates the serial kernel (the detect
+    compute itself is ~1 us per 16K-sample tile)."""
+    trows, rows_w, tiles, _ = _planar_geometry(cfg, tile)
+    g = pl.program_id(0)
+    slot = jax.lax.rem(g, nbuf)
+
+    def copies(slot_s, step):
+        c = step // tiles
+        i = step - c * tiles
+        row0 = pl.multiple_of(c * stride_rows + i * trows, 32)
+        return (
+            pltpu.make_async_copy(i_hbm.at[pl.ds(row0, rows_w), :],
+                                  win_i.at[slot_s], sems.at[slot_s, 0]),
+            pltpu.make_async_copy(q_hbm.at[pl.ds(row0, rows_w), :],
+                                  win_q.at[slot_s], sems.at[slot_s, 1]))
+
+    # warmup: step 0 issues DMAs for steps 0..nbuf-2 (static unroll)
+    @pl.when(g == 0)
+    def _():
+        for s in range(min(nbuf - 1, nsteps)):
+            for dma in copies(s % nbuf, g + s):
+                dma.start()
+
+    # steady state: issue the DMA nbuf-1 steps ahead
+    @pl.when(g + nbuf - 1 < nsteps)
+    def _():
+        for dma in copies(jax.lax.rem(g + nbuf - 1, nbuf), g + nbuf - 1):
+            dma.start()
+
+    for dma in copies(slot, g):
+        dma.wait()
+
+    scale = jnp.float32(1.0 / 127.0)
+    xi = win_i[0].astype(jnp.float32)
+    xq = win_q[0].astype(jnp.float32)
+    for s in range(1, nbuf):
+        xi = jnp.where(slot == s, win_i[s].astype(jnp.float32), xi)
+        xq = jnp.where(slot == s, win_q[s].astype(jnp.float32), xq)
+    keep, _ = _detect_keep_2d(xi * scale, xq * scale, cfg=cfg, tile=tile)
+    out_ref[:] = _extract_cands(keep, trows)
+
+
 def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 double_buffer: bool = False,
+                                 nbuf: int = 1):
     """(C, P) int8 planar I/Q (P = planar_length(cfg, tile)) ->
-    (C, tiles, 8, 128) int32 candidate blocks."""
+    (C, tiles, 8, 128) int32 candidate blocks.
+
+    nbuf > 1 (or double_buffer=True, an alias for nbuf=2) selects the
+    prefetching kernel with nbuf rotating window slots."""
     assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
     assert cfg.left_halo == _LOOKBACK
     n = cfg.block_size
@@ -789,23 +842,39 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
     assert xi8.shape == (batch, p) and xq8.shape == (batch, p), (
         "host must supply planar_length()-padded planar int8 arrays")
 
+    if double_buffer and nbuf == 1:
+        nbuf = 2
     ri = xi8.reshape(batch * stride_rows, 128)
     rq = xq8.reshape(batch * stride_rows, 128)
-    kern = functools.partial(_detect_kernel_cands_i8, cfg=cfg, tile=tile,
-                             stride_rows=stride_rows)
+    if nbuf > 1:
+        kern = functools.partial(
+            _detect_kernel_cands_i8_db, cfg=cfg, tile=tile,
+            stride_rows=stride_rows, nsteps=batch * tiles, nbuf=nbuf)
+        grid = (batch * tiles,)
+        out_spec = pl.BlockSpec((CAND_ROWS, 128), lambda g: (g, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((nbuf, rows_w, 128), jnp.int8),
+                   pltpu.VMEM((nbuf, rows_w, 128), jnp.int8),
+                   pltpu.SemaphoreType.DMA((nbuf, 2))]
+    else:
+        kern = functools.partial(_detect_kernel_cands_i8, cfg=cfg, tile=tile,
+                                 stride_rows=stride_rows)
+        grid = (batch, tiles)
+        out_spec = pl.BlockSpec((CAND_ROWS, 128),
+                                lambda c, i: (c * tiles + i, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((rows_w, 128), jnp.int8),
+                   pltpu.VMEM((rows_w, 128), jnp.int8),
+                   pltpu.SemaphoreType.DMA((2,))]
     cands = pl.pallas_call(
         kern,
-        grid=(batch, tiles),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_shape=jax.ShapeDtypeStruct((batch * tiles * CAND_ROWS, 128),
                                        jnp.int32),
-        out_specs=pl.BlockSpec((CAND_ROWS, 128),
-                               lambda c, i: (c * tiles + i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((rows_w, 128), jnp.int8),
-                        pltpu.VMEM((rows_w, 128), jnp.int8),
-                        pltpu.SemaphoreType.DMA((2,))],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(ri, rq)
     return cands.reshape(batch, tiles, CAND_ROWS, 128)
@@ -898,10 +967,13 @@ def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
 
 
 def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
-                       interpret: bool = False):
+                       interpret: bool = False, double_buffer: bool = False,
+                       nbuf: int = 1):
     """Planar-int8 batched demod: (C, P) x2 -> DetectionTable (leading C)."""
     cands = preamble_detect_cands_planar(xi8, xq8, cfg, tile=tile,
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         double_buffer=double_buffer,
+                                         nbuf=nbuf)
 
     def tail(xi_c, xq_c, cands_c):
         det_idx, valid, n_det, ovf = compact_candidates(cands_c, cfg, tile)
@@ -911,11 +983,15 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
     return jax.vmap(tail)(xi8, xq8, cands)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret",
+                                              "double_buffer", "nbuf"))
 def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
                                   tile: int = 16384,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  double_buffer: bool = False,
+                                  nbuf: int = 1):
     """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 14) int32."""
     from ..dsp.pipeline import pack_table
-    table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret)
+    table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret,
+                               double_buffer=double_buffer, nbuf=nbuf)
     return jax.vmap(pack_table)(table)
