@@ -323,15 +323,31 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     flip1 = jnp.argmax(match1, axis=1)                                     # first match
 
     # --- two-bit correction: syndrome ^ rows[i] == rows[j], i < j ---
-    t = synd[:, None] ^ rows                                               # (K, 112)
-    pair = (t[:, :, None] == rows[:, None, :])                             # (K, 112, 112)
-    pair &= lowconf[:, :, None] & lowconf[:, None, :]
-    pair &= lane[None, :, None] < lane[None, None, :]
-    has2 = jnp.any(pair, axis=(1, 2))
-    pair_flat = pair.reshape(k, -1)
-    first_pair = jnp.argmax(pair_flat, axis=1)
-    flip2_i = first_pair // 112
-    flip2_j = first_pair % 112
+    # Pair flips are only accepted when n_lowconf <= cfg.max_lowconf_bits
+    # (ecc_allowed below), so it suffices to extract the first L low-
+    # confidence positions and test the C(L, 2) static pairs — L*(L-1)/2
+    # per-detection XOR compares instead of the (K, 112, 112) all-pairs
+    # tensor (which cost ~0.4 ms per 4M-sample block on TPU). Pair
+    # correction only applies to long frames (DF17/18), so rows112 is
+    # used unconditionally; short-frame lanes are masked by ecc_allowed.
+    L = int(cfg.max_lowconf_bits)
+    cand = jnp.where(lowconf, lane[None, :], 112)
+    ps, rowsp = [], []
+    for _ in range(L):
+        p = jnp.min(cand, axis=1)                                          # (K,)
+        ps.append(p)
+        rowsp.append(rows112[jnp.clip(p, 0, 111)])
+        cand = jnp.where(cand == p[:, None], 112, cand)
+    has2 = jnp.zeros((k,), bool)
+    flip2_i = jnp.zeros((k,), jnp.int32)
+    flip2_j = jnp.zeros((k,), jnp.int32)
+    for a in range(L):
+        for b in range(a + 1, L):
+            # positions ascending: ps[b] < 112 implies ps[a] < 112
+            m = (ps[b] < 112) & ((rowsp[a] ^ rowsp[b]) == synd) & ~has2
+            flip2_i = jnp.where(m, ps[a], flip2_i)
+            flip2_j = jnp.where(m, ps[b], flip2_j)
+            has2 |= m
 
     ecc_allowed = (df == 17) | (df == 18)
     ecc_allowed &= n_lowconf <= cfg.max_lowconf_bits

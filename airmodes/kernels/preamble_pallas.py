@@ -196,6 +196,34 @@ def _shift2d(x, k: int, row0: int, nrows: int):
     return y
 
 
+def _wmax_levels(w: int) -> int:
+    """Number of shifted-max steps (rows consumed) in _window_max2d(., w)."""
+    levels, p = 0, 1
+    while 2 * p <= w:
+        p *= 2
+        levels += 1
+    return levels + (1 if p < w else 0)
+
+
+def _window_max2d(x, w: int):
+    """Running max over sample offsets {0..w-1}: log-doubling plus one
+    overlapped tail step (max is idempotent, so overlap is exact).
+    Consumes _wmax_levels(w) rows off the top of x."""
+    if w == 1:
+        return x
+    p = 1
+    win = x
+    nr = x.shape[0]
+    while 2 * p <= w:
+        nr -= 1
+        win = jnp.maximum(win[:nr], _shift2d(win, p, 0, nr))
+        p *= 2
+    if p < w:
+        nr -= 1
+        win = jnp.maximum(win[:nr], _shift2d(win, w - p, 0, nr))
+    return win
+
+
 def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
                       cfg: DspConfig, tile: int):
     rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
@@ -434,8 +462,13 @@ def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
                 for s in range(sps)) * (1.0 / sps)
 
     # candidate tests for rows [1, 1 + nrows); the owned tile is rows
-    # [2, 2 + trows), one margin row each side for NMS shifts
-    nrows = trows + 2
+    # [2, 2 + trows) of m-space = rows [1, 1 + trows) of the test arrays.
+    # Extra rows past the old trows+2 give the doubled NMS fold its
+    # row-borrow margin (max over a window is computed by log-doubling;
+    # f32 max is associative and idempotent, so the folds are
+    # bit-identical to the one-shift-per-offset form they replace at
+    # ~1/3 the VPU passes).
+    nrows = trows + 2 + _wmax_levels(half)
     pulses = [_shift2d(m, c * sps, 1, nrows) for c in PREAMBLE_PULSE_CHIPS]
     ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
     nf = ws[0:nrows] * (1.0 / 128.0)                # ws[r-1, c] for row r
@@ -448,21 +481,30 @@ def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
                        jnp.minimum(pulses[2], pulses[3]))
     ptol = jnp.float32(cfg.pulse_tolerance)
     ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
-    # all-quiet tests fold into one max-compare
+    # all-quiet tests fold into one max-compare; consecutive-chip runs
+    # ({3..6}, {10..15}) come from doubled running maxes of m:
+    #   q2[r] = max(m@0, m@sps), q4 = max over 4 consecutive chips
     qtol = jnp.float32(cfg.quiet_tolerance)
-    quiet = _shift2d(m, PREAMBLE_QUIET_CHIPS[0] * sps, 1, nrows)
-    for q in PREAMBLE_QUIET_CHIPS[1:]:
-        quiet = jnp.maximum(quiet, _shift2d(m, q * sps, 1, nrows))
+    assert PREAMBLE_QUIET_CHIPS == (1, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15)
+    nq2 = m.shape[0] - 1
+    q2 = jnp.maximum(m[:nq2], _shift2d(m, sps, 0, nq2))
+    nq4 = nq2 - 1
+    q4 = jnp.maximum(q2[:nq4], _shift2d(q2, 2 * sps, 0, nq4))
+    quiet = jnp.maximum(_shift2d(m, 1 * sps, 1, nrows),
+                        _shift2d(q4, 3 * sps, 1, nrows))    # {1}, {3,4,5,6}
+    quiet = jnp.maximum(quiet, _shift2d(m, 8 * sps, 1, nrows))       # {8}
+    quiet = jnp.maximum(quiet, _shift2d(q4, 10 * sps, 1, nrows))  # {10..13}
+    quiet = jnp.maximum(quiet, _shift2d(q2, 14 * sps, 1, nrows))  # {14,15}
     ok &= quiet < ref * qtol
 
     score = jnp.where(ok, ref, 0.0)                 # rows 1..1+nrows
 
+    # NMS window max by doubling: win[r] = max score@{0..half-1}, so
+    # right = win@+1 (offsets +1..+half), left = win@-half (-half..-1)
+    win = _window_max2d(score, half)
     owned = score[1: 1 + trows]
-    left_max = jnp.zeros_like(owned)
-    right_max = jnp.zeros_like(owned)
-    for d in range(1, half + 1):
-        left_max = jnp.maximum(left_max, _shift2d(score, -d, 1, trows))
-        right_max = jnp.maximum(right_max, _shift2d(score, d, 1, trows))
+    left_max = _shift2d(win, -half, 1, trows)
+    right_max = _shift2d(win, 1, 1, trows)
     keep = ok[1: 1 + trows] & (owned > left_max) & (owned >= right_max)
 
     return keep, ref[1: 1 + trows]
@@ -690,9 +732,13 @@ def demod_batch_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
 # whole cost. This path cuts it to ~3 B/sample:
 #   - the host ships PLANAR int8 I and Q streams (no XLA prep, no f32
 #     intermediates); the kernel DMAs int8 and converts in VMEM
-#   - the kernel compacts in-kernel: per 128-lane column it extracts the
-#     first 4 hit row-indices (sublane min-reductions) + a count, writing
-#     ONE (8, 128) int32 block per tile instead of full-block mask+ref
+#   - the kernel compacts in-kernel: first-4 hit rows per 128-lane column
+#     (sublane min-reductions), then the tile's earliest 16 hits extracted
+#     in ASCENDING order from the tiny (4, 128) table, writing ONE
+#     (8, 128) int32 block per tile instead of full-block mask+ref
+#   - host-side selection of the earliest K per block is sort-free
+#     (cumsum + searchsorted over the already-ordered candidate list;
+#     top_k/sort on TPU cost ~0.4 ms per 4M block — half the old path)
 #   - the K-sized tail recomputes ref_level from its own gathered window
 #     (identical f32 op order -> identical floats)
 # Capacity accounting: >4 hits in one (tile-row, lane) column or >16 per
@@ -737,20 +783,45 @@ def to_planar_i8(blocks: np.ndarray, cfg: DspConfig, tile: int = 16384):
     return out_i, out_q
 
 
+CAND_PER_TILE = 16
+
+
 def _extract_cands(keep, trows: int):
-    """(trows, 128) bool -> (8, 128) int32: rows 0..3 = row-index of the
-    j-th hit per lane (sentinel trows), row 4 = per-lane hit count."""
+    """(trows, 128) bool -> (8, 128) int32 candidate block:
+
+      row 0, lanes 0..15: the tile's earliest CAND_PER_TILE hit sample
+                          offsets (r*128 + lane), ASCENDING, sentinel
+                          trows*128 when fewer hits exist
+      row 4:              per-lane hit count (for n_detected/overflow)
+
+    Two-level in-VMEM selection: first-4 hit rows per lane via sublane
+    min-reductions over (trows, 128), then 16 global min-extractions over
+    the tiny (4, 128) encoded-index table. Emitting the per-tile list
+    already ORDERED makes the host-side compaction sort-free (a cumsum +
+    searchsorted instead of two top_k passes — TPU sorts cost ~0.4 ms per
+    4M-sample block, ~half the old full-path time)."""
     rowidx = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 0)
-    sent = jnp.int32(trows)
-    cand = jnp.where(keep, rowidx, sent)
-    rows = []
+    sent_row = jnp.int32(trows)
+    cand = jnp.where(keep, rowidx, sent_row)
+    encs = []
     for _ in range(CAND_PER_LANE):
         cj = jnp.min(cand, axis=0, keepdims=True)          # (1, 128)
-        rows.append(cj)
-        cand = jnp.where(cand == cj, sent, cand)
+        encs.append(cj)
+        cand = jnp.where(cand == cj, sent_row, cand)
     count = jnp.sum(keep.astype(jnp.int32), axis=0, keepdims=True)
+
+    sent = jnp.int32(trows * 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    e = jnp.concatenate(
+        [jnp.where(cj < trows, cj * 128 + lane, sent) for cj in encs],
+        axis=0)                                            # (4, 128)
+    ordered = jnp.full((1, 128), sent, jnp.int32)
+    for k in range(CAND_PER_TILE):
+        m = jnp.min(e)                                     # unique unless sent
+        ordered = jnp.where(lane == k, m, ordered)
+        e = jnp.where(e == m, sent, e)
     zero = jnp.zeros_like(count)
-    rows += [count] + [zero] * (CAND_ROWS - CAND_PER_LANE - 1)
+    rows = [ordered, zero, zero, zero, count] + [zero] * (CAND_ROWS - 5)
     return jnp.concatenate(rows, axis=0)                   # (8, 128)
 
 
@@ -881,28 +952,37 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
 
 
 def compact_candidates(cands, cfg: DspConfig, tile: int,
-                       per_tile: int = 16):
+                       per_tile: int = CAND_PER_TILE):
     """(tiles, 8, 128) int32 candidate blocks -> earliest-K detection
     indices (ascending), valid mask, total count, overflow.
 
-    Two-stage: per-tile earliest-`per_tile`, then a global earliest-K over
-    tiles*per_tile survivors; spills (per-lane > 4 or per-tile > per_tile)
-    land in the overflow counter via n_det - kept."""
+    The kernel already emits each tile's earliest `per_tile` hits in
+    ascending order (row 0), and tiles partition the block in ascending
+    index ranges — so the flat (tiles*per_tile) list is globally ascending
+    among valid entries. Selecting the earliest K is then sort-free: the
+    k-th detection is the flat position where cumsum(valid) first reaches
+    k+1, found by binary search. Spills (per-lane > 4 or per-tile >
+    per_tile) land in the overflow counter via n_det - kept."""
     trows = tile // 128
     tiles = cands.shape[0]
-    n = cfg.block_size
-    r = cands[:, :CAND_PER_LANE, :]                     # (tiles, 4, 128)
+    sent = trows * 128
+    e16 = cands[:, 0, :per_tile]                        # (tiles, per_tile)
     count = cands[:, CAND_PER_LANE, :]                  # (tiles, 128)
-    lane = jnp.arange(128, dtype=jnp.int32)[None, None, :]
-    tbase = (jnp.arange(tiles, dtype=jnp.int32) * tile)[:, None, None]
-    idx = tbase + r * 128 + lane                        # valid iff r < trows
-    score = jnp.where(r < trows, n - idx, 0).reshape(tiles, -1)
-    sv, si = jax.lax.top_k(score, per_tile)             # (tiles, per_tile)
-    flat_idx = idx.reshape(tiles, -1)
-    cand_idx = jnp.take_along_axis(flat_idx, si, axis=1).reshape(-1)
-    v2, i2 = jax.lax.top_k(sv.reshape(-1), cfg.max_detections)
-    valid = v2 > 0
-    det_idx = jnp.where(valid, cand_idx[i2], -1)
+    tbase = (jnp.arange(tiles, dtype=jnp.int32) * tile)[:, None]
+    valid_in = e16 < sent
+    flat_idx = (tbase + e16).reshape(-1)
+    vflat = valid_in.reshape(-1)
+    csum = jnp.cumsum(vflat.astype(jnp.int32))
+    total = csum[-1]
+    K = cfg.max_detections
+    # scatter each valid candidate to its rank (csum-1); ranks >= K and
+    # invalid entries land in the dump slot K, sliced off below
+    rank = csum - 1
+    target = jnp.where(vflat & (rank < K), rank, K)
+    det_idx = jnp.full((K + 1,), -1, jnp.int32).at[target].set(flat_idx)[:K]
+    kk = jnp.arange(K, dtype=jnp.int32)
+    valid = kk < jnp.minimum(total, K)
+    det_idx = jnp.where(valid, det_idx, -1)
     n_det = jnp.sum(count)
     overflow = n_det - jnp.sum(valid.astype(jnp.int32))
     return det_idx, valid, n_det, overflow

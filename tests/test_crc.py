@@ -67,3 +67,77 @@ def test_syndrome_np_vectorized():
     out = crc.syndrome_np(bits)
     for d, s in zip(datas, out):
         assert int(s) == crc.crc24(int(d), 56)
+
+
+def test_pair_correction_matches_allpairs_oracle():
+    """The static-pair ECC (first-L lowconf positions) matches the all-pairs
+    i<j brute-force oracle on 256 random DF17 frames with injected double
+    errors plus decoy low-confidence bits."""
+    import jax
+    import airmodes
+    from airmodes.dsp import pipeline as P
+    from airmodes import crc as crcmod
+
+    cfg = airmodes.DspConfig()
+    rng = np.random.default_rng(123)
+    K, N = 256, 112
+    r112, _ = P._crc_tables()
+    bits = rng.integers(0, 2, size=(K, N)).astype(bool)
+    conf = np.ones((K, N), bool)
+    for k in range(K):
+        bits[k, :5] = [(17 >> (4 - b)) & 1 for b in range(5)]
+        data = 0
+        for b in bits[k, :88]:
+            data = (data << 1) | int(b)
+        par = crcmod.parity(data, 88)
+        for i in range(24):
+            bits[k, 88 + i] = (par >> (23 - i)) & 1
+        i, j = sorted(rng.choice(np.arange(5, N), size=2, replace=False))
+        bits[k, i] ^= 1
+        bits[k, j] ^= 1
+        conf[k, i] = False
+        conf[k, j] = False
+        for d in rng.choice(np.arange(5, N), size=2, replace=False):
+            conf[k, d] = False
+
+    out_bits, df, nbits, synd, status = jax.jit(
+        lambda b, c: P.crc_check_and_correct(b, c, cfg))(bits, conf)
+    out_bits, synd, status = map(np.asarray, (out_bits, synd, status))
+
+    n_pair = 0
+    for k in range(K):
+        fb = bits[k].astype(np.int64)
+        s = 0
+        for i in range(N):
+            if fb[i]:
+                s ^= int(r112[i])
+        lc = ~conf[k]
+        m1 = lc & (r112 == s)
+        best = None
+        for i in range(N):
+            if not lc[i]:
+                continue
+            tgt = s ^ int(r112[i])
+            for j in range(i + 1, N):
+                if lc[j] and int(r112[j]) == tgt:
+                    best = (i, j)
+                    break
+            if best:
+                break
+        if m1.any():
+            fi = int(np.argmax(m1))
+            exp = fb.copy()
+            exp[fi] ^= 1
+            assert np.array_equal(out_bits[k], exp.astype(bool))
+            assert status[k] == 1
+        elif best:
+            i, j = best
+            exp = fb.copy()
+            exp[i] ^= 1
+            exp[j] ^= 1
+            assert np.array_equal(out_bits[k], exp.astype(bool)), (k, best)
+            assert synd[k] == 0 and status[k] == 2
+            n_pair += 1
+        else:
+            assert status[k] == 4
+    assert n_pair >= K // 2  # the harness mostly injects correctable pairs

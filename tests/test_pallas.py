@@ -195,3 +195,64 @@ def test_batched_pallas_matches_single():
         ts = demod_block_pallas(single, CFG, tile=4096, interpret=True)
         for a, b in zip(ts, tb):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[c])
+
+
+@pytest.mark.parametrize("nbuf", [2, 4])
+def test_planar_nbuf_prefetch_matches(nbuf):
+    """The nbuf-deep DMA-prefetch kernel (flat grid, rotating window slots)
+    is bit-identical to the serial planar kernel."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_packed_planar_jit, to_planar_i8)
+    frames = encoder.random_df17_frames(10, seed=93)
+    iq, _ = encoder.make_capture(frames, snr_db=13.0, spacing=2500, seed=93)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        peak = float(np.max(np.abs(x))) or 1.0
+        blocks.append(np.clip(np.round(x * (120.0 / peak)), -127, 127)
+                      .astype(np.int8))
+    batch = np.stack(blocks)
+    xi, xq = to_planar_i8(batch, CFG, tile=4096)
+    base = np.asarray(demod_batch_packed_planar_jit(
+        xi, xq, CFG, tile=4096, interpret=True))
+    out = np.asarray(demod_batch_packed_planar_jit(
+        xi, xq, CFG, tile=4096, interpret=True, nbuf=nbuf))
+    np.testing.assert_array_equal(base, out)
+
+
+def test_extract_compact_candidates_oracle():
+    """_extract_cands + compact_candidates == numpy earliest-K oracle,
+    including per-lane (>4) and per-tile (>16) spill accounting."""
+    from airmodes.kernels.preamble_pallas import (
+        _extract_cands, compact_candidates, CAND_PER_TILE)
+    rng = np.random.default_rng(7)
+    cfg = DspConfig(block_size=4 * 4096, max_detections=24)
+    trows, tiles = 32, 4
+    for trial in range(6):
+        keep = np.zeros((tiles, trows, 128), bool)
+        # sparse hits + one dense burst column (per-lane spill) +
+        # one dense tile (per-tile spill)
+        flat = rng.choice(tiles * trows * 128, size=10, replace=False)
+        keep.reshape(-1)[flat] = True
+        if trial >= 2:
+            keep[1, : 4 + trial, 5] = True          # >4 in one lane
+        if trial >= 4:
+            keep[2, ::2, ::16] = True               # way >16 in tile 2
+        cands = np.stack([
+            np.asarray(_extract_cands(jax.numpy.asarray(k), trows))
+            for k in keep])
+        det_idx, valid, n_det, ovf = map(np.asarray, compact_candidates(
+            jax.numpy.asarray(cands), cfg, 4096))
+        # oracle: per tile earliest-16 of the first-4-per-lane survivors
+        surv = []
+        for t in range(tiles):
+            per_tile = []
+            for lane in range(128):
+                hits = np.where(keep[t, :, lane])[0][:4]
+                per_tile.extend(t * 4096 + r * 128 + lane for r in hits)
+            surv.extend(sorted(per_tile)[:CAND_PER_TILE])
+        want = sorted(surv)[: cfg.max_detections]
+        got = det_idx[valid.astype(bool)].tolist()
+        assert got == want, (trial, got, want)
+        assert int(n_det) == int(keep.sum())
+        assert int(ovf) == int(keep.sum()) - len(want)
