@@ -749,6 +749,37 @@ _LOOKBACK_ROWS = _LOOKBACK // 128          # 2
 _HALO_ROWS_I8 = 30                         # rows_w = trows + 32 (int8 tiling)
 CAND_PER_LANE = 4
 CAND_ROWS = 8                              # (8, 128) min f32/i32 block tile
+_COUNT_ROW = 4                             # per-lane hit counts live here
+DEFAULT_NBUF = 2                           # TPU sweep: nbuf=2 >= nbuf=1 at
+                                           # every tile (scripts/tpu_planar_
+                                           # nbuf_probe.py)
+
+
+def default_tile(cfg: DspConfig) -> int:
+    """Largest swept-fastest tile that satisfies the planar constraints.
+
+    The TPU tile sweep (scripts/tpu_planar_nbuf_probe.py) shows throughput
+    rising with tile size (fewer grid steps -> less per-step DMA overhead);
+    candidate capacity scales with the tile (cand_capacity) so the
+    supported detection density is tile-independent."""
+    for t in (65536, 32768, 16384, 8192, 4096):
+        if cfg.block_size % t == 0:
+            return t
+    raise ValueError(
+        f"block_size {cfg.block_size} not a multiple of 4096; "
+        "the planar Pallas path needs 4096-aligned tiles")
+
+
+def cand_capacity(tile: int):
+    """(per_tile, per_lane) candidate capacity for a tile size.
+
+    Scales with the tile so every tile size supports the same detection
+    density the original 16-per-16384-sample layout guaranteed
+    (~2000 detections/s at 2 Msps); NMS spacing plus the overflow counters
+    make spills beyond that pathological and visible, never silent."""
+    per_tile = min(512, max(16, (16 * tile) // 16384))
+    per_lane = CAND_PER_LANE if tile <= 65536 else 8
+    return per_tile, per_lane
 
 
 def _planar_geometry(cfg: DspConfig, tile: int):
@@ -762,13 +793,15 @@ def _planar_geometry(cfg: DspConfig, tile: int):
     return trows, rows_w, tiles, stride_rows
 
 
-def planar_length(cfg: DspConfig, tile: int = 16384) -> int:
+def planar_length(cfg: DspConfig, tile: int = None) -> int:
     """Per-channel padded sample count the planar path expects from the host."""
+    if tile is None:
+        tile = default_tile(cfg)
     _, _, _, stride_rows = _planar_geometry(cfg, tile)
     return stride_rows * 128
 
 
-def to_planar_i8(blocks: np.ndarray, cfg: DspConfig, tile: int = 16384):
+def to_planar_i8(blocks: np.ndarray, cfg: DspConfig, tile: int = None):
     """Host-side: (C, L+N+R, 2) int8 (or (L+N+R, 2)) -> padded planar
     (C, P) int8 I and Q arrays for demod_batch_packed_planar_jit."""
     x = np.asarray(blocks, dtype=np.int8)
@@ -786,12 +819,14 @@ def to_planar_i8(blocks: np.ndarray, cfg: DspConfig, tile: int = 16384):
 CAND_PER_TILE = 16
 
 
-def _extract_cands(keep, trows: int):
+def _extract_cands(keep, trows: int, per_tile: int = CAND_PER_TILE,
+                   per_lane: int = CAND_PER_LANE):
     """(trows, 128) bool -> (8, 128) int32 candidate block:
 
-      row 0, lanes 0..15: the tile's earliest CAND_PER_TILE hit sample
-                          offsets (r*128 + lane), ASCENDING, sentinel
-                          trows*128 when fewer hits exist
+      rows 0..3, position k at (k // 128, k % 128): the tile's earliest
+                          `per_tile` (<= 512) hit sample offsets
+                          (r*128 + lane), ASCENDING, sentinel trows*128
+                          when fewer hits exist
       row 4:              per-lane hit count (for n_detected/overflow)
 
     Two-level in-VMEM selection: first-4 hit rows per lane via sublane
@@ -800,11 +835,12 @@ def _extract_cands(keep, trows: int):
     already ORDERED makes the host-side compaction sort-free (a cumsum +
     searchsorted instead of two top_k passes — TPU sorts cost ~0.4 ms per
     4M-sample block, ~half the old full-path time)."""
+    assert per_tile <= _COUNT_ROW * 128, "ordered rows 0..3 cap per_tile at 512"
     rowidx = jax.lax.broadcasted_iota(jnp.int32, keep.shape, 0)
     sent_row = jnp.int32(trows)
     cand = jnp.where(keep, rowidx, sent_row)
     encs = []
-    for _ in range(CAND_PER_LANE):
+    for _ in range(per_lane):
         cj = jnp.min(cand, axis=0, keepdims=True)          # (1, 128)
         encs.append(cj)
         cand = jnp.where(cand == cj, sent_row, cand)
@@ -814,19 +850,25 @@ def _extract_cands(keep, trows: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     e = jnp.concatenate(
         [jnp.where(cj < trows, cj * 128 + lane, sent) for cj in encs],
-        axis=0)                                            # (4, 128)
-    ordered = jnp.full((1, 128), sent, jnp.int32)
-    for k in range(CAND_PER_TILE):
+        axis=0)                                            # (per_lane, 128)
+    rows_o = -(-per_tile // 128)
+    orow = jax.lax.broadcasted_iota(jnp.int32, (rows_o, 128), 0)
+    olane = jax.lax.broadcasted_iota(jnp.int32, (rows_o, 128), 1)
+    ordered = jnp.full((rows_o, 128), sent, jnp.int32)
+    for k in range(per_tile):
         m = jnp.min(e)                                     # unique unless sent
-        ordered = jnp.where(lane == k, m, ordered)
+        ordered = jnp.where((orow == k // 128) & (olane == k % 128), m,
+                            ordered)
         e = jnp.where(e == m, sent, e)
     zero = jnp.zeros_like(count)
-    rows = [ordered, zero, zero, zero, count] + [zero] * (CAND_ROWS - 5)
+    rows = ([ordered] + [zero] * (_COUNT_ROW - rows_o) + [count]
+            + [zero] * (CAND_ROWS - _COUNT_ROW - 1))
     return jnp.concatenate(rows, axis=0)                   # (8, 128)
 
 
 def _detect_kernel_cands_i8(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
-                            cfg: DspConfig, tile: int, stride_rows: int):
+                            cfg: DspConfig, tile: int, stride_rows: int,
+                            per_tile: int, per_lane: int):
     trows, rows_w, tiles, _ = _planar_geometry(cfg, tile)
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -843,12 +885,13 @@ def _detect_kernel_cands_i8(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
     xi = win_i[:].astype(jnp.float32) * scale
     xq = win_q[:].astype(jnp.float32) * scale
     keep, _ = _detect_keep_2d(xi, xq, cfg=cfg, tile=tile)
-    out_ref[:] = _extract_cands(keep, trows)
+    out_ref[:] = _extract_cands(keep, trows, per_tile, per_lane)
 
 
 def _detect_kernel_cands_i8_db(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
                                cfg: DspConfig, tile: int, stride_rows: int,
-                               nsteps: int, nbuf: int):
+                               nsteps: int, nbuf: int,
+                               per_tile: int, per_lane: int):
     """Prefetching variant: grid is flat (batch*tiles,); each step starts
     the window DMA for step g+nbuf-1 into a rotating VMEM slot before
     waiting on its own, keeping nbuf-1 input DMAs in flight — this hides
@@ -891,18 +934,21 @@ def _detect_kernel_cands_i8_db(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
         xi = jnp.where(slot == s, win_i[s].astype(jnp.float32), xi)
         xq = jnp.where(slot == s, win_q[s].astype(jnp.float32), xq)
     keep, _ = _detect_keep_2d(xi * scale, xq * scale, cfg=cfg, tile=tile)
-    out_ref[:] = _extract_cands(keep, trows)
+    out_ref[:] = _extract_cands(keep, trows, per_tile, per_lane)
 
 
-def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
+def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
                                  interpret: bool = False,
                                  double_buffer: bool = False,
-                                 nbuf: int = 1):
+                                 nbuf: int = DEFAULT_NBUF,
+                                 per_tile: int = None, per_lane: int = None):
     """(C, P) int8 planar I/Q (P = planar_length(cfg, tile)) ->
     (C, tiles, 8, 128) int32 candidate blocks.
 
     nbuf > 1 (or double_buffer=True, an alias for nbuf=2) selects the
     prefetching kernel with nbuf rotating window slots."""
+    if tile is None:
+        tile = default_tile(cfg)
     assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
     assert cfg.left_halo == _LOOKBACK
     n = cfg.block_size
@@ -915,12 +961,16 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
 
     if double_buffer and nbuf == 1:
         nbuf = 2
+    pt, pll = cand_capacity(tile)
+    per_tile = pt if per_tile is None else per_tile
+    per_lane = pll if per_lane is None else per_lane
     ri = xi8.reshape(batch * stride_rows, 128)
     rq = xq8.reshape(batch * stride_rows, 128)
     if nbuf > 1:
         kern = functools.partial(
             _detect_kernel_cands_i8_db, cfg=cfg, tile=tile,
-            stride_rows=stride_rows, nsteps=batch * tiles, nbuf=nbuf)
+            stride_rows=stride_rows, nsteps=batch * tiles, nbuf=nbuf,
+            per_tile=per_tile, per_lane=per_lane)
         grid = (batch * tiles,)
         out_spec = pl.BlockSpec((CAND_ROWS, 128), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM)
@@ -929,7 +979,8 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
                    pltpu.SemaphoreType.DMA((nbuf, 2))]
     else:
         kern = functools.partial(_detect_kernel_cands_i8, cfg=cfg, tile=tile,
-                                 stride_rows=stride_rows)
+                                 stride_rows=stride_rows,
+                                 per_tile=per_tile, per_lane=per_lane)
         grid = (batch, tiles)
         out_spec = pl.BlockSpec((CAND_ROWS, 128),
                                 lambda c, i: (c * tiles + i, 0),
@@ -952,35 +1003,41 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
 
 
 def compact_candidates(cands, cfg: DspConfig, tile: int,
-                       per_tile: int = CAND_PER_TILE):
+                       per_tile: int = None):
     """(tiles, 8, 128) int32 candidate blocks -> earliest-K detection
     indices (ascending), valid mask, total count, overflow.
 
     The kernel already emits each tile's earliest `per_tile` hits in
-    ascending order (row 0), and tiles partition the block in ascending
-    index ranges — so the flat (tiles*per_tile) list is globally ascending
-    among valid entries. Selecting the earliest K is then sort-free: the
-    k-th detection is the flat position where cumsum(valid) first reaches
-    k+1, found by binary search. Spills (per-lane > 4 or per-tile >
-    per_tile) land in the overflow counter via n_det - kept."""
+    ascending order (rows 0..3, position k at (k//128, k%128)), and tiles
+    partition the block in ascending index ranges — so the flat
+    (tiles*per_tile) list is globally ascending among valid entries.
+    Selecting the earliest K is then sort-free: candidate i's output slot
+    is its rank cumsum(valid)-1, and the slot assignment is a {0,1}
+    rank-onehot matmul on the MXU (a K-sized scatter lowers to a ~ms-scale
+    sequential update loop on TPU; the matmul is ~us). Exact: one nonzero
+    per row, and sample indices < 2^24 are exact in f32. Spills (per-lane
+    > per_lane or per-tile > per_tile) land in the overflow counter via
+    n_det - kept."""
     trows = tile // 128
     tiles = cands.shape[0]
     sent = trows * 128
-    e16 = cands[:, 0, :per_tile]                        # (tiles, per_tile)
-    count = cands[:, CAND_PER_LANE, :]                  # (tiles, 128)
+    if per_tile is None:
+        per_tile = cand_capacity(tile)[0]
+    rows_o = -(-per_tile // 128)
+    ec = cands[:, 0:rows_o, :].reshape(tiles, rows_o * 128)[:, :per_tile]
+    count = cands[:, _COUNT_ROW, :]                     # (tiles, 128)
     tbase = (jnp.arange(tiles, dtype=jnp.int32) * tile)[:, None]
-    valid_in = e16 < sent
-    flat_idx = (tbase + e16).reshape(-1)
+    valid_in = ec < sent
+    flat_idx = (tbase + ec).reshape(-1)
     vflat = valid_in.reshape(-1)
     csum = jnp.cumsum(vflat.astype(jnp.int32))
     total = csum[-1]
     K = cfg.max_detections
-    # scatter each valid candidate to its rank (csum-1); ranks >= K and
-    # invalid entries land in the dump slot K, sliced off below
-    rank = csum - 1
-    target = jnp.where(vflat & (rank < K), rank, K)
-    det_idx = jnp.full((K + 1,), -1, jnp.int32).at[target].set(flat_idx)[:K]
     kk = jnp.arange(K, dtype=jnp.int32)
+    rank = jnp.where(vflat, csum - 1, -1)               # invalid never match
+    onehot = (kk[:, None] == rank[None, :]).astype(jnp.float32)
+    det_idx = jnp.round(onehot @ flat_idx.astype(jnp.float32)).astype(
+        jnp.int32)
     valid = kk < jnp.minimum(total, K)
     det_idx = jnp.where(valid, det_idx, -1)
     n_det = jnp.sum(count)
@@ -1046,17 +1103,24 @@ def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
         n_detected=n_det, n_overflow=overflow)
 
 
-def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
+def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
                        interpret: bool = False, double_buffer: bool = False,
-                       nbuf: int = 1):
+                       nbuf: int = DEFAULT_NBUF,
+                       per_tile: int = None, per_lane: int = None):
     """Planar-int8 batched demod: (C, P) x2 -> DetectionTable (leading C)."""
+    if tile is None:
+        tile = default_tile(cfg)
+    if per_tile is None:
+        per_tile = cand_capacity(tile)[0]
     cands = preamble_detect_cands_planar(xi8, xq8, cfg, tile=tile,
                                          interpret=interpret,
                                          double_buffer=double_buffer,
-                                         nbuf=nbuf)
+                                         nbuf=nbuf, per_tile=per_tile,
+                                         per_lane=per_lane)
 
     def tail(xi_c, xq_c, cands_c):
-        det_idx, valid, n_det, ovf = compact_candidates(cands_c, cfg, tile)
+        det_idx, valid, n_det, ovf = compact_candidates(cands_c, cfg, tile,
+                                                        per_tile=per_tile)
         return gather_tail_planar(xi_c, xq_c, det_idx, valid, n_det, ovf,
                                   cfg)
 
@@ -1064,14 +1128,18 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = 16384,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret",
-                                              "double_buffer", "nbuf"))
+                                              "double_buffer", "nbuf",
+                                              "per_tile", "per_lane"))
 def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
-                                  tile: int = 16384,
+                                  tile: int = None,
                                   interpret: bool = False,
                                   double_buffer: bool = False,
-                                  nbuf: int = 1):
+                                  nbuf: int = DEFAULT_NBUF,
+                                  per_tile: int = None,
+                                  per_lane: int = None):
     """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 14) int32."""
     from ..dsp.pipeline import pack_table
     table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret,
-                               double_buffer=double_buffer, nbuf=nbuf)
+                               double_buffer=double_buffer, nbuf=nbuf,
+                               per_tile=per_tile, per_lane=per_lane)
     return jax.vmap(pack_table)(table)

@@ -256,3 +256,64 @@ def test_extract_compact_candidates_oracle():
         assert got == want, (trial, got, want)
         assert int(n_det) == int(keep.sum())
         assert int(ovf) == int(keep.sum()) - len(want)
+
+
+def test_extract_compact_candidates_scaled_capacity():
+    """per_tile > 128 spans rows 0..3 of the candidate block (position k at
+    (k//128, k%128)) and per_lane is tunable; compaction (rank-onehot
+    matmul) still matches the numpy earliest-K oracle."""
+    from airmodes.kernels.preamble_pallas import (
+        _extract_cands, compact_candidates)
+    rng = np.random.default_rng(11)
+    cfg = DspConfig(block_size=4 * 4096, max_detections=48)
+    trows, tiles = 32, 4
+    per_tile, per_lane = 160, 6
+    for trial in range(4):
+        keep = np.zeros((tiles, trows, 128), bool)
+        flat = rng.choice(tiles * trows * 128, size=140, replace=False)
+        keep.reshape(-1)[flat] = True
+        if trial >= 1:
+            keep[1, : 3 + trial, 9] = True          # per-lane pressure
+        if trial >= 3:
+            keep[3, ::1, ::8] = True                # way >160 in tile 3
+        cands = np.stack([
+            np.asarray(_extract_cands(jax.numpy.asarray(k), trows,
+                                      per_tile, per_lane))
+            for k in keep])
+        det_idx, valid, n_det, ovf = map(np.asarray, compact_candidates(
+            jax.numpy.asarray(cands), cfg, 4096, per_tile=per_tile))
+        surv = []
+        for t in range(tiles):
+            in_tile = []
+            for lane in range(128):
+                hits = np.where(keep[t, :, lane])[0][:per_lane]
+                in_tile.extend(t * 4096 + r * 128 + lane for r in hits)
+            surv.extend(sorted(in_tile)[:per_tile])
+        want = sorted(surv)[: cfg.max_detections]
+        got = det_idx[valid.astype(bool)].tolist()
+        assert got == want, (trial, got, want)
+        assert int(n_det) == int(keep.sum())
+        assert int(ovf) == int(keep.sum()) - len(want)
+
+
+def test_planar_capacity_params_end_to_end():
+    """The planar demod with scaled (per_tile, per_lane) decodes the same
+    messages as the default-capacity path (interpret mode)."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(12, seed=3)
+    iq, _ = encoder.make_capture(frames, snr_db=18.0, spacing=2200, seed=3)
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, cfg):
+        f = P.iq_to_device_layout(block)
+        b = np.clip(np.round(f * 127.0), -127, 127).astype(np.int8)
+        blocks.append(b)
+    batch = np.stack(blocks[:2])
+    xi, xq = to_planar_i8(batch, cfg, tile=4096)
+    t0 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True)
+    t1 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True,
+                            per_tile=144, per_lane=8)
+    for field in ("index", "bits", "df", "status"):
+        np.testing.assert_array_equal(np.asarray(getattr(t0, field)),
+                                      np.asarray(getattr(t1, field)))
