@@ -48,6 +48,13 @@ def build_argparser() -> argparse.ArgumentParser:
     dsp.add_argument("--block-size", type=int, default=1 << 20)
     dsp.add_argument("--max-detections", type=int, default=128)
     dsp.add_argument("--channel-rate", type=float, default=2e6)
+    dsp.add_argument("--batch", type=int, default=0, metavar="N",
+                     help="blocks per device call (0 = auto: 8 on TPU, 1 "
+                     "elsewhere); N>1 amortizes per-dispatch overhead")
+    dsp.add_argument("--int8", action="store_true",
+                     help="quantize blocks to int8 on host (SDR-native "
+                     "precision; enables the traffic-minimal planar TPU "
+                     "kernel — 4x less host->device traffic)")
 
     out = p.add_argument_group("output")
     out.add_argument("-P", "--sbs1", type=int, default=None, metavar="PORT",
@@ -178,9 +185,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     samples_done = 0
     if args.max_blocks:
         blocks = itertools.islice(blocks, args.max_blocks)
+    batch = args.batch
+    if batch <= 0:
+        import jax
+        batch = 8 if jax.default_backend() == "tpu" else 1
     try:
       with trace(args.profile):
-        for msgs in run_pipelined(blocks, cfg, epoch=epoch, stats=stats):
+        for msgs in run_pipelined(blocks, cfg, epoch=epoch, stats=stats,
+                                  batch=batch, quantize_i8=args.int8):
             for m in msgs:
                 bus.publish("dl_data", m)
             n_blocks += 1

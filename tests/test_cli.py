@@ -46,6 +46,17 @@ def test_cli_resampled_file(tmp_path):
     assert rc == 0
 
 
+def test_cli_batched_int8(capture, capsys):
+    """--batch N / --int8 select the batched (and quantized) device path;
+    decoded output matches the default path's messages."""
+    path, truth, d = capture
+    rc = main(["-s", path, "--block-size", "32768", "--batch", "3",
+               "--int8", "--stats-interval", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("Type 17") >= 10
+
+
 def test_cli_rejects_sdr_sources(capsys):
     assert main(["-s", "uhd"]) == 2
 

@@ -84,6 +84,61 @@ def test_channel_only_mesh(capture):
     assert {t.hex for t in truth} <= set(got)
 
 
+def _quantize_planar(iq, total):
+    """complex64 stream -> (total,) int8 planar I and Q (SDR quantization)."""
+    buf = np.zeros(total, np.complex64)
+    buf[: len(iq)] = iq
+    x = iq_to_device_layout(buf)
+    peak = float(np.max(np.abs(x))) or 1.0
+    x8 = np.clip(np.round(x * (120.0 / peak)), -127, 127).astype(np.int8)
+    return x8[:, 0], x8[:, 1]
+
+
+def test_planar_sharded_matches_unsharded(capture):
+    """The production planar-int8 Pallas path under shard_map (int8 ppermute
+    halos) decodes exactly the unsharded planar path's messages, including
+    the frames planted at shard boundaries (interpret mode, CPU mesh)."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+
+    iq, truth = capture
+    cfg = CFG
+    n_time = 8
+    total = n_time * cfg.block_size
+    si, sq = _quantize_planar(iq, total)
+
+    # unsharded reference: one batched planar call over host-framed blocks
+    left, right = cfg.left_halo, cfg.right_halo
+    blocks = np.zeros((n_time, left + cfg.block_size + right, 2), np.int8)
+    for t in range(n_time):
+        lo, hi = t * cfg.block_size - left, (t + 1) * cfg.block_size + right
+        src_lo, src_hi = max(lo, 0), min(hi, total)
+        blocks[t, src_lo - lo: src_hi - lo, 0] = si[src_lo:src_hi]
+        blocks[t, src_lo - lo: src_hi - lo, 1] = sq[src_lo:src_hi]
+    xi, xq = to_planar_i8(blocks, cfg)
+    ref_table = demod_batch_planar(xi, xq, cfg, interpret=True)
+    ref = []
+    for t in range(n_time):
+        sub = type(ref_table)(*(np.asarray(f)[t] for f in ref_table))
+        ref.extend(m.split()[1] for m in
+                   host.table_to_messages(sub, t * cfg.block_size,
+                                          cfg.channel_rate))
+    ref = sorted(ref)
+
+    mesh = sharded.make_mesh(n_channel=1, n_time=n_time)
+    fn = sharded.make_sharded_demod_planar(mesh, cfg)
+    gi, gq = sharded.shard_input_planar(si[None], sq[None], mesh)
+    table = jax.block_until_ready(fn(gi, gq))
+    got = []
+    for t in range(n_time):
+        sub = type(table)(*(np.asarray(f)[0, t] for f in table))
+        got.extend(m.split()[1] for m in
+                   host.table_to_messages(sub, 0, cfg.channel_rate))
+    got = sorted(got)
+    assert got == ref
+    assert {t.hex for t in truth} <= set(got)
+
+
 def test_boundary_frame_owned_once():
     """Frame preamble exactly at a shard boundary: decoded exactly once."""
     mesh = sharded.make_mesh(n_channel=1, n_time=8)
