@@ -156,9 +156,13 @@ def main():
     stream_dt = time.time() - t0
     stream_msps = iters * C * cfg.block_size / stream_dt / 1e6
 
-    # primary metric: device-resident input, fetch-synced per call
-    di = jax.device_put(xi)
-    dq = jax.device_put(xq)
+    # primary metric: device-resident input, fetch-synced per call.
+    # The kernel is fast enough that a C=16 call (~20 ms) sits below the
+    # dev relay's ~36 ms fixed RPC cost; measure at C_dev=64 (the capture
+    # tiled 4x — identical per-copy detections) to amortize it.
+    reps = 4
+    di = jax.device_put(np.tile(xi, (reps, 1)))
+    dq = jax.device_put(np.tile(xq, (reps, 1)))
     jax.block_until_ready((di, dq))
     np.asarray(step(di, dq, cfg))
     iters = 10
@@ -171,7 +175,7 @@ def main():
     for o in inflight:
         np.asarray(o)
     dev_dt = time.time() - t0
-    dev_msps = iters * C * cfg.block_size / dev_dt / 1e6
+    dev_msps = iters * reps * C * cfg.block_size / dev_dt / 1e6
 
     baseline_msps = 10.0  # reference real-time ceiling on desktop CPU
     result = {
@@ -181,7 +185,7 @@ def main():
         "vs_baseline": round(dev_msps / baseline_msps, 2),
         "streaming_incl_relay_msps": round(stream_msps, 2),
         "kernel": kernel,
-        "batch_blocks": C,
+        "batch_blocks": reps * C,
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} kernel={kernel} "

@@ -296,6 +296,65 @@ def test_extract_compact_candidates_scaled_capacity():
         assert int(ovf) == int(keep.sum()) - len(want)
 
 
+def test_extract_compact_unordered_oracle():
+    """Unordered kernel emission (per-lane rows, no in-kernel ordering) +
+    XLA-side rank compaction matches the numpy earliest-K oracle, with
+    capacity per_lane per (lane, tile) and no per-tile cap."""
+    from airmodes.kernels.preamble_pallas import (
+        _extract_cands_unordered, compact_candidates_unordered)
+    rng = np.random.default_rng(13)
+    cfg = DspConfig(block_size=4 * 4096, max_detections=48)
+    trows, tiles = 32, 4
+    per_lane = 4
+    for trial in range(4):
+        keep = np.zeros((tiles, trows, 128), bool)
+        flat = rng.choice(tiles * trows * 128, size=120, replace=False)
+        keep.reshape(-1)[flat] = True
+        if trial >= 1:
+            keep[1, : 3 + trial, 9] = True          # per-lane pressure
+        if trial >= 3:
+            keep[3, ::2, ::4] = True                # dense tile, no cap
+        cands = np.stack([
+            np.asarray(_extract_cands_unordered(jax.numpy.asarray(k), trows,
+                                                per_lane))
+            for k in keep])
+        det_idx, valid, n_det, ovf = map(np.asarray, compact_candidates_unordered(
+            jax.numpy.asarray(cands), cfg, 4096, per_lane=per_lane))
+        surv = []
+        for t in range(tiles):
+            for lane in range(128):
+                hits = np.where(keep[t, :, lane])[0][:per_lane]
+                surv.extend(t * 4096 + r * 128 + lane for r in hits)
+        want = sorted(surv)[: cfg.max_detections]
+        got = det_idx[valid.astype(bool)].tolist()
+        assert got == want, (trial, got, want)
+        assert int(n_det) == int(keep.sum())
+        assert int(ovf) == int(keep.sum()) - len(want)
+
+
+def test_planar_unordered_end_to_end():
+    """The default (unordered) planar demod decodes the same messages as
+    the ordered path (interpret mode)."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(12, seed=5)
+    iq, _ = encoder.make_capture(frames, snr_db=18.0, spacing=2200, seed=5)
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, cfg):
+        f = P.iq_to_device_layout(block)
+        b = np.clip(np.round(f * 127.0), -127, 127).astype(np.int8)
+        blocks.append(b)
+    batch = np.stack(blocks[:2])
+    xi, xq = to_planar_i8(batch, cfg, tile=4096)
+    t0 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True,
+                            ordered=True)
+    t1 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True)
+    for field in ("index", "bits", "df", "status", "n_detected"):
+        np.testing.assert_array_equal(np.asarray(getattr(t0, field)),
+                                      np.asarray(getattr(t1, field)))
+
+
 def test_planar_capacity_params_end_to_end():
     """The planar demod with scaled (per_tile, per_lane) decodes the same
     messages as the default-capacity path (interpret mode)."""
