@@ -32,6 +32,10 @@ class DspConfig:
     max_lowconf_bits: int = 5          # ECC attempted only if #low-confidence <= this
     confidence_level: float = 0.5      # chip "on" if power > level * reference
     nms_chips: int = 2                 # non-max suppression half-window (chips)
+    # perf knob (decision-equivalent): compute the kernel's trailing
+    # noise-window sum as two MXU matmuls instead of the 7-step shifted-add
+    # chain on the VPU. Changes f32 summation order only.
+    mxu_window_sum: bool = False
 
     @property
     def sps(self) -> int:

@@ -336,7 +336,12 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     for _ in range(L):
         p = jnp.min(cand, axis=1)                                          # (K,)
         ps.append(p)
-        rowsp.append(rows112[jnp.clip(p, 0, 111)])
+        # rows112[p] as a onehot-masked reduce — a (K,)-indexed gather
+        # lowers to a slow sequential loop on TPU; this is one fused
+        # (K, 112) select+sum (exact: one match or none)
+        rowsp.append(jnp.sum(
+            jnp.where(lane[None, :] == p[:, None], rows112[None, :], 0),
+            axis=1))
         cand = jnp.where(cand == p[:, None], 112, cand)
     has2 = jnp.zeros((k,), bool)
     flip2_i = jnp.zeros((k,), jnp.int32)

@@ -447,13 +447,26 @@ def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
     trows = tile // 128
     m = xi * xi + xq * xq                           # (rows_w, 128)
 
-    # trailing 128-sample window sum by log-doubling (row-borrow shifts)
-    ws = m
+    # trailing 128-sample window sum: ws[r, c] = sum m[128r+c : 128r+c+128]
     mraw = m
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        nr = ws.shape[0] - 1
-        ws = ws[:nr] + _shift2d(ws, s, 0, nr)
-    # ws[r, c] = sum m[128r + c : 128r + c + 128]
+    if cfg.mxu_window_sum:
+        # two MXU matmuls instead of 7 shifted adds on the VPU:
+        #   ws[r, c] = sum_{t>=c} m[r, t] + sum_{t<c} m[r+1, t]
+        # HIGHEST precision keeps f32-grade accumulation so marginal
+        # threshold decisions stay within the oracle's float64 margins.
+        t_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        a_up = (t_i >= c_i).astype(jnp.float32)
+        a_lo = (t_i < c_i).astype(jnp.float32)
+        nr = m.shape[0] - 1
+        hi = jax.lax.Precision.HIGHEST
+        ws = (jax.lax.dot(m[:nr], a_up, precision=hi) +
+              jax.lax.dot(m[1:nr + 1], a_lo, precision=hi))
+    else:
+        ws = m
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            nr = ws.shape[0] - 1
+            ws = ws[:nr] + _shift2d(ws, s, 0, nr)
 
     if sps > 1:
         # chip-energy integration (see _detect_body)
@@ -1076,8 +1089,11 @@ def compact_candidates(cands, cfg: DspConfig, tile: int,
     kk = jnp.arange(K, dtype=jnp.int32)
     rank = jnp.where(vflat, csum - 1, -1)               # invalid never match
     onehot = (kk[:, None] == rank[None, :]).astype(jnp.float32)
-    det_idx = jnp.round(onehot @ flat_idx.astype(jnp.float32)).astype(
-        jnp.int32)
+    # HIGHEST: TPU's default f32 matmul truncates operands to bf16, which
+    # would mangle index values > 2^8; 3-pass bf16 keeps exact f32 products
+    det_idx = jnp.round(
+        jnp.matmul(onehot, flat_idx.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
     valid = kk < jnp.minimum(total, K)
     det_idx = jnp.where(valid, det_idx, -1)
     n_det = jnp.sum(count)
@@ -1088,21 +1104,26 @@ def compact_candidates(cands, cfg: DspConfig, tile: int,
 def compact_candidates_unordered(cands, cfg: DspConfig, tile: int,
                                  per_lane: int = None):
     """(tiles, 8, 128) UNORDERED candidate blocks (rows 0..per_lane-1 =
-    per-lane encoded hits, row 4 = counts) -> earliest-K detection indices
+    per-lane encoded hits, row 4 = counts) -> K detection indices
     (ascending), valid mask, total count, overflow.
 
-    The ordering the kernel no longer does happens here, XLA-side, in two
-    sort-free steps (a TPU sort over the candidate list costs ~0.4 ms; this
-    is ~us):
-      1. within-tile rank of every entry = count of smaller valid entries
-         in the same tile — one O(n_t^2) broadcast compare + reduce per
-         tile (n_t = per_lane*128 <= 512, fused by XLA, never
-         materialized at f32 width)
+    The ordering the kernel no longer does happens here, XLA-side, without
+    a full candidate sort (a TPU sort over the candidate list costs
+    ~0.4 ms; this is ~us):
+      1. within-tile rank of every entry in FLAT (row-major) order — a
+         cumsum along n_t, not a sample-order O(n_t^2) compare per tile.
+         Flat-order ranks select the same SET whenever a tile is included
+         whole; only the one tile straddling the K cutoff is partial, so
+         the sample-order O(n_t^2) rank is computed for THAT tile alone
+         (262K ops, not tiles x 262K) — the kept set stays exactly
+         earliest-K-by-sample even on overflow
       2. output slot k lives in the tile whose valid-count cumsum first
          exceeds k (searchsorted over `tiles` values); its within-tile
          rank is k - tile_base, and the entry with that rank is selected
-         by a (K, n_t) onehot dot — entries are unique within a tile, so
-         exactly one matches.
+         by a (K, n_t) onehot dot — ranks are unique within a tile, so
+         exactly one matches
+      3. one K-sized ascending sort (invalid slots to the top) restores
+         the global sample-order contract.
     Capacity is per_lane hits per (lane, tile) with NO per-tile cap
     (vs `per_tile` in the ordered path); spills land in n_overflow."""
     trows = tile // 128
@@ -1116,8 +1137,7 @@ def compact_candidates_unordered(cands, cfg: DspConfig, tile: int,
     count = cands[:, _COUNT_ROW, :]                     # (tiles, 128)
     valid = ec < sent                                   # (tiles, n_t)
 
-    less = ec[:, None, :] < ec[:, :, None]              # [t, i, j]: ej < ei
-    rank = jnp.sum((less & valid[:, None, :]).astype(jnp.int32), axis=2)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     rank = jnp.where(valid, rank, n_t)                  # invalid never match
 
     c_t = jnp.sum(valid.astype(jnp.int32), axis=1)      # (tiles,)
@@ -1126,14 +1146,45 @@ def compact_candidates_unordered(cands, cfg: DspConfig, tile: int,
     base = cum - c_t                                    # exclusive cumsum
     K = cfg.max_detections
     kk = jnp.arange(K, dtype=jnp.int32)
-    t_of_k = jnp.searchsorted(cum, kk, side="right").astype(jnp.int32)
+    # searchsorted(cum, kk, right) == #{t : cum[t] <= k}: one broadcast
+    # compare+sum instead of XLA's per-element binary-search loop
+    t_of_k = jnp.sum((cum[None, :] <= kk[:, None]).astype(jnp.int32),
+                     axis=1)
     t_safe = jnp.minimum(t_of_k, tiles - 1)
-    r_of_k = kk - base[t_safe]                          # rank within tile
-    vals_k = jnp.take(ec, t_safe, axis=0) + t_safe[:, None] * tile
-    ranks_k = jnp.take(rank, t_safe, axis=0)            # (K, n_t)
+    base_k = jnp.sum(jnp.where(
+        jnp.arange(tiles, dtype=jnp.int32)[None, :] == t_safe[:, None],
+        base[None, :], 0), axis=1)
+    r_of_k = kk - base_k                                # rank within tile
+    # row selections as onehot dots — (K,)-indexed row gathers lower to
+    # slow sequential loops on TPU. HIGHEST keeps f32 products exact
+    # (values < 2^17; TPU default matmul precision truncates to bf16).
+    hi = jax.lax.Precision.HIGHEST
+    oh_t = (jnp.arange(tiles, dtype=jnp.int32)[None, :]
+            == t_safe[:, None]).astype(jnp.float32)     # (K, tiles)
+    vals_k = jnp.round(
+        jnp.matmul(oh_t, ec.astype(jnp.float32), precision=hi)
+    ).astype(jnp.int32) + t_safe[:, None] * tile
+    ranks_k = jnp.round(
+        jnp.matmul(oh_t, rank.astype(jnp.float32), precision=hi)
+    ).astype(jnp.int32)                                 # (K, n_t)
+    # the cutoff tile (the one the last slot lands in) may be partially
+    # kept: give it sample-order ranks so the kept subset is its earliest
+    t_cut = t_safe[K - 1]
+    oh_cut = (jnp.arange(tiles, dtype=jnp.int32)
+              == t_cut).astype(jnp.float32)             # (tiles,)
+    ec_cut = jnp.round(
+        jnp.matmul(oh_cut, ec.astype(jnp.float32), precision=hi)
+    ).astype(jnp.int32)                                 # (n_t,)
+    v_cut = ec_cut < sent
+    rank_cut = jnp.sum(((ec_cut[None, :] < ec_cut[:, None]) &
+                        v_cut[None, :]).astype(jnp.int32), axis=1)
+    rank_cut = jnp.where(v_cut, rank_cut, n_t)
+    ranks_k = jnp.where((t_safe == t_cut)[:, None], rank_cut[None, :],
+                        ranks_k)
     hit = ranks_k == r_of_k[:, None]
     det_idx = jnp.sum(jnp.where(hit, vals_k, 0), axis=1)
     slot_valid = kk < jnp.minimum(total, K)
+    det_idx = jnp.sort(jnp.where(slot_valid, det_idx, jnp.int32(2**30)))
     det_idx = jnp.where(slot_valid, det_idx, -1)
     n_det = jnp.sum(count)
     overflow = n_det - jnp.sum(slot_valid.astype(jnp.int32))

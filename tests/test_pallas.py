@@ -376,3 +376,27 @@ def test_planar_capacity_params_end_to_end():
     for field in ("index", "bits", "df", "status"):
         np.testing.assert_array_equal(np.asarray(getattr(t0, field)),
                                       np.asarray(getattr(t1, field)))
+
+
+def test_planar_mxu_window_sum_end_to_end():
+    """mxu_window_sum=True (noise-window sum as two MXU matmuls) decodes
+    the same messages as the shifted-add chain (interpret mode)."""
+    import dataclasses
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(12, seed=11)
+    iq, _ = encoder.make_capture(frames, snr_db=12.0, spacing=2200, seed=11)
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, cfg):
+        f = P.iq_to_device_layout(block)
+        b = np.clip(np.round(f * 127.0), -127, 127).astype(np.int8)
+        blocks.append(b)
+    batch = np.stack(blocks[:2])
+    xi, xq = to_planar_i8(batch, cfg, tile=4096)
+    t0 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True)
+    cfg_mxu = dataclasses.replace(cfg, mxu_window_sum=True)
+    t1 = demod_batch_planar(xi, xq, cfg_mxu, tile=4096, interpret=True)
+    for field in ("index", "bits", "df", "status", "n_detected"):
+        np.testing.assert_array_equal(np.asarray(getattr(t0, field)),
+                                      np.asarray(getattr(t1, field)))
