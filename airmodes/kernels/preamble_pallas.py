@@ -801,7 +801,10 @@ def _planar_geometry(cfg: DspConfig, tile: int):
     assert rows_w % 32 == 0 and trows % 32 == 0, (
         "int8 (32,128) tiling: tile must be a multiple of 4096")
     tiles = cfg.block_size // tile
-    needed_rows = (tiles - 1) * trows + rows_w
+    # + dma margin: the slice kernel DMAs a 32-row-aligned slab per
+    # detection; a detection at the block's right edge must not run the
+    # slab past the (last channel's) end of the planar array
+    needed_rows = (tiles - 1) * trows + rows_w + _slice_geometry(cfg)[3]
     stride_rows = -(-needed_rows // 32) * 32
     return trows, rows_w, tiles, stride_rows
 
@@ -1191,27 +1194,117 @@ def compact_candidates_unordered(cands, cfg: DspConfig, tile: int,
     return det_idx, slot_valid, n_det, overflow
 
 
-def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
-                       cfg: DspConfig):
-    """K-sized tail on planar int8 streams; recomputes ref_level from the
-    gathered window with the same f32 op order as the detect kernel."""
+def _slice_geometry(cfg: DspConfig):
+    """(W, out_rows, pad_rows, dma_rows) for the per-detection slice kernel.
+
+    W = noise window + full event; out_rows covers W in 128-lane rows;
+    pad_rows rounds to the f32 (8, 128) output block; dma_rows is the
+    32-row-aligned int8 slab large enough that any 32-row-aligned origin
+    plus the window (+1 borrow row) fits."""
+    W = cfg.noise_window + 242 * cfg.sps
+    out_rows = -(-W // 128)
+    pad_rows = -(-out_rows // 8) * 8
+    dma_rows = 32 * (-(-(32 + out_rows + 1) // 32))
+    return W, out_rows, pad_rows, dma_rows
+
+
+def _slice_kernel(dets_smem, i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
+                  nsteps: int, nbuf: int, dma_rows: int, out_rows: int,
+                  pad_rows: int):
+    """Per-detection window slicer: DMA a 32-row-aligned int8 slab around
+    each window start, compute |IQ|^2 in VMEM, and rotate (dynamic row +
+    lane rolls) so window sample j lands at flat position j — the XLA tail
+    then runs on a static layout. Replaces the vmapped dynamic_slice
+    gather, which XLA lowers to a ~2.5 us-per-slice sequential loop on TPU
+    (~41 ms per 16K detections vs ~10 ms of DMA here)."""
+    g = pl.program_id(0)
+    slot = jax.lax.rem(g, nbuf)
+
+    def copies(slot_s, step):
+        base = dets_smem[step]
+        row32 = pl.multiple_of((base >> 7) & ~jnp.int32(31), 32)
+        return (
+            pltpu.make_async_copy(i_hbm.at[pl.ds(row32, dma_rows)],
+                                  win_i.at[slot_s], sems.at[slot_s, 0]),
+            pltpu.make_async_copy(q_hbm.at[pl.ds(row32, dma_rows)],
+                                  win_q.at[slot_s], sems.at[slot_s, 1]))
+
+    @pl.when(g == 0)
+    def _():
+        for s in range(min(nbuf - 1, nsteps)):
+            for dma in copies(s % nbuf, g + s):
+                dma.start()
+
+    @pl.when(g + nbuf - 1 < nsteps)
+    def _():
+        for dma in copies(jax.lax.rem(g + nbuf - 1, nbuf), g + nbuf - 1):
+            dma.start()
+
+    for dma in copies(slot, g):
+        dma.wait()
+
+    xi = win_i[0].astype(jnp.float32)
+    xq = win_q[0].astype(jnp.float32)
+    for s in range(1, nbuf):
+        xi = jnp.where(slot == s, win_i[s].astype(jnp.float32), xi)
+        xq = jnp.where(slot == s, win_q[s].astype(jnp.float32), xq)
+    scale = jnp.float32(1.0 / 127.0)
+    xi = xi * scale
+    xq = xq * scale
+    w2 = xi * xi + xq * xq                             # (dma_rows, 128)
+
+    base = dets_smem[g]
+    dr = (base >> 7) - ((base >> 7) & ~jnp.int32(31))  # 0..31
+    ln = base & 127
+    # rows dr..dr+out_rows to the top (dr + out_rows + 1 <= dma_rows: no
+    # wraparound contamination), then lane roll + row borrow for ln
+    z = pltpu.roll(w2, (dma_rows - dr) % dma_rows, axis=0)
+    zz = z[0: out_rows + 1]
+    y = pltpu.roll(zz, (128 - ln) % 128, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
+    aligned = jnp.where(lane < 128 - ln, y[0: out_rows], y[1: out_rows + 1])
+    if pad_rows > out_rows:
+        aligned = jnp.concatenate(
+            [aligned,
+             jnp.zeros((pad_rows - out_rows, 128), jnp.float32)], axis=0)
+    out_ref[:] = aligned
+
+
+def slice_windows_planar(ri, rq, base_global, cfg: DspConfig, *,
+                         nbuf: int = 4, interpret: bool = False):
+    """(B_rows, 128) int8 planar streams + (n,) int32 window starts (flat
+    sample coords) -> (n, pad_rows*128) f32 power windows, window sample j
+    at [:, j]. Starts must be >= 0 with dma_rows of margin below the array
+    end (the planar geometry's stride includes that margin)."""
+    _, out_rows, pad_rows, dma_rows = _slice_geometry(cfg)
+    n = base_global.shape[0]
+    kern = functools.partial(_slice_kernel, nsteps=n, nbuf=nbuf,
+                             dma_rows=dma_rows, out_rows=out_rows,
+                             pad_rows=pad_rows)
+    out = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=jax.ShapeDtypeStruct((n * pad_rows, 128), jnp.float32),
+        out_specs=pl.BlockSpec((pad_rows, 128), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nbuf, dma_rows, 128), jnp.int8),
+                        pltpu.VMEM((nbuf, dma_rows, 128), jnp.int8),
+                        pltpu.SemaphoreType.DMA((nbuf, 2))],
+        interpret=interpret,
+    )(base_global, ri, rq)
+    return out.reshape(n, pad_rows * 128)
+
+
+def _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg: DspConfig):
+    """K-sized decode tail on (K, >=W) f32 power windows (window sample j
+    at [:, j]): noise floor, ref level, PPM bits + confidence, CRC/ECC."""
     from ..dsp import pipeline as P
 
     sps = cfg.sps
-    left = cfg.left_halo
     nw = cfg.noise_window
-    W = nw + 242 * sps
-    scale = jnp.float32(1.0 / 127.0)
-
-    safe_idx = jnp.where(valid, det_idx, 0)
-    start = left + safe_idx - nw                        # >= 128 > 0
-    wi = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(xi8, (s,), (W,)))(start)
-    wq = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(xq8, (s,), (W,)))(start)
-    fi = wi.astype(jnp.float32) * scale
-    fq = wq.astype(jnp.float32) * scale
-    w2 = fi * fi + fq * fq                              # (K, W)
 
     noise_at = jnp.mean(w2[:, :nw], axis=1)
 
@@ -1219,7 +1312,7 @@ def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
     if sps == 1:
         ce = w2
     else:
-        ce_len = W - (sps - 1)
+        ce_len = w2.shape[1] - (sps - 1)
         ce = sum(jax.lax.slice_in_dim(w2, s, s + ce_len, axis=1)
                  for s in range(sps)) * (1.0 / sps)
 
@@ -1249,16 +1342,42 @@ def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
         n_detected=n_det, n_overflow=overflow)
 
 
+def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
+                       cfg: DspConfig):
+    """K-sized tail on planar int8 streams via an XLA dynamic-slice gather
+    (fallback path; the slice kernel replaces it on TPU). Recomputes
+    ref_level from the gathered window with the same f32 op order as the
+    detect kernel."""
+    sps = cfg.sps
+    left = cfg.left_halo
+    nw = cfg.noise_window
+    W = nw + 242 * sps
+    scale = jnp.float32(1.0 / 127.0)
+
+    safe_idx = jnp.where(valid, det_idx, 0)
+    start = left + safe_idx - nw                        # >= 128 > 0
+    wi = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xi8, (s,), (W,)))(start)
+    wq = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xq8, (s,), (W,)))(start)
+    fi = wi.astype(jnp.float32) * scale
+    fq = wq.astype(jnp.float32) * scale
+    w2 = fi * fi + fq * fq                              # (K, W)
+    return _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg)
+
+
 def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
                        interpret: bool = False, double_buffer: bool = False,
                        nbuf: int = DEFAULT_NBUF,
                        per_tile: int = None, per_lane: int = None,
-                       ordered: bool = False):
+                       ordered: bool = False, xla_gather: bool = False):
     """Planar-int8 batched demod: (C, P) x2 -> DetectionTable (leading C).
 
     ordered=False (default) uses the unordered kernel emission + XLA-side
-    ranking (compact_candidates_unordered) — ~40% faster than the in-kernel
-    ordering chain it replaces, with per_lane*128 per-tile capacity."""
+    ranking (compact_candidates_unordered). xla_gather=False (default)
+    slices each detection's window with the Pallas slice kernel (explicit
+    DMA); True falls back to the vmapped dynamic_slice gather, which XLA
+    lowers to a sequential per-slice loop on TPU (~2.5 us each)."""
     if tile is None:
         tile = default_tile(cfg)
     if per_tile is None:
@@ -1273,23 +1392,39 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
                                          nbuf=nbuf, per_tile=per_tile,
                                          per_lane=per_lane, ordered=ordered)
 
-    def tail(xi_c, xq_c, cands_c):
+    def compact(cands_c):
         if ordered:
-            det_idx, valid, n_det, ovf = compact_candidates(
-                cands_c, cfg, tile, per_tile=per_tile)
-        else:
-            det_idx, valid, n_det, ovf = compact_candidates_unordered(
-                cands_c, cfg, tile, per_lane=per_lane)
-        return gather_tail_planar(xi_c, xq_c, det_idx, valid, n_det, ovf,
-                                  cfg)
+            return compact_candidates(cands_c, cfg, tile, per_tile=per_tile)
+        return compact_candidates_unordered(cands_c, cfg, tile,
+                                            per_lane=per_lane)
 
-    return jax.vmap(tail)(xi8, xq8, cands)
+    det_idx, valid, n_det, ovf = jax.vmap(compact)(cands)
+
+    if xla_gather:
+        return jax.vmap(
+            lambda a, b, d, v, nd, o: gather_tail_planar(a, b, d, v, nd, o,
+                                                         cfg)
+        )(xi8, xq8, det_idx, valid, n_det, ovf)
+
+    _, _, _, stride_rows = _planar_geometry(cfg, tile)
+    batch, K = det_idx.shape
+    safe_idx = jnp.where(valid, det_idx, 0)
+    chan0 = jnp.arange(batch, dtype=jnp.int32)[:, None] * (stride_rows * 128)
+    base = chan0 + cfg.left_halo + safe_idx - cfg.noise_window
+    ri = xi8.reshape(batch * stride_rows, 128)
+    rq = xq8.reshape(batch * stride_rows, 128)
+    w2 = slice_windows_planar(ri, rq, base.reshape(-1), cfg,
+                              interpret=interpret)
+    w2 = w2.reshape(batch, K, -1)
+    return jax.vmap(
+        lambda w, d, v, nd, o: _tail_from_power(w, d, v, nd, o, cfg)
+    )(w2, det_idx, valid, n_det, ovf)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret",
                                               "double_buffer", "nbuf",
                                               "per_tile", "per_lane",
-                                              "ordered"))
+                                              "ordered", "xla_gather"))
 def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
                                   tile: int = None,
                                   interpret: bool = False,
@@ -1297,11 +1432,12 @@ def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
                                   nbuf: int = DEFAULT_NBUF,
                                   per_tile: int = None,
                                   per_lane: int = None,
-                                  ordered: bool = False):
+                                  ordered: bool = False,
+                                  xla_gather: bool = False):
     """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 14) int32."""
     from ..dsp.pipeline import pack_table
     table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret,
                                double_buffer=double_buffer, nbuf=nbuf,
                                per_tile=per_tile, per_lane=per_lane,
-                               ordered=ordered)
+                               ordered=ordered, xla_gather=xla_gather)
     return jax.vmap(pack_table)(table)

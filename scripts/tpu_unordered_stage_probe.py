@@ -124,16 +124,15 @@ def step_kc(a, b, cfg):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def step_kcg(a, b, cfg):
-    cands = preamble_detect_cands_planar(a, b, cfg, tile=TILE, nbuf=NBUF,
-                                         ordered=False)
+    from airmodes.kernels.preamble_pallas import demod_batch_planar
+    t = demod_batch_planar(a, b, cfg, tile=TILE, nbuf=NBUF)
+    return t.index[:, ::17], t.status[:, ::17]
 
-    def tail(xi_c, xq_c, cands_c):
-        det_idx, valid, n_det, ovf = compact_candidates_unordered(
-            cands_c, cfg, TILE)
-        return gather_tail_planar(xi_c, xq_c, det_idx, valid, n_det, ovf,
-                                  cfg)
 
-    t = jax.vmap(tail)(a, b, cands)
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_kcg_xla(a, b, cfg):
+    from airmodes.kernels.preamble_pallas import demod_batch_planar
+    t = demod_batch_planar(a, b, cfg, tile=TILE, nbuf=NBUF, xla_gather=True)
     return t.index[:, ::17], t.status[:, ::17]
 
 
@@ -171,5 +170,6 @@ timeit("floor", step_floor, xi, xq)
 timeit("k", step_k, xi, xq, cfg)
 timeit("kc", step_kc, xi, xq, cfg)
 timeit("kcg", step_kcg, xi, xq, cfg)
+timeit("kcgx", step_kcg_xla, xi, xq, cfg)
 timeit("full", step_full, xi, xq, cfg)
 print("done", flush=True)

@@ -400,3 +400,32 @@ def test_planar_mxu_window_sum_end_to_end():
     for field in ("index", "bits", "df", "status", "n_detected"):
         np.testing.assert_array_equal(np.asarray(getattr(t0, field)),
                                       np.asarray(getattr(t1, field)))
+
+
+def test_planar_slice_kernel_matches_xla_gather():
+    """The Pallas slice kernel (per-detection DMA windows) produces the
+    same DetectionTable as the XLA dynamic-slice gather (interpret)."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(14, seed=21)
+    iq, _ = encoder.make_capture(frames, snr_db=14.0, spacing=1100, seed=21)
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, cfg):
+        f = P.iq_to_device_layout(block)
+        b = np.clip(np.round(f * 127.0), -127, 127).astype(np.int8)
+        blocks.append(b)
+    batch = np.stack(blocks[:3])
+    xi, xq = to_planar_i8(batch, cfg, tile=4096)
+    t0 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True,
+                            xla_gather=True)
+    t1 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True)
+    for field in ("index", "bits", "df", "nbits", "syndrome", "status",
+                  "ref_level", "n_detected", "n_overflow"):
+        np.testing.assert_array_equal(np.asarray(getattr(t0, field)),
+                                      np.asarray(getattr(t1, field)),
+                                      err_msg=field)
+    # noise is reporting-only; the two paths' window widths give XLA a
+    # different reduce tree (~1e-9 relative difference)
+    np.testing.assert_allclose(np.asarray(t0.noise), np.asarray(t1.noise),
+                               rtol=1e-5)
