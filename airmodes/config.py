@@ -34,8 +34,9 @@ class DspConfig:
     nms_chips: int = 2                 # non-max suppression half-window (chips)
     # perf knob (decision-equivalent): compute the kernel's trailing
     # noise-window sum as two MXU matmuls instead of the 7-step shifted-add
-    # chain on the VPU. Changes f32 summation order only.
-    mxu_window_sum: bool = False
+    # chain on the VPU (~3% faster detect, measured decision-identical).
+    # Changes f32 summation order only.
+    mxu_window_sum: bool = True
 
     @property
     def sps(self) -> int:

@@ -149,7 +149,7 @@ def main():
     inflight = []
     for i in range(iters):
         inflight.append(step(xi, xq, cfg))
-        if len(inflight) > 1:
+        if len(inflight) > 2:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)
@@ -165,12 +165,14 @@ def main():
     dq = jax.device_put(np.tile(xq, (reps, 1)))
     jax.block_until_ready((di, dq))
     np.asarray(step(di, dq, cfg))
+    # 3 dispatches in flight: the dev relay charges ~24 ms fixed + bulk
+    # per fetch, which a 2-deep pipeline only partly hides
     iters = 10
     t0 = time.time()
     inflight = []
     for i in range(iters):
         inflight.append(step(di, dq, cfg))
-        if len(inflight) > 1:
+        if len(inflight) > 2:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)

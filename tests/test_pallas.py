@@ -429,3 +429,33 @@ def test_planar_slice_kernel_matches_xla_gather():
     # different reduce tree (~1e-9 relative difference)
     np.testing.assert_allclose(np.asarray(t0.noise), np.asarray(t1.noise),
                                rtol=1e-5)
+
+
+def test_planar_slice_kernel_block_edge():
+    """Frames whose preambles start on the first / last owned samples of a
+    block (event extending deep into the right halo / DMA margin) decode
+    via the slice-kernel path."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    frames = encoder.random_df17_frames(3, seed=9)
+    # spacing 8191 from 0: preambles at 0, 8191, 16382 = one at the very
+    # start, one mid-block, one on the last owned samples of block 0
+    iq, truth = encoder.make_capture(
+        frames, snr_db=20.0, spacing=8191, start=0, seed=9,
+        total_samples=2 * cfg.block_size)
+    positions = [t.sample_index for t in truth]
+    assert positions[-1] >= cfg.block_size - 2
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, cfg):
+        f = P.iq_to_device_layout(block)
+        blocks.append(np.clip(np.round(f * 60.0), -127, 127).astype(np.int8))
+    batch = np.stack(blocks[:2])
+    xi, xq = to_planar_i8(batch, cfg, tile=4096)
+    t = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True)
+    idx = np.asarray(t.index)
+    status = np.asarray(t.status)
+    got = {(c, int(i)) for c in range(2) for i, s in zip(idx[c], status[c])
+           if i >= 0 and s in (0, 1, 2)}
+    want = {(p // cfg.block_size, p % cfg.block_size) for p in positions}
+    assert want <= got, (sorted(got), sorted(want))
