@@ -444,45 +444,54 @@ def demod_block_jit(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
 # where w0..w6 are the 112 frame bits packed 16 per int32 word (MSB first).
 # Final extra row: [n_detected, n_overflow, 0, ...].
 
-PACKED_COLS = 14
+PACKED_COLS = 9
 
 
 def pack_table(table: DetectionTable) -> jax.Array:
+    """(K+1, 9) int32: [index, df|nbits<<8|status<<16, syndrome, ref, noise,
+    4x 28-bit bit words]; final row = [n_detected, n_overflow, 0...]. The
+    per-block device->host transfer — kept minimal (it crosses PCIe/DCN on
+    real hosts and a slow relay on the dev harness)."""
     k = table.index.shape[0]
-    words = table.bits.astype(jnp.int32).reshape(k, 7, 16)
-    shifts = (15 - jnp.arange(16, dtype=jnp.int32))[None, None, :]
-    packed_bits = jnp.sum(words << shifts, axis=-1)            # (K, 7)
+    words = table.bits.astype(jnp.int32).reshape(k, 4, 28)
+    shifts = (27 - jnp.arange(28, dtype=jnp.int32))[None, None, :]
+    packed_bits = jnp.sum(words << shifts, axis=-1)            # (K, 4)
+    # df = -1 marks empty rows; it travels as 0xFF in the low byte
+    meta = ((table.df & 0xFF) + (table.nbits << 8) + (table.status << 16))
     f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     rows = jnp.concatenate([
-        table.index[:, None], table.df[:, None], table.nbits[:, None],
-        table.syndrome[:, None], table.status[:, None],
+        table.index[:, None], meta[:, None], table.syndrome[:, None],
         f2i(table.ref_level)[:, None], f2i(table.noise)[:, None],
         packed_bits,
-    ], axis=1)                                                  # (K, 14)
+    ], axis=1)                                                  # (K, 9)
     tail = jnp.zeros((1, PACKED_COLS), jnp.int32)
     tail = tail.at[0, 0].set(table.n_detected.astype(jnp.int32))
     tail = tail.at[0, 1].set(table.n_overflow.astype(jnp.int32))
-    return jnp.concatenate([rows, tail], axis=0)                # (K+1, 14)
+    return jnp.concatenate([rows, tail], axis=0)                # (K+1, 9)
 
 
 def unpack_table(arr) -> DetectionTable:
     """Host-side inverse of pack_table (numpy)."""
     arr = np.asarray(arr)
     rows, tail = arr[:-1], arr[-1]
-    words = rows[:, 7:14].astype(np.uint32)
-    bits = ((words[:, :, None] >> (15 - np.arange(16))[None, None, :]) & 1)
+    words = rows[:, 5:9].astype(np.uint32)
+    bits = ((words[:, :, None] >> (27 - np.arange(28))[None, None, :]) & 1)
     bits = bits.reshape(rows.shape[0], 112).astype(np.uint8)
     i2f = lambda x: x.astype(np.int32).view(np.float32)
+    meta = rows[:, 1]
+    df = meta & 0xFF
+    df = np.where(df == 0xFF, -1, df)
     return DetectionTable(
-        index=rows[:, 0], bits=bits, df=rows[:, 1], nbits=rows[:, 2],
-        syndrome=rows[:, 3], status=rows[:, 4],
-        ref_level=i2f(rows[:, 5].copy()), noise=i2f(rows[:, 6].copy()),
+        index=rows[:, 0], bits=bits, df=df,
+        nbits=(meta >> 8) & 0xFF, syndrome=rows[:, 2],
+        status=meta >> 16,
+        ref_level=i2f(rows[:, 3].copy()), noise=i2f(rows[:, 4].copy()),
         n_detected=tail[0], n_overflow=tail[1])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def demod_block_packed_jit(iq: jax.Array, cfg: DspConfig) -> jax.Array:
-    """demod_block + pack_table: one (K+1, 14) int32 output array."""
+    """demod_block + pack_table: one (K+1, 9) int32 output array."""
     return pack_table(demod_block(iq, cfg))
 
 

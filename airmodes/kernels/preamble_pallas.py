@@ -150,7 +150,7 @@ def demod_block_pallas(iq, cfg: DspConfig, tile: int = 16384,
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
 def demod_block_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
                                   interpret: bool = False):
-    """Pallas-front-end demod + pack_table: one (K+1, 14) int32 output."""
+    """Pallas-front-end demod + pack_table: one (K+1, 9) int32 output."""
     from ..dsp.pipeline import pack_table
     return pack_table(demod_block_pallas(iq, cfg, tile=tile,
                                          interpret=interpret))
@@ -729,7 +729,7 @@ def demod_batch_pallas(iq, cfg: DspConfig, tile: int = 16384,
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
 def demod_batch_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
                                   interpret: bool = False):
-    """Batched demod + per-block packing: (C, L+N+R, 2) -> (C, K+1, 14)."""
+    """Batched demod + per-block packing: (C, L+N+R, 2) -> (C, K+1, 9)."""
     from ..dsp.pipeline import pack_table
     table = demod_batch_pallas(iq, cfg, tile=tile, interpret=interpret)
     return jax.vmap(pack_table)(table)
@@ -1434,7 +1434,7 @@ def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
                                   per_lane: int = None,
                                   ordered: bool = False,
                                   xla_gather: bool = False):
-    """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 14) int32."""
+    """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 9) int32."""
     from ..dsp.pipeline import pack_table
     table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret,
                                double_buffer=double_buffer, nbuf=nbuf,

@@ -149,7 +149,7 @@ def main():
     inflight = []
     for i in range(iters):
         inflight.append(step(xi, xq, cfg))
-        if len(inflight) > 2:
+        if len(inflight) > 1:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)
@@ -157,22 +157,21 @@ def main():
     stream_msps = iters * C * cfg.block_size / stream_dt / 1e6
 
     # primary metric: device-resident input, fetch-synced per call.
-    # The kernel is fast enough that a C=16 call (~20 ms) sits below the
-    # dev relay's ~36 ms fixed RPC cost; measure at C_dev=64 (the capture
-    # tiled 4x — identical per-copy detections) to amortize it.
-    reps = 4
+    # The dev relay charges ~24 ms fixed per fetch; C_dev=192 blocks per
+    # dispatch (the capture tiled 12x — identical per-copy detections)
+    # amortizes it below the ~90 ms of real compute per dispatch.
+    reps = 12
     di = jax.device_put(np.tile(xi, (reps, 1)))
     dq = jax.device_put(np.tile(xq, (reps, 1)))
     jax.block_until_ready((di, dq))
     np.asarray(step(di, dq, cfg))
-    # 3 dispatches in flight: the dev relay charges ~24 ms fixed + bulk
-    # per fetch, which a 2-deep pipeline only partly hides
+    # 2 dispatches in flight (swept best: deeper queues measured slower)
     iters = 10
     t0 = time.time()
     inflight = []
     for i in range(iters):
         inflight.append(step(di, dq, cfg))
-        if len(inflight) > 2:
+        if len(inflight) > 1:
             np.asarray(inflight.pop(0))
     for o in inflight:
         np.asarray(o)
