@@ -2,16 +2,29 @@
 
 The reference inserts a pfb_arb_resampler / low-pass front-end when the SDR
 rate is not an integer multiple of 2 Msps (python/radio.py source setup,
-SURVEY.md §2.1 supporting pieces). Here that becomes a TPU-friendly
-gather + multiply-reduce formulation of the classic P/Q polyphase structure:
+SURVEY.md §2.1 supporting pieces). Here that becomes a TPU-native
+formulation of the classic P/Q polyphase structure
 
     y[n] = sum_k h[k*P + (n*Q mod P)] * x[floor(n*Q/P) - k]
 
-All output samples are computed in one batched step: a (N_out, taps) window
-gather plus an elementwise product with the per-output subfilter and a lane
-reduction — no serial loops, static shapes, vectorizes on the VPU. (A plain
-XLA convolution would work on TPU but compiles pathologically on XLA CPU,
-which the test mesh uses.)
+as dense BLOCK-TOEPLITZ MATMULS on the MXU: the filter is linear and
+periodic (output n and n + 128P use the same coefficients against inputs
+shifted by 128Q), so output groups of 128P samples are three consecutive
+128Q-sample input groups times constant matrices. Measured on the dev
+TPU, every other formulation is 10-1000x slower (per-output gathers,
+strided slices, (M, q) reshapes, transposes, and tiny-channel dilated
+convs all hit sequential lowering or 128x tile-padding blowups — see
+scripts/tpu_resample_*_probe.py); dense MXU FLOPs are the one thing the
+chip gives away for free. The same matmuls run on the CPU test mesh.
+
+Operational note: fractional-rate SDR captures (e.g. rtl-sdr 2.4 Msps)
+decode most robustly resampled UP to 4 Msps (2 samples/chip with
+chip-energy integration, verified 12/12 on band-limited captures); at
+2 Msps output a single sample per chip lands at an arbitrary sub-chip
+phase and marginal messages drop — the same physics limits the reference
+at 2 Msps. The input must be anti-alias filtered by the SDR (all real
+front-ends do); naively decimated square-pulse test vectors alias ~30%
+of the pulse energy in-band and nothing downstream can undo that.
 """
 
 from __future__ import annotations
@@ -46,42 +59,193 @@ def _polyphase_bank(p: int, q: int, taps_per_phase: int) -> np.ndarray:
     return h.reshape(taps_per_phase, p).T.copy()  # [phase, tap]
 
 
-def _resample_1d(x: jax.Array, p: int, q: int, taps_per_phase: int) -> jax.Array:
-    """Rational-resample one float channel; output length floor(len*p/q)."""
-    n_in = x.shape[0]
-    n_out = (n_in * p) // q
-    bank = jnp.asarray(_polyphase_bank(p, q, taps_per_phase))  # (p, T)
-    t = taps_per_phase
+def _resample_cols(x2: jax.Array, p: int, q: int,
+                   taps_per_phase: int) -> jax.Array:
+    """Rational-resample (N, C) columns jointly; output (floor(N*p/q), C).
 
-    n = jnp.arange(n_out, dtype=jnp.int32)
-    nq = n * q
-    base = nq // p                       # input anchor per output sample
-    phase = nq - base * p                # n*q mod p
-    # group delay centering: shift anchors by half the subfilter span
-    base = base + (t // 2)
-    k = jnp.arange(t, dtype=jnp.int32)
-    idx = base[:, None] - k[None, :]     # (n_out, T)
-    idx = jnp.clip(idx, 0, n_in - 1)
-    windows = x[idx]                     # gather (n_out, T)
-    coeffs = bank[phase]                 # gather (n_out, T)
-    return jnp.sum(windows * coeffs, axis=-1)
+    Phase-decomposed, gather-free (TPU gathers lower to sequential loops):
+    outputs n = r + m*p share subfilter phase (r*q) mod p and anchors in
+    arithmetic progression base0(r) + m*q, so each (row, tap) term is a
+    STATIC strided slice (reshape + column) times a scalar coefficient —
+    p*T fused slice+fma passes, fully vectorized on the VPU.
+
+        y[r + m*p] = sum_k bank[(r*q) % p, k] * x[(r*q)//p + t//2 + m*q - k]
+
+    Out-of-range taps at the edges use the edge sample. All components
+    (I/Q or re/im) go through ONE computation so the streaming and offline
+    paths produce bit-identical values.
+    """
+    n_in = x2.shape[0]
+    nc = x2.shape[1]
+    n_out = (n_in * p) // q
+    t = taps_per_phase
+    bank = _polyphase_bank(p, q, t)                       # numpy (p, T)
+    m_rows = -(-n_out // p)                               # outputs per row
+
+    base0 = [(r * q) // p + (t // 2) for r in range(p)]
+    phase = [(r * q) % p for r in range(p)]
+    lpad = max(0, t - min(base0))
+    rpad = max(0, max(base0) + (m_rows - 1) * q - (n_in - 1)) + 1
+    xp = jnp.concatenate([
+        jnp.broadcast_to(x2[0], (lpad, nc)), x2,
+        jnp.broadcast_to(x2[-1], (rpad, nc))], axis=0)
+
+    rows = []
+    for r in range(p):
+        acc = jnp.zeros((m_rows, nc), x2.dtype)
+        h = bank[phase[r]]
+        for k in range(t):
+            s = lpad + base0[r] - k
+            # true strided slice: (m_rows, nc) directly — a reshape via
+            # (m_rows, q, nc) pads the tiny minor dims to TPU tiles (21x
+            # memory blowup at q=6)
+            col = jax.lax.slice(xp, (s, 0), (s + (m_rows - 1) * q + 1, nc),
+                                (q, 1))
+            acc = acc + jnp.float32(h[k]) * col
+        rows.append(acc)
+    y = jnp.stack(rows, axis=1).reshape(m_rows * p, nc)   # n = m*p + r
+    return y[:n_out]
+
+
+@functools.lru_cache(maxsize=None)
+def _group_matrices(p: int, q: int, taps_per_phase: int):
+    """Three (128q, 128p) block-Toeplitz matrices (prev, cur, next).
+
+    The rational resample is linear and periodic: output n and n + 128p
+    use the same coefficients against inputs shifted by 128q, so outputs
+    come in groups of 128p computed from three consecutive 128q input
+    groups: y_grp[G] = x_grp[G-1] @ A_prev + x_grp[G] @ A_cur +
+    x_grp[G+1] @ A_next. That turns the whole filter into dense matmuls
+    on the MXU — the only fast form of this computation on TPU (gathers,
+    strided slices, transposes, and tiny-channel convs all measured
+    10-1000x slower; see scripts/tpu_resample_*_probe.py)."""
+    t = taps_per_phase
+    bank = _polyphase_bank(p, q, t)
+    gi, go = 128 * q, 128 * p
+    mats = [np.zeros((gi, go), np.float32) for _ in range(3)]
+    for nl in range(go):
+        b = (nl * q) // p + t // 2
+        ph = (nl * q) % p
+        for k in range(t):
+            i = b - k + gi            # position in [prev | cur | next]
+            assert 0 <= i < 3 * gi
+            mats[i // gi][i % gi, nl] = bank[ph, k]
+    return tuple(mats)
+
+
+# matrices cost 3 * 128^2 * p * q * 4 bytes; beyond this use the slice form
+_GROUP_PQ_CAP = 256
+
+
+def _resample_groups(xc: jax.Array, p: int, q: int,
+                     taps_per_phase: int) -> jax.Array:
+    """(C, N) planar -> (C, floor(N*p/q)) via the group matmuls.
+
+    Zero-pads one input group on each side (edge semantics: out-of-range
+    taps read zeros). HIGHEST precision: TPU's default f32 matmul
+    truncates operands to bf16."""
+    c, n_in = xc.shape
+    n_out = (n_in * p) // q
+    gi, go = 128 * q, 128 * p
+    ng = -(-n_out // go)
+    back = (ng + 1) * gi - n_in
+    assert back >= 0
+    xp = jnp.pad(xc, ((0, 0), (gi, back)))
+    xg = xp.reshape(c, ng + 2, gi)
+    ap, a0, an = (jnp.asarray(m) for m in
+                  _group_matrices(p, q, taps_per_phase))
+    hi = jax.lax.Precision.HIGHEST
+    prev = xg[:, 0:ng].reshape(c * ng, gi)
+    cur = xg[:, 1:ng + 1].reshape(c * ng, gi)
+    nxt = xg[:, 2:ng + 2].reshape(c * ng, gi)
+    y = (jnp.matmul(prev, ap, precision=hi) +
+         jnp.matmul(cur, a0, precision=hi) +
+         jnp.matmul(nxt, an, precision=hi))
+    return y.reshape(c, ng * go)[:, :n_out]
+
+
+def _deint_matrix() -> np.ndarray:
+    """(128, 128) permutation: interleaved IQIQ lanes -> [64 I | 64 Q]."""
+    d = np.zeros((128, 128), np.float32)
+    for j in range(64):
+        d[2 * j, j] = 1.0
+        d[2 * j + 1, 64 + j] = 1.0
+    return d
+
+
+def _to_planar(x2: jax.Array) -> jax.Array:
+    """(N, 2) interleaved -> (2, N) planar via a lane-permutation matmul.
+
+    A plain transpose — or ANY op materializing a minor-dim-2 array, pads
+    included — relayouts through a 64x tile-padded buffer on TPU (32 GB
+    for a 64M-sample stream); so reshape to 128 lanes FIRST and permute
+    lanes on the MXU."""
+    n = x2.shape[0]
+    n64 = (n // 64) * 64
+    xm = x2[:n64].reshape(-1, 128)
+    if n64 < n:
+        tail = jnp.pad(x2[n64:], ((0, 64 - (n - n64)), (0, 0)))
+        xm = jnp.concatenate([xm, tail.reshape(1, 128)], axis=0)
+    hi = jax.lax.Precision.HIGHEST
+    xd = jnp.matmul(xm, jnp.asarray(_deint_matrix()), precision=hi)
+    return jnp.stack([xd[:, :64].reshape(-1)[:n],
+                      xd[:, 64:].reshape(-1)[:n]])
+
+
+def _to_interleaved(yc: jax.Array) -> jax.Array:
+    """(2, N) planar -> (N, 2) interleaved (inverse lane permutation)."""
+    n = yc.shape[1]
+    pad = (-n) % 64
+    if pad:
+        yc = jnp.pad(yc, ((0, 0), (0, pad)))
+    y128 = jnp.concatenate([yc[0].reshape(-1, 64), yc[1].reshape(-1, 64)],
+                           axis=1)
+    hi = jax.lax.Precision.HIGHEST
+    yi = jnp.matmul(y128, jnp.asarray(_deint_matrix().T), precision=hi)
+    return yi.reshape(-1, 2)[:n]
+
+
+def _resample2(x2: jax.Array, p: int, q: int, taps_per_phase: int):
+    """(N, C) resample: group matmuls when the matrices are small enough
+    (every practical SDR ratio), else the phase-decomposed slice form
+    (fine on CPU; route huge-ratio TPU work through a CPU host step)."""
+    if p * q <= _GROUP_PQ_CAP:
+        if jax.default_backend() == "tpu" and x2.shape[1] == 2:
+            yc = _resample_groups(_to_planar(x2), p, q, taps_per_phase)
+            return _to_interleaved(yc)
+        return _resample_groups(x2.T, p, q, taps_per_phase).T
+    return _resample_cols(x2, p, q, taps_per_phase)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "q", "taps_per_phase"))
+def resample_planar(xc: jax.Array, p: int, q: int,
+                    taps_per_phase: int = 12) -> jax.Array:
+    """(C, N) planar float32 -> (C, floor(N*p/q)) — the device-scale
+    interface (no minor-dim-2 layouts anywhere)."""
+    if p == q == 1:
+        return xc
+    if p * q <= _GROUP_PQ_CAP:
+        return _resample_groups(xc, p, q, taps_per_phase)
+    return _resample_cols(xc.T, p, q, taps_per_phase).T
 
 
 @functools.partial(jax.jit, static_argnames=("p", "q", "taps_per_phase"))
 def resample(x: jax.Array, p: int, q: int, taps_per_phase: int = 12) -> jax.Array:
-    """Resample by rational p/q. Accepts float (N,), complex (N,), or the
-    TPU-native float32 (N, 2) I/Q layout (each component filtered)."""
+    """Resample by rational p/q. Accepts float (N,), complex (N,) (CPU
+    backend only — the TPU runtime has no complex compute), or float32
+    (N, 2) I/Q (each component filtered)."""
     if p == q == 1:
         return x
     if jnp.iscomplexobj(x):
-        re = _resample_1d(jnp.real(x), p, q, taps_per_phase)
-        im = _resample_1d(jnp.imag(x), p, q, taps_per_phase)
-        return (re + 1j * im).astype(x.dtype)
+        xc = jnp.stack([jnp.real(x), jnp.imag(x)], axis=0)   # (2, N) planar
+        if p * q <= _GROUP_PQ_CAP:
+            yc = _resample_groups(xc, p, q, taps_per_phase)
+        else:
+            yc = _resample_cols(xc.T, p, q, taps_per_phase).T
+        return (yc[0] + 1j * yc[1]).astype(x.dtype)
     if x.ndim == 2 and x.shape[-1] == 2:
-        return jnp.stack(
-            [_resample_1d(x[:, 0], p, q, taps_per_phase),
-             _resample_1d(x[:, 1], p, q, taps_per_phase)], axis=-1)
-    return _resample_1d(x, p, q, taps_per_phase)
+        return _resample2(x, p, q, taps_per_phase)
+    return _resample2(x[:, None], p, q, taps_per_phase)[:, 0]
 
 
 def rational_rate(in_rate: float, out_rate: float,
@@ -110,50 +274,55 @@ class streaming_resampler:
     stream-graph filter block, which keeps FIR history between work() calls).
 
     push(chunk) consumes arbitrary-length complex64 chunks and returns the
-    resampled samples whose full filter window is available; filter history
-    carries across calls, so concatenated outputs equal the offline
-    `resample` of the concatenated input (after the fixed group-delay
-    offset `self.delay_out` and away from the final tail).
+    resampled samples whose inputs are fully available; history carries
+    across calls. Strides are whole 128q-sample input groups aligned with
+    the offline `resample`'s groups, and the kernel is the SAME three
+    block-Toeplitz matmuls against the same group values — concatenated
+    streaming output equals the offline resample of the concatenated input
+    from sample 0 (to 1 ULP: XLA reassociates the matmul contraction
+    differently for different batch shapes); the tail appears after
+    flush().
 
-    Internally processes fixed input strides (multiple of q) through one
-    jitted fixed-shape kernel — no per-chunk recompiles.
+    `delay_out` = 128p: the final output group of a stride needs the next
+    stride's first input group, so outputs lag by one group.
     """
 
     def __init__(self, p: int, q: int, taps_per_phase: int = 12,
                  stride_blocks: int = 2048):
         self.p, self.q, self.t = int(p), int(q), int(taps_per_phase)
-        self.stride = stride_blocks * self.q      # input samples per step
-        self.n_out = self.stride * self.p // self.q
-        # output-domain delay: outputs lag inputs by ~t/2 input samples
-        # (rounded up so a stride's last output never needs future samples)
-        self.delay_out = -(-((self.t // 2) + 1) * self.p // self.q) + 1
-        self.hist = self.t + (self.delay_out * self.q) // self.p + 2
+        gi, go = 128 * self.q, 128 * self.p
+        self.s_groups = max(2, (stride_blocks * self.q) // gi)
+        self.stride = self.s_groups * gi          # input samples per step
+        self.n_out = self.s_groups * go
+        self.delay_out = go
+        self.hist = 2 * gi
         self._pending = np.zeros(0, np.complex64)
         self._left = np.zeros(self.hist, np.complex64)
         self._stride_idx = 0
         self._kernel = jax.jit(self._make_kernel())
 
     def _make_kernel(self):
-        p, q, t, hist, n_out = self.p, self.q, self.t, self.hist, self.n_out
-        delay = self.delay_out
-        bank_np = _polyphase_bank(p, q, t)
+        p, q, t = self.p, self.q, self.t
+        gi, go = 128 * q, 128 * p
+        S = self.s_groups
 
-        def kernel(block, n0):
-            # block: (hist + stride,) complex; n0: first global output index
-            bank = jnp.asarray(bank_np)
-            n = n0 + jnp.arange(n_out, dtype=jnp.int32)
-            nq = n * q
-            base = nq // p + (t // 2)
-            phase = nq - (nq // p) * p
-            k = jnp.arange(t, dtype=jnp.int32)
-            # global input index -> local: subtract stride start, add hist
-            g0 = ((n0 + delay) * q) // p  # global input index of stride start
-            idx = base[:, None] - k[None, :] - g0 + hist
-            idx = jnp.clip(idx, 0, block.shape[0] - 1)
-            w = block[idx]
-            c = bank[phase]
-            return jnp.sum(jnp.real(w) * c, axis=-1) + \
-                1j * jnp.sum(jnp.imag(w) * c, axis=-1)
+        def kernel(block2):
+            # block2: (hist + stride, 2) float32 I/Q (complex compute is
+            # unsupported on the TPU runtime). Local input groups
+            # 0..S+1 = global groups sS-2..sS+S-1; output group
+            # G = sS-1+j (j in [0, S)) uses locals j, j+1, j+2 — the same
+            # matmuls, against the same globally-aligned groups, as the
+            # offline path.
+            xg = block2.T.reshape(2, S + 2, gi)
+            ap, a0, an = (jnp.asarray(m) for m in _group_matrices(p, q, t))
+            hi = jax.lax.Precision.HIGHEST
+            prev = xg[:, 0:S].reshape(2 * S, gi)
+            cur = xg[:, 1:S + 1].reshape(2 * S, gi)
+            nxt = xg[:, 2:S + 2].reshape(2 * S, gi)
+            y = (jnp.matmul(prev, ap, precision=hi) +
+                 jnp.matmul(cur, a0, precision=hi) +
+                 jnp.matmul(nxt, an, precision=hi))
+            return y.reshape(2, S * go)
 
         return kernel
 
@@ -164,12 +333,14 @@ class streaming_resampler:
         while len(self._pending) >= self.stride:
             chunk = self._pending[: self.stride]
             self._pending = self._pending[self.stride:]
-            block = np.concatenate([self._left, chunk])
-            n0 = self._stride_idx * self.n_out - self.delay_out
-            y = np.asarray(self._kernel(block, np.int32(n0)))
+            block = np.ascontiguousarray(
+                np.concatenate([self._left, chunk]))
+            block2 = block.view(np.float32).reshape(-1, 2)
+            y2 = np.asarray(self._kernel(block2))
+            y = (y2[0] + 1j * y2[1]).astype(np.complex64)
             if self._stride_idx == 0:
-                y = y[self.delay_out:]  # drop pre-stream outputs
-            outs.append(y.astype(np.complex64))
+                y = y[self.delay_out:]  # output group -1 is pre-stream
+            outs.append(y)
             self._left = chunk[-self.hist:]
             self._stride_idx += 1
         if outs:

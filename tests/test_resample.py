@@ -119,7 +119,9 @@ def test_streaming_matches_offline(pq):
             break
     outs.append(rs.flush())
     streamed = np.concatenate(outs)
-    # interior samples are bit-identical; the stream head (zero history vs
-    # offline edge clipping) and tail (zero pad vs clip) legitimately differ
-    m = min(len(offline), len(streamed)) - 64
-    np.testing.assert_array_equal(offline[64:m], streamed[64:m])
+    # the streaming path runs the SAME group matmuls against the same
+    # globally-aligned input groups, but XLA reassociates the contraction
+    # differently for different batch shapes -> 1-ULP tolerance
+    m = min(len(offline), len(streamed))
+    np.testing.assert_allclose(streamed[:m], offline[:m],
+                               rtol=3e-6, atol=3e-6)
