@@ -157,10 +157,10 @@ def main():
     stream_msps = iters * C * cfg.block_size / stream_dt / 1e6
 
     # primary metric: device-resident input, fetch-synced per call.
-    # The dev relay charges ~24 ms fixed per fetch; C_dev=192 blocks per
-    # dispatch (the capture tiled 12x — identical per-copy detections)
-    # amortizes it below the ~90 ms of real compute per dispatch.
-    reps = 12
+    # The dev relay charges ~24 ms fixed per fetch; C_dev=256 blocks per
+    # dispatch (the capture tiled 16x — identical per-copy detections)
+    # amortizes it below the ~115 ms of real compute per dispatch.
+    reps = 16
     di = jax.device_put(np.tile(xi, (reps, 1)))
     dq = jax.device_put(np.tile(xq, (reps, 1)))
     jax.block_until_ready((di, dq))
