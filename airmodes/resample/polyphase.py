@@ -71,9 +71,10 @@ def _resample_cols(x2: jax.Array, p: int, q: int,
 
         y[r + m*p] = sum_k bank[(r*q) % p, k] * x[(r*q)//p + t//2 + m*q - k]
 
-    Out-of-range taps at the edges use the edge sample. All components
-    (I/Q or re/im) go through ONE computation so the streaming and offline
-    paths produce bit-identical values.
+    Out-of-range taps at the edges read zeros (the same edge rule as the
+    group-matmul path, so resample() behaves identically on either side
+    of _GROUP_PQ_CAP). All components (I/Q or re/im) go through ONE
+    computation.
     """
     n_in = x2.shape[0]
     nc = x2.shape[1]
@@ -87,8 +88,8 @@ def _resample_cols(x2: jax.Array, p: int, q: int,
     lpad = max(0, t - min(base0))
     rpad = max(0, max(base0) + (m_rows - 1) * q - (n_in - 1)) + 1
     xp = jnp.concatenate([
-        jnp.broadcast_to(x2[0], (lpad, nc)), x2,
-        jnp.broadcast_to(x2[-1], (rpad, nc))], axis=0)
+        jnp.zeros((lpad, nc), x2.dtype), x2,
+        jnp.zeros((rpad, nc), x2.dtype)], axis=0)
 
     rows = []
     for r in range(p):
@@ -348,8 +349,14 @@ class streaming_resampler:
         return np.zeros(0, np.complex64)
 
     def flush(self) -> np.ndarray:
-        """Zero-pad the tail and emit the remaining outputs."""
+        """Zero-pad the tail and emit the remaining outputs.
+
+        Pads a full extra zero stride beyond the boundary: the last group
+        holding real data needs its NEXT input group as lookahead, so
+        padding only to the stride boundary would hold back (and lose) up
+        to 128p trailing output samples. The extra all-zero outputs at the
+        very end are harmless (nothing decodes from silence)."""
         if len(self._pending) == 0 and self._stride_idx == 0:
             return np.zeros(0, np.complex64)
-        pad = self.stride - len(self._pending)
+        pad = 2 * self.stride - len(self._pending)
         return self.push(np.zeros(pad, np.complex64))

@@ -394,7 +394,8 @@ def test_planar_mxu_window_sum_end_to_end():
         blocks.append(b)
     batch = np.stack(blocks[:2])
     xi, xq = to_planar_i8(batch, cfg, tile=4096)
-    t0 = demod_batch_planar(xi, xq, cfg, tile=4096, interpret=True)
+    cfg_vpu = dataclasses.replace(cfg, mxu_window_sum=False)
+    t0 = demod_batch_planar(xi, xq, cfg_vpu, tile=4096, interpret=True)
     cfg_mxu = dataclasses.replace(cfg, mxu_window_sum=True)
     t1 = demod_batch_planar(xi, xq, cfg_mxu, tile=4096, interpret=True)
     for field in ("index", "bits", "df", "status", "n_detected"):
