@@ -1,0 +1,91 @@
+"""Probe: planar demod throughput vs detect-kernel tile ABOVE 65536.
+
+The planar tile sweep (tpu_planar_nbuf_probe.py) stopped at 65536 and
+throughput was still rising with tile size (fewer grid steps -> less
+per-step DMA issue overhead). VMEM allows much larger windows
+(nbuf=2 x rows_w x 128 int8 x 2 streams = ~0.5 MB at tile 131072), and
+candidate capacity scales with the tile, so probe 65536 / 131072 /
+262144 / 524288 on the full packed step, fetch-synced.
+
+Density note: the unordered path caps hits at 4 per (lane, tile); at
+~100 msg/s and 2 Msps a 524288-sample tile carries ~26 messages
+(lane lambda ~0.2, Poisson spill probability ~1e-6) — safe.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+sys.path.insert(0, "/root/repo")
+import airmodes  # noqa: E402
+from airmodes.kernels.preamble_pallas import (  # noqa: E402
+    demod_batch_packed_planar_jit, planar_length)
+from bench import build_capture  # noqa: E402
+
+DEADLINE = time.time() + 2000
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    cfg = airmodes.DspConfig(block_size=1 << 22, max_detections=256)
+    C = 16
+    xi, xq, truth = build_capture(cfg, C)   # padded for default tile 65536
+    want = {t.hex for t in truth}
+    reps = 16                                # C_dev = 256 (bench shape)
+    results = {}
+    for tile in (65536, 131072, 262144, 524288):
+        if time.time() > DEADLINE:
+            print("deadline; stopping early", flush=True)
+            break
+        p = planar_length(cfg, tile)
+        bi = np.zeros((C, p), np.int8)
+        bq = np.zeros((C, p), np.int8)
+        n = min(p, xi.shape[1])
+        bi[:, :n] = xi[:, :n]
+        bq[:, :n] = xq[:, :n]
+        di = jax.device_put(np.tile(bi, (reps, 1)))
+        dq = jax.device_put(np.tile(bq, (reps, 1)))
+        jax.block_until_ready((di, dq))
+        t0 = time.time()
+        try:
+            arr = np.asarray(demod_batch_packed_planar_jit(
+                di, dq, cfg, tile=tile))
+        except Exception as e:
+            print(f"tile={tile}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        compile_s = time.time() - t0
+        # correctness: decode check on the first C blocks
+        from airmodes.dsp import host
+        from airmodes.dsp.pipeline import unpack_table
+        msgs = []
+        for i in range(C):
+            t = unpack_table(arr[i])
+            msgs.extend(host.table_to_messages(t, i * cfg.block_size,
+                                               cfg.channel_rate))
+        got = {m.split()[1] for m in msgs}
+        missing = len(want - got)
+        iters = 6
+        t0 = time.time()
+        inflight = []
+        for _ in range(iters):
+            inflight.append(demod_batch_packed_planar_jit(
+                di, dq, cfg, tile=tile))
+            if len(inflight) > 1:
+                np.asarray(inflight.pop(0))
+        for o in inflight:
+            np.asarray(o)
+        dt = time.time() - t0
+        gsps = iters * reps * C * cfg.block_size / dt / 1e9
+        results[tile] = gsps
+        print(f"tile={tile}: {gsps:.2f} Gsps (compile {compile_s:.0f}s, "
+              f"missing {missing}/{len(want)})", flush=True)
+    print("RESULTS", results, flush=True)
+
+
+if __name__ == "__main__":
+    main()
