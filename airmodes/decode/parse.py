@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 from .. import crc
 from ..constants import (AP_ADDRESS_DFS, STATUS_FAIL)
 from ..exceptions import ADSBError, NoHandlerError, ParserError
+from . import commb
 from .altitude import decode_alt
 from .cpr import cpr_decoder
 from .fields import decode_callsign, decode_squawk, me_reply, modes_reply
@@ -51,6 +52,7 @@ class AircraftReport:
     on_surface: bool = False
     flight_status: Optional[int] = None
     capability: Optional[int] = None
+    commb: Optional[dict] = None         # decoded Comm-B register (DF20/21)
 
     @property
     def icao_hex(self) -> Optional[str]:
@@ -138,12 +140,25 @@ class parse:
     def parse20(self, reply, report):
         report.flight_status = reply["fs"]
         report.altitude_ft = self._alt13(reply["ac"])
-        # MB field (56-bit Comm-B payload) is carried raw; BDS inference is
-        # out of scope, matching the reference.
+        self._parse_mb(reply["mb"], report)
 
     def parse21(self, reply, report):
         report.flight_status = reply["fs"]
         report.squawk = decode_squawk(reply["id"])
+        self._parse_mb(reply["mb"], report)
+
+    def _parse_mb(self, mb: int, report: AircraftReport):
+        """Comm-B register inference + decode (beyond the reference, which
+        carries MB raw). Attached only when the register is UNIQUELY
+        inferable; see decode/commb.py."""
+        decoded = commb.decode(mb)
+        if decoded is None:
+            return
+        name, fields = decoded
+        report.bds = name
+        report.commb = fields
+        if name == "BDS2,0":
+            report.callsign = fields["callsign"]
 
     def parse24(self, reply, report):
         pass  # Comm-D ELM segment; carried raw (reference: partial support)

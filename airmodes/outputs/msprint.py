@@ -34,6 +34,31 @@ class output_print:
             self._cb(line)
 
     @staticmethod
+    def _commb_summary(rep: AircraftReport) -> str:
+        """Inline summary of an inferred Comm-B register (DF20/21)."""
+        if not rep.commb:
+            return ""
+        f = rep.commb
+        bits = []
+        if "callsign" in f:
+            bits.append(f"ident {f['callsign']}")
+        for key, fmt in (("mcp_altitude_ft", "sel alt {:.0f} ft"),
+                         ("baro_setting_mb", "QNH {:.1f} mb"),
+                         ("roll_deg", "roll {:+.1f}"),
+                         ("track_deg", "track {:.1f}"),
+                         ("groundspeed_kt", "GS {:.0f} kt"),
+                         ("tas_kt", "TAS {:.0f} kt"),
+                         ("mag_heading_deg", "hdg {:.1f}"),
+                         ("ias_kt", "IAS {:.0f} kt"),
+                         ("mach", "M{:.3f}"),
+                         ("baro_vertical_rate_fpm", "vert {:+.0f} fpm")):
+            if key in f:
+                bits.append(fmt.format(f[key]))
+        if "gicb_services" in f:
+            bits.append("GICB " + "+".join(f["gicb_services"]))
+        return f" {rep.bds} ({', '.join(bits)})" if bits else f" {rep.bds}"
+
+    @staticmethod
     def format_report(rep: AircraftReport) -> str:
         icao = rep.icao_hex or "??????"
         tail = f"({rep.ref_dbfs:.1f} dBFS) [{rep.timestamp:.6f}]"
@@ -64,8 +89,10 @@ class output_print:
             return f"Type {rep.df} (short air-air ACAS) from {icao}{alt} " + tail
         if rep.df in (4, 20):
             alt = f" alt {rep.altitude_ft} ft" if rep.altitude_ft is not None else ""
-            return f"Type {rep.df} (altitude reply) from {icao}{alt} " + tail
+            cb = output_print._commb_summary(rep)
+            return f"Type {rep.df} (altitude reply) from {icao}{alt}{cb} " + tail
         if rep.df in (5, 21):
             sq = f" squawk {rep.squawk:04d}" if rep.squawk is not None else ""
-            return f"Type {rep.df} (identity reply) from {icao}{sq} " + tail
+            cb = output_print._commb_summary(rep)
+            return f"Type {rep.df} (identity reply) from {icao}{sq}{cb} " + tail
         return f"Type {rep.df} from {icao} " + tail

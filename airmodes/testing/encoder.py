@@ -83,6 +83,13 @@ def df20_frame(icao: int, ac13: int, mb: int = 0, fs: int = 0) -> int:
     assert n == MAX_FRAME_BITS
     return frame
 
+def df21_frame(icao: int, id13: int, mb: int = 0, fs: int = 0) -> int:
+    """DF21 Comm-B identity: [df:5][fs:3][dr:5][um:6][id:13][mb:56][ap:24]."""
+    payload = ((21 << 27) | ((fs & 7) << 24) | (id13 & 0x1FFF)) << 56 | (mb & (1 << 56) - 1)
+    frame, n = build_frame(payload, 88, overlay=icao & 0xFFFFFF)
+    assert n == MAX_FRAME_BITS
+    return frame
+
 
 # --- ME-field helpers (DF17 payload types, ref: python/parse.py layouts) -----
 
