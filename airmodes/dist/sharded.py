@@ -161,3 +161,52 @@ def shard_input_planar(xi, xq, mesh: Mesh):
     """Place host (C, T) int8 planar streams with the pipeline's sharding."""
     s = NamedSharding(mesh, P("channel", "time"))
     return jax.device_put(xi, s), jax.device_put(xq, s)
+
+
+def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
+                                p: int, q: int, taps_per_phase: int = 12):
+    """Fused resample + demod in ONE sharded XLA program.
+
+    For SDR captures at rate != channel_rate the single-chip CLI runs the
+    polyphase resampler as a separate program in front of the demod; here
+    both stages fuse into one shard_map step so multi-chip streams never
+    round-trip through HBM-visible intermediates or the host:
+
+      raw-rate shard --ppermute 128q-group halos--> group-matmul resample
+        --ppermute demod halos (resampled domain)--> demod_block
+
+    fn(iq): global float32 (n_channels, n_time * raw_block, 2) at the RAW
+    rate, sharded P("channel", "time", None), where raw_block =
+    cfg.block_size * q / p (must be an integer multiple of 128q — i.e.
+    cfg.block_size a multiple of 128p). Detection indices are global in
+    the RESAMPLED (channel-rate) domain, matching what a host-side
+    resample-then-demod produces.
+    """
+    gi = 128 * q
+    raw_block = cfg.block_size * q // p
+    if raw_block * p != cfg.block_size * q or raw_block % gi:
+        raise ValueError(
+            f"block_size {cfg.block_size} not compatible with p/q={p}/{q}: "
+            f"needs block_size % {128 * p} == 0")
+    from ..resample.polyphase import resample_groups_halo
+
+    left, right = cfg.left_halo, cfg.right_halo
+
+    def shard_fn(iq_shard):
+        # (C_loc, raw_block, 2) f32 at the raw rate
+        padded = _exchange_halos(iq_shard, gi, gi)       # resample halos
+        c_loc = padded.shape[0]
+        xc = jnp.moveaxis(padded, -1, 1).reshape(2 * c_loc, -1)
+        yc = resample_groups_halo(xc, p, q, taps_per_phase)
+        y = jnp.moveaxis(yc.reshape(c_loc, 2, -1), 1, -1)
+        y = _exchange_halos(y, left, right)              # demod halos
+        table = jax.vmap(lambda x: demod_block(x, cfg))(y)
+        table = _globalize(table, cfg.block_size)
+        return jax.tree.map(lambda a: a[:, None], table)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P("channel", "time", None),
+        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+    )
+    return jax.jit(fn)

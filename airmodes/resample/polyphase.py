@@ -138,6 +138,35 @@ def _group_matrices(p: int, q: int, taps_per_phase: int):
 _GROUP_PQ_CAP = 256
 
 
+def resample_groups_halo(xc: jax.Array, p: int, q: int,
+                         taps_per_phase: int = 12) -> jax.Array:
+    """Group-matmul resample with REAL neighbor halos.
+
+    xc: (C, gi + N + gi) planar, where N is a multiple of gi = 128q and
+    the first/last gi samples are the neighboring shards' edge groups
+    (zeros at the stream boundary — the same edge rule `resample` uses).
+    Returns (C, N*p//q). This is the shard-local kernel of the fused
+    sharded resample+demod pipeline (airmodes/dist/sharded.py): output
+    group G needs input groups G-1 and G+1, so shards exchange exactly
+    one 128q-sample group in each direction."""
+    c, n_tot = xc.shape
+    gi, go = 128 * q, 128 * p
+    n_in = n_tot - 2 * gi
+    assert n_in % gi == 0, (n_in, gi)
+    ng = n_in // gi
+    xg = xc.reshape(c, ng + 2, gi)
+    ap, a0, an = (jnp.asarray(m) for m in
+                  _group_matrices(p, q, taps_per_phase))
+    hi = jax.lax.Precision.HIGHEST
+    prev = xg[:, 0:ng].reshape(c * ng, gi)
+    cur = xg[:, 1:ng + 1].reshape(c * ng, gi)
+    nxt = xg[:, 2:ng + 2].reshape(c * ng, gi)
+    y = (jnp.matmul(prev, ap, precision=hi) +
+         jnp.matmul(cur, a0, precision=hi) +
+         jnp.matmul(nxt, an, precision=hi))
+    return y.reshape(c, ng * go)
+
+
 def _resample_groups(xc: jax.Array, p: int, q: int,
                      taps_per_phase: int) -> jax.Array:
     """(C, N) planar -> (C, floor(N*p/q)) via the group matmuls.
@@ -152,17 +181,8 @@ def _resample_groups(xc: jax.Array, p: int, q: int,
     back = (ng + 1) * gi - n_in
     assert back >= 0
     xp = jnp.pad(xc, ((0, 0), (gi, back)))
-    xg = xp.reshape(c, ng + 2, gi)
-    ap, a0, an = (jnp.asarray(m) for m in
-                  _group_matrices(p, q, taps_per_phase))
-    hi = jax.lax.Precision.HIGHEST
-    prev = xg[:, 0:ng].reshape(c * ng, gi)
-    cur = xg[:, 1:ng + 1].reshape(c * ng, gi)
-    nxt = xg[:, 2:ng + 2].reshape(c * ng, gi)
-    y = (jnp.matmul(prev, ap, precision=hi) +
-         jnp.matmul(cur, a0, precision=hi) +
-         jnp.matmul(nxt, an, precision=hi))
-    return y.reshape(c, ng * go)[:, :n_out]
+    return resample_groups_halo(
+        xp, p, q, taps_per_phase)[:, :n_out]
 
 
 def _deint_matrix() -> np.ndarray:

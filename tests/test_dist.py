@@ -149,3 +149,76 @@ def test_boundary_frame_owned_once():
             total_samples=8 * CFG.block_size)
         got = sharded_hexes(iq, mesh)
         assert got.count("8d4840d6202cc371c32ce0576098") == 1, start
+
+
+def _resampled_ref_hexes(iq_raw, fs_in, cfg):
+    """Offline resample to channel rate, then single-device demod."""
+    from airmodes.resample import polyphase
+    iq2 = np.asarray(polyphase.resample_to_rate(iq_raw, fs_in,
+                                                cfg.channel_rate))
+    return single_device_hexes(iq2, cfg)
+
+
+@pytest.mark.parametrize("fs_in,enc_rate,decim,block_size,chan_rate",
+                         [(6e6, 6e6, 1, 1 << 14, 2e6),    # 1/3 decimate
+                          # rtl-sdr 2.4 Msps UP to 4 Msps (5/3) — the
+                          # robust operating mode for fractional rates
+                          # (polyphase.py docstring); down to 2 Msps a
+                          # single sample/chip lands at an arbitrary
+                          # sub-chip phase and marginal frames drop
+                          (2.4e6, 12e6, 5, 15360, 4e6)])
+def test_fused_resample_demod_sharded(fs_in, enc_rate, decim, block_size,
+                                      chan_rate):
+    """Fused resample+demod shard_map step == offline resample then demod,
+    including frames near shard boundaries (raw-rate halo exchange)."""
+    from airmodes.resample.polyphase import rational_rate
+
+    cfg = DspConfig(block_size=block_size, max_detections=32,
+                    channel_rate=chan_rate)
+    p, q = rational_rate(fs_in, cfg.channel_rate)
+    n_time = 4
+    raw_block = cfg.block_size * q // p
+    total_raw = n_time * raw_block
+
+    frames = encoder.random_df17_frames(10, seed=33)
+    # plant one frame straddling the first shard boundary; enc-sample
+    # coords are raw coords x decim (decim == enc_rate / fs_in)
+    mult = decim
+    iq_enc, truth = encoder.make_capture(
+        frames, rate=enc_rate, snr_db=25.0,
+        spacing=(total_raw // len(frames) - 400) * mult,
+        start=(raw_block - 150) * mult, seed=33,
+        total_samples=total_raw * mult)
+    if decim > 1:
+        # anti-alias before decimating, as a real SDR front-end does —
+        # naively decimated square pulses alias ~30% of the pulse energy
+        # (polyphase.py docstring)
+        from airmodes.resample.polyphase import design_lowpass
+        h = design_lowpass(16 * decim, cutoff=1.0 / decim).astype(np.float64)
+        iq_enc = np.convolve(iq_enc, h, mode="same").astype(np.complex64)
+        iq_raw = iq_enc[::decim].copy()
+    else:
+        iq_raw = iq_enc
+    assert len(iq_raw) == total_raw
+
+    ref = _resampled_ref_hexes(iq_raw, fs_in, cfg)
+    want = {t.hex for t in truth}
+    assert want <= set(ref), "reference path must decode the capture"
+
+    mesh = sharded.make_mesh(n_channel=1, n_time=n_time)
+    fn = sharded.make_sharded_resample_demod(mesh, cfg, p, q)
+    x = iq_to_device_layout(iq_raw)[None]                # (1, total_raw, 2)
+    table = jax.block_until_ready(fn(sharded.shard_input(x, mesh)))
+    got = []
+    for t in range(n_time):
+        sub = type(table)(*(np.asarray(f)[0, t] for f in table))
+        got.extend(m.split()[1] for m in
+                   host.table_to_messages(sub, 0, cfg.channel_rate))
+    assert sorted(got) == ref
+
+
+def test_fused_resample_demod_bad_geometry():
+    cfg = DspConfig(block_size=(1 << 14) + 128, max_detections=16)
+    mesh = sharded.make_mesh(n_channel=1, n_time=2)
+    with pytest.raises(ValueError):
+        sharded.make_sharded_resample_demod(mesh, cfg, 5, 6)
