@@ -96,7 +96,7 @@ def is_bds17(mb: int) -> bool:
 
 
 def is_bds20(mb: int) -> bool:
-    if (mb >> 48) != 0x20:
+    if _f(mb, BDS20)["bds"] != 0x20:
         return False
     cs = decode_bds20(mb)["callsign_raw"]
     return "#" not in cs and cs.rstrip("_").replace("_", "") != ""
@@ -124,13 +124,17 @@ def is_bds50(mb: int) -> bool:
     if r["roll_status"]:
         if abs(_signed(r["roll_sign"], r["roll"], 9) * 45.0 / 256.0) > 50.0:
             return False
+    # plausibility bounds sized to real traffic extremes: revenue flights
+    # have recorded ~800 kt GS in strong jetstreams, TAS tops out around
+    # Mach 0.92 (~600 kt), and |GS - TAS| is the along-track wind
+    # (record jetstream ~230 kt)
     gs = r["gs"] * 2.0 if r["gs_status"] else None
     tas = r["tas"] * 2.0 if r["tas_status"] else None
-    if gs is not None and gs > 600.0:
+    if gs is not None and gs > 800.0:
         return False
-    if tas is not None and not (80.0 <= tas <= 500.0):
+    if tas is not None and not (80.0 <= tas <= 600.0):
         return False
-    if gs is not None and tas is not None and abs(gs - tas) > 200.0:
+    if gs is not None and tas is not None and abs(gs - tas) > 250.0:
         return False
     return True
 
@@ -172,7 +176,7 @@ def decode_bds17(mb: int) -> Dict:
 def decode_bds20(mb: int) -> Dict:
     from .fields import decode_callsign
     from ..constants import CALLSIGN_CHARMAP
-    cs48 = mb & ((1 << 48) - 1)
+    cs48 = _f(mb, BDS20)["cs"]
     raw = "".join(CALLSIGN_CHARMAP[(cs48 >> (42 - 6 * i)) & 0x3F]
                   for i in range(8))
     return {"bds": "2,0", "callsign": decode_callsign(cs48),

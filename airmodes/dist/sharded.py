@@ -182,23 +182,40 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
     the RESAMPLED (channel-rate) domain, matching what a host-side
     resample-then-demod produces.
     """
+    from ..resample.polyphase import (_GROUP_PQ_CAP, _to_interleaved,
+                                      _to_planar, resample_groups_halo)
+
     gi = 128 * q
     raw_block = cfg.block_size * q // p
     if raw_block * p != cfg.block_size * q or raw_block % gi:
         raise ValueError(
             f"block_size {cfg.block_size} not compatible with p/q={p}/{q}: "
             f"needs block_size % {128 * p} == 0")
-    from ..resample.polyphase import resample_groups_halo
+    if p * q > _GROUP_PQ_CAP:
+        raise ValueError(
+            f"p/q={p}/{q}: group matrices would be {p * q // _GROUP_PQ_CAP}x "
+            f"over the {_GROUP_PQ_CAP} cap — resample on the host instead "
+            "(rational_rate with a smaller max_denominator usually suffices)")
 
     left, right = cfg.left_halo, cfg.right_halo
+    on_tpu = jax.default_backend() == "tpu"
+
+    def to_planar(x2):
+        # (N, 2) -> (2, N): on TPU ANY op materializing a minor-dim-2
+        # array relayouts through a 64x tile-padded buffer — permute lanes
+        # on the MXU instead (polyphase._to_planar)
+        return _to_planar(x2) if on_tpu else x2.T
+
+    def to_interleaved(yc):
+        return _to_interleaved(yc) if on_tpu else yc.T
 
     def shard_fn(iq_shard):
         # (C_loc, raw_block, 2) f32 at the raw rate
         padded = _exchange_halos(iq_shard, gi, gi)       # resample halos
         c_loc = padded.shape[0]
-        xc = jnp.moveaxis(padded, -1, 1).reshape(2 * c_loc, -1)
+        xc = jax.vmap(to_planar)(padded).reshape(2 * c_loc, -1)
         yc = resample_groups_halo(xc, p, q, taps_per_phase)
-        y = jnp.moveaxis(yc.reshape(c_loc, 2, -1), 1, -1)
+        y = jax.vmap(to_interleaved)(yc.reshape(c_loc, 2, -1))
         y = _exchange_halos(y, left, right)              # demod halos
         table = jax.vmap(lambda x: demod_block(x, cfg))(y)
         table = _globalize(table, cfg.block_size)

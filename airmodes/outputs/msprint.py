@@ -43,15 +43,19 @@ class output_print:
         if "callsign" in f:
             bits.append(f"ident {f['callsign']}")
         for key, fmt in (("mcp_altitude_ft", "sel alt {:.0f} ft"),
+                         ("fms_altitude_ft", "FMS alt {:.0f} ft"),
                          ("baro_setting_mb", "QNH {:.1f} mb"),
                          ("roll_deg", "roll {:+.1f}"),
                          ("track_deg", "track {:.1f}"),
+                         ("track_rate_dps", "turn {:+.2f} deg/s"),
                          ("groundspeed_kt", "GS {:.0f} kt"),
                          ("tas_kt", "TAS {:.0f} kt"),
                          ("mag_heading_deg", "hdg {:.1f}"),
                          ("ias_kt", "IAS {:.0f} kt"),
                          ("mach", "M{:.3f}"),
-                         ("baro_vertical_rate_fpm", "vert {:+.0f} fpm")):
+                         ("baro_vertical_rate_fpm", "vert {:+.0f} fpm"),
+                         ("inertial_vertical_rate_fpm",
+                          "ivert {:+.0f} fpm")):
             if key in f:
                 bits.append(fmt.format(f[key]))
         if "gicb_services" in f:

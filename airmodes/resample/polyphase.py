@@ -317,10 +317,15 @@ class streaming_resampler:
         self.n_out = self.s_groups * go
         self.delay_out = go
         self.hist = 2 * gi
+        self._kernel = jax.jit(self._make_kernel())
+        self._reset()
+
+    def _reset(self):
         self._pending = np.zeros(0, np.complex64)
         self._left = np.zeros(self.hist, np.complex64)
         self._stride_idx = 0
-        self._kernel = jax.jit(self._make_kernel())
+        self._n_in = 0                            # real samples pushed
+        self._n_emitted = 0                       # samples returned so far
 
     def _make_kernel(self):
         p, q, t = self.p, self.q, self.t
@@ -348,8 +353,9 @@ class streaming_resampler:
         return kernel
 
     def push(self, x: np.ndarray) -> np.ndarray:
-        self._pending = np.concatenate(
-            [self._pending, np.asarray(x, np.complex64)])
+        x = np.asarray(x, np.complex64)
+        self._n_in += len(x)
+        self._pending = np.concatenate([self._pending, x])
         outs = []
         while len(self._pending) >= self.stride:
             chunk = self._pending[: self.stride]
@@ -365,18 +371,27 @@ class streaming_resampler:
             self._left = chunk[-self.hist:]
             self._stride_idx += 1
         if outs:
-            return np.concatenate(outs)
+            y = np.concatenate(outs)
+            self._n_emitted += len(y)
+            return y
         return np.zeros(0, np.complex64)
 
     def flush(self) -> np.ndarray:
-        """Zero-pad the tail and emit the remaining outputs.
+        """End the stream: emit exactly the remaining output samples.
 
-        Pads a full extra zero stride beyond the boundary: the last group
-        holding real data needs its NEXT input group as lookahead, so
-        padding only to the stride boundary would hold back (and lose) up
-        to 128p trailing output samples. The extra all-zero outputs at the
-        very end are harmless (nothing decodes from silence)."""
-        if len(self._pending) == 0 and self._stride_idx == 0:
+        Zero-pads a full extra stride beyond the boundary (the last group
+        holding real data needs its NEXT input group as matmul lookahead)
+        and trims the result so total emitted == floor(n_pushed * p / q) —
+        concatenated streaming output equals the offline resample of the
+        concatenated input, sample for sample. Resets to a fresh stream
+        afterwards, so a second flush() returns nothing."""
+        target = (self._n_in * self.p) // self.q - self._n_emitted
+        if target <= 0:
+            self._reset()
             return np.zeros(0, np.complex64)
         pad = 2 * self.stride - len(self._pending)
-        return self.push(np.zeros(pad, np.complex64))
+        n_real = self._n_in
+        y = self.push(np.zeros(pad, np.complex64))[:target]
+        assert len(y) == target, (len(y), target, n_real)
+        self._reset()
+        return y

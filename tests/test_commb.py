@@ -130,6 +130,14 @@ def test_status_zero_forces_value_zero():
     assert not commb.is_bds40(bad2)
 
 
+def test_bds50_jetstream_groundspeed_accepted():
+    # GS 640 kt / TAS 480 kt: routine for a jet in a strong tailwind —
+    # must stay consistent with BDS5,0 (regression: caps were once 600/200)
+    mb = mb_bds50(roll_raw=5, trk_raw=300, gs_raw=320, tr_raw=0, tas_raw=240)
+    assert "BDS5,0" in commb.infer(mb)
+    assert commb.decode_bds50(mb)["groundspeed_kt"] == 640.0
+
+
 def test_implausible_values_reject():
     assert not commb.is_bds50(mb_bds50(roll_raw=400, trk_raw=0, gs_raw=100,
                                        tr_raw=0, tas_raw=100))   # |roll|>50
@@ -178,10 +186,7 @@ def test_df21_wire_integration_callsign():
     me = encoder.me_identification("ABC9876")
     mb = (0x20 << 48) | (me & ((1 << 48) - 1))
     from airmodes.decode.fields import encode_squawk
-    frame = encoder.df21_frame(icao, encode_squawk(7421), mb=mb) \
-        if hasattr(encoder, "df21_frame") else None
-    if frame is None:
-        pytest.skip("no df21_frame helper")
+    frame = encoder.df21_frame(icao, encode_squawk(7421), mb=mb)
     wire = f"21 {frame:028x} {crc.crc24(frame, 112):06x} 0 -20.0 1.0"
     rep = parse().parse(wire)
     assert rep.squawk == 7421

@@ -119,9 +119,12 @@ def test_streaming_matches_offline(pq):
             break
     outs.append(rs.flush())
     streamed = np.concatenate(outs)
-    # the streaming path runs the SAME group matmuls against the same
-    # globally-aligned input groups, but XLA reassociates the contraction
-    # differently for different batch shapes -> 1-ULP tolerance
-    m = min(len(offline), len(streamed))
-    np.testing.assert_allclose(streamed[:m], offline[:m],
-                               rtol=3e-6, atol=3e-6)
+    # flush trims to exactly floor(N*p/q): streaming output matches the
+    # offline resample sample-for-sample, length included. The streaming
+    # path runs the SAME group matmuls against the same globally-aligned
+    # input groups, but XLA reassociates the contraction differently for
+    # different batch shapes -> 1-ULP tolerance.
+    assert len(streamed) == len(offline)
+    np.testing.assert_allclose(streamed, offline, rtol=3e-6, atol=3e-6)
+    # flush ended the stream: a second flush emits nothing
+    assert len(rs.flush()) == 0
