@@ -12,6 +12,7 @@ Registers (layouts per ICAO Annex 10 Vol III / Doc 9871):
 - BDS1,7  common usage GICB capability report
 - BDS2,0  aircraft identification (callsign)
 - BDS4,0  selected vertical intention (MCP/FMS altitude, baro setting)
+- BDS4,4  meteorological routine air report (wind, temp, pressure, humidity)
 - BDS5,0  track and turn report (roll, track, GS, track rate, TAS)
 - BDS6,0  heading and speed report (heading, IAS, Mach, vertical rates)
 
@@ -54,6 +55,13 @@ BDS60 = [("hdg_status", 1), ("hdg_sign", 1), ("hdg", 10),
          ("mach_status", 1), ("mach", 10),
          ("vrb_status", 1), ("vrb_sign", 1), ("vrb", 9),
          ("vri_status", 1), ("vri_sign", 1), ("vri", 9)]
+
+BDS44 = [("fom", 4),
+         ("wind_status", 1), ("wind_speed", 9), ("wind_dir", 9),
+         ("temp_sign", 1), ("temp", 10),
+         ("press_status", 1), ("press", 11),
+         ("turb_status", 1), ("turb", 2),
+         ("hum_status", 1), ("hum", 6)]
 
 # BDS1,7: one capability flag per common-usage GICB service, bits 1..24;
 # bits 25..56 are reserved (zero).
@@ -139,6 +147,27 @@ def is_bds50(mb: int) -> bool:
     return True
 
 
+def is_bds44(mb: int) -> bool:
+    r = _f(mb, BDS44)
+    if not (_status_ok(r, "wind_status", "wind_speed", "wind_dir")
+            and _status_ok(r, "press_status", "press")
+            and _status_ok(r, "turb_status", "turb")
+            and _status_ok(r, "hum_status", "hum")):
+        return False
+    if not r["wind_status"]:
+        return False                    # MRAR without wind is not in use
+    if r["wind_speed"] > 250:
+        return False
+    temp = _signed(r["temp_sign"], r["temp"], 10) * 0.25
+    if not (-80.0 <= temp <= 60.0):
+        return False
+    if r["press_status"] and not (800 <= r["press"] <= 1100):
+        return False
+    if r["hum_status"] and r["hum"] * 100.0 / 64.0 > 100.0:
+        return False
+    return True
+
+
 def is_bds60(mb: int) -> bool:
     r = _f(mb, BDS60)
     if not (_status_ok(r, "hdg_status", "hdg_sign", "hdg")
@@ -219,6 +248,22 @@ def decode_bds50(mb: int) -> Dict:
     return out
 
 
+def decode_bds44(mb: int) -> Dict:
+    r = _f(mb, BDS44)
+    out: Dict = {"bds": "4,4", "fom": r["fom"]}
+    if r["wind_status"]:
+        out["wind_speed_kt"] = float(r["wind_speed"])
+        out["wind_dir_deg"] = r["wind_dir"] * 180.0 / 256.0
+    out["temperature_c"] = _signed(r["temp_sign"], r["temp"], 10) * 0.25
+    if r["press_status"]:
+        out["pressure_hpa"] = float(r["press"])
+    if r["turb_status"]:
+        out["turbulence"] = ("nil", "light", "moderate", "severe")[r["turb"]]
+    if r["hum_status"]:
+        out["humidity_pct"] = r["hum"] * 100.0 / 64.0
+    return out
+
+
 def decode_bds60(mb: int) -> Dict:
     r = _f(mb, BDS60)
     out: Dict = {"bds": "6,0"}
@@ -243,6 +288,7 @@ _REGISTERS: Tuple[Tuple[str, object, object], ...] = (
     ("BDS1,7", is_bds17, decode_bds17),
     ("BDS2,0", is_bds20, decode_bds20),
     ("BDS4,0", is_bds40, decode_bds40),
+    ("BDS4,4", is_bds44, decode_bds44),
     ("BDS5,0", is_bds50, decode_bds50),
     ("BDS6,0", is_bds60, decode_bds60),
 )

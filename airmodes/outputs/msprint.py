@@ -55,7 +55,12 @@ class output_print:
                          ("mach", "M{:.3f}"),
                          ("baro_vertical_rate_fpm", "vert {:+.0f} fpm"),
                          ("inertial_vertical_rate_fpm",
-                          "ivert {:+.0f} fpm")):
+                          "ivert {:+.0f} fpm"),
+                         ("wind_speed_kt", "wind {:.0f} kt"),
+                         ("wind_dir_deg", "from {:.0f}"),
+                         ("temperature_c", "SAT {:+.1f} C"),
+                         ("pressure_hpa", "{:.0f} hPa"),
+                         ("humidity_pct", "RH {:.0f}%")):
             if key in f:
                 bits.append(fmt.format(f[key]))
         if "gicb_services" in f:

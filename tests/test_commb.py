@@ -192,3 +192,38 @@ def test_df21_wire_integration_callsign():
     assert rep.squawk == 7421
     assert rep.callsign == "ABC9876"
     assert rep.bds == "BDS2,0"
+
+
+def mb_bds44(wind=None, temp_c=0.0, press=None, turb=None, hum=None, fom=1):
+    ws, wd = wind or (0, 0)
+    t_raw = int(round(temp_c / 0.25))
+    t_s, t_v = signed_field(t_raw, 10)
+    return pack((fom, 4),
+                (1 if wind is not None else 0, 1), (ws, 9),
+                (int(round(wd * 256.0 / 180.0)), 9),
+                (t_s, 1), (t_v, 10),
+                (1 if press is not None else 0, 1), (press or 0, 11),
+                (1 if turb is not None else 0, 1), (turb or 0, 2),
+                (1 if hum is not None else 0, 1), (hum or 0, 6))
+
+
+def test_bds44_decode():
+    mb = mb_bds44(wind=(85, 270.0), temp_c=-52.25, press=1005, turb=1,
+                  hum=32)
+    out = commb.decode_bds44(mb)
+    assert out["wind_speed_kt"] == 85.0
+    assert out["wind_dir_deg"] == pytest.approx(270.0, abs=0.5)
+    assert out["temperature_c"] == -52.25
+    assert out["pressure_hpa"] == 1005.0
+    assert out["turbulence"] == "light"
+    assert out["humidity_pct"] == 50.0
+    assert "BDS4,4" in commb.infer(mb)
+
+
+def test_bds44_rejects():
+    # no wind report -> not in use as MRAR
+    assert not commb.is_bds44(mb_bds44(wind=None, temp_c=-50.0))
+    # implausible temperature
+    assert not commb.is_bds44(mb_bds44(wind=(50, 90.0), temp_c=100.0))
+    # implausible wind speed
+    assert not commb.is_bds44(mb_bds44(wind=(400, 90.0), temp_c=-50.0))

@@ -99,3 +99,35 @@ def test_parse_known_velocity_vector():
     assert abs(rep.heading_deg - 182.88) < 0.01
     assert rep.vertical_rate_fpm == -832.0
     assert rep.speed_type == "GS"
+
+
+def test_parse_fuzz_never_crashes():
+    """Malformed wire strings raise ADSBError subclasses, never anything
+    else (the receive loop's drop-and-continue contract)."""
+    import random
+
+    from airmodes.exceptions import ADSBError
+
+    rng = random.Random(7)
+    p = parse()
+    hexchars = "0123456789abcdef"
+    samples = ["", "17", "xx yy", "17 zz 000000 0 -20.0 1.0",
+               "17 8d4840d6202cc371c32ce0576098 000000 0 -20.0",  # 5 fields
+               "99 8d4840d6202cc371c32ce0576098 000000 0 -20.0 1.0",
+               "17 8d4840d6202cc371c32ce05760 000000 0 -20.0 1.0",  # 108 bit
+               "17 8d4840d6202cc371c32ce0576099 000000 0 -20.0 1.0"]  # bad crc
+    for _ in range(500):
+        nbits = rng.choice((56, 112, 88, 4))
+        frame = "".join(rng.choice(hexchars) for _ in range(nbits // 4))
+        df = rng.randrange(0, 32)
+        synd = rng.randrange(0, 1 << 24)
+        samples.append(f"{df} {frame} {synd:06x} 0 -20.0 1.0")
+    decoded = 0
+    for s in samples:
+        try:
+            p.parse(s)
+            decoded += 1
+        except ADSBError:
+            pass
+    # random frames essentially never pass the CRC re-check
+    assert decoded <= 2

@@ -233,3 +233,21 @@ def test_file_source_resume(tmp_path):
     margin = (resume_at + CFG.left_halo) / CFG.channel_rate
     want = [m for m in full if float(m.split()[5]) > margin]
     assert set(want) <= set(tail)
+
+
+def test_pure_noise_no_false_messages():
+    """Gaussian noise only: the CRC gate must reject everything the
+    detector tentatively fires on (false-decode rate ~0 by construction —
+    a random 112-bit frame passes CRC with p = 2^-24, and DF17 correction
+    is bounded to low-confidence flips)."""
+    rng = np.random.default_rng(99)
+    cfg = DspConfig(block_size=1 << 16, max_detections=64)
+    msgs = []
+    n_det = 0
+    for _ in range(4):
+        n = cfg.left_halo + cfg.block_size + cfg.right_halo
+        iq = (rng.standard_normal((n, 2)) * 0.1).astype(np.float32)
+        table = demod_block_jit(iq, cfg)
+        n_det += int(np.asarray(table.n_detected))
+        msgs.extend(host.table_to_messages(table, 0, cfg.channel_rate))
+    assert msgs == [], f"false decodes from noise: {msgs} ({n_det} cands)"
