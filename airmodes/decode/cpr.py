@@ -87,11 +87,28 @@ def decode_global(
     j = math.floor(59 * lat0 - 60 * lat1 + 0.5)
     rlat0 = dlat0 * (cpr_mod(j, 60) + lat0)
     rlat1 = dlat1 * (cpr_mod(j, 59) + lat1)
-    if not surface:
+    if surface:
+        if ref is None:
+            raise CPRNoPositionError("surface global decode needs a reference")
+        # Resolve the 2-fold latitude ambiguity toward the reference BEFORE
+        # any NL use: surface rlat lands in [0, 90) (the northern image); a
+        # southern receiver's true latitude is that minus 90, and e.g.
+        # nl(56) != nl(-34) — a zone count from the wrong hemisphere decodes
+        # longitude into the wrong zone and corrupts the straddle check.
+        if abs(rlat0 - 90.0 - ref[0]) < abs(rlat0 - ref[0]):
+            rlat0 -= 90.0
+        if abs(rlat1 - 90.0 - ref[0]) < abs(rlat1 - ref[0]):
+            rlat1 -= 90.0
+    else:
         if rlat0 >= 270:
             rlat0 -= 360
         if rlat1 >= 270:
             rlat1 -= 360
+        if not (-90.0 <= rlat0 <= 90.0 and -90.0 <= rlat1 <= 90.0):
+            # inconsistent even/odd pair (bit errors that survived ECC, or
+            # an ICAO collision): an impossible latitude, not a position
+            raise CPRNoPositionError(
+                f"inconsistent pair: latitude {rlat0:.1f}/{rlat1:.1f}")
     if nl(rlat0) != nl(rlat1):
         raise CPRBoundaryStraddleError()
 
@@ -107,28 +124,20 @@ def decode_global(
         if rlon > 180:
             rlon -= 360
     else:
-        # surface: resolve the 4-fold lon / 2-fold lat ambiguity near ref
-        if ref is None:
-            raise CPRNoPositionError("surface global decode needs a reference")
-        rlat, rlon = _nearest_surface_solution(rlat, rlon, ref)
+        # surface: latitude is already hemisphere-resolved above; pick the
+        # 90-degree longitude image nearest the reference
+        rlon = _nearest_surface_lon(rlon, ref[1])
     return rlat, rlon
 
 
-def _nearest_surface_solution(rlat, rlon, ref):
-    ref_lat, ref_lon = ref
-    lat_cands = [rlat, rlat - 90.0]
-    lon_cands = [cpr_mod(rlon + k * 90.0 + 180.0, 360.0) - 180.0 for k in range(4)]
+def _nearest_surface_lon(rlon: float, ref_lon: float) -> float:
     best = None
-    for la in lat_cands:
-        if not -90 <= la <= 90:
-            continue
-        for lo in lon_cands:
-            d = (la - ref_lat) ** 2 + (cpr_mod(lo - ref_lon + 180, 360) - 180) ** 2
-            if best is None or d < best[0]:
-                best = (d, la, lo)
-    if best is None:
-        raise CPRNoPositionError("no valid surface solution")
-    return best[1], best[2]
+    for k in range(4):
+        lo = cpr_mod(rlon + k * 90.0 + 180.0, 360.0) - 180.0
+        d = abs(cpr_mod(lo - ref_lon + 180.0, 360.0) - 180.0)
+        if best is None or d < best[0]:
+            best = (d, lo)
+    return best[1]
 
 
 def decode_local(
@@ -178,6 +187,7 @@ class cpr_decoder:
         self.lkplist: Dict[int, dict] = {}
         # icao -> (lat, lon, t): last known position for local decode
         self.poslist: Dict[int, Tuple[float, float, float]] = {}
+        self._since_maintain = 0
 
     def maintain(self, now: Optional[float] = None) -> None:
         now = time.time() if now is None else now
@@ -203,6 +213,18 @@ class cpr_decoder:
         t = time.time() if timestamp is None else timestamp
         frames = self.lkplist.setdefault(icao, {})
         frames[int(cpr_format)] = (encoded_lat, encoded_lon, t)
+        # Prune the other parity once it can no longer pair with anything
+        # current (the reference prunes stale frames inside decode): a stale
+        # even/odd pair must not block the my_location local-decode fallback
+        # below, and lkplist must not grow without bound in a long-running
+        # receiver. maintain() additionally evicts idle aircraft.
+        other = 1 - int(cpr_format)
+        if other in frames and abs(t - frames[other][2]) > PAIR_WINDOW_S:
+            del frames[other]
+        self._since_maintain += 1
+        if self._since_maintain >= 128:
+            self._since_maintain = 0
+            self.maintain(t)
 
         lat = lon = None
         # Prefer local decode when we have a recent position or receiver loc.

@@ -20,7 +20,8 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from ..constants import STATUS_FAIL
+from ..constants import (STATUS_CORRECTED_1, STATUS_CORRECTED_2,
+                         STATUS_CRC_OK, STATUS_FAIL)
 
 
 @dataclasses.dataclass
@@ -76,14 +77,18 @@ def table_to_messages(
         frame = _bits_to_int(bits[k], n)
         t = epoch + (block_start_sample + int(index[k])) / rate
         ref_dbfs = 10.0 * math.log10(max(float(ref[k]), 1e-30) / (full_scale ** 2))
+        # DF 24..31 are all Comm-D ELM (first two bits 11; KE/ND spill into
+        # the low DF bits): normalize to 24 on the wire, the format the
+        # parser dispatches on (ref: parse.py treats first-2-bits==3 as DF24)
+        df_wire = min(int(df[k]), 24)
         msgs.append(
-            f"{int(df[k])} {frame:0{n // 4}x} {int(synd[k]) & 0xFFFFFF:06x} "
+            f"{df_wire} {frame:0{n // 4}x} {int(synd[k]) & 0xFFFFFF:06x} "
             f"{int(status[k])} {ref_dbfs:.2f} {t:.9f}")
         if stats is not None:
             stats.emitted += 1
-            if status[k] == 0:
+            if status[k] == STATUS_CRC_OK:
                 stats.crc_ok += 1
-            elif status[k] in (1, 2):
+            elif status[k] in (STATUS_CORRECTED_1, STATUS_CORRECTED_2):
                 stats.corrected += 1
     return msgs
 

@@ -144,16 +144,26 @@ def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
     sps = cfg.sps
     m = chip_energy(mag2, sps)
 
-    pulses = [_shifted(m, left + c * sps, n_owned) for c in PREAMBLE_PULSE_CHIPS]
+    # Candidate tests run over the owned region EXTENDED nms_chips into both
+    # halos (real stream data, not zero padding): the sequential reference
+    # suppresses an owned candidate when a stronger one sits just across the
+    # block edge, and the Pallas kernels test the same extended window —
+    # zero-padding here would let preamble clusters straddling a block
+    # boundary fire twice (once per owning block).
+    half = cfg.nms_chips * sps
+    base = left - half
+    n_ext = n_owned + 2 * half
+
+    pulses = [_shifted(m, base + c * sps, n_ext) for c in PREAMBLE_PULSE_CHIPS]
     ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
 
-    nf = _shifted(noise, left, n_owned)
+    nf = _shifted(noise, base, n_ext)
     thresh = jnp.float32(cfg.threshold)
 
     ok = pulses[0] > nf * thresh
     # local peak on the first pulse (chip-energy domain)
-    ok &= pulses[0] >= _shifted(m, left - 1, n_owned)
-    ok &= pulses[0] > _shifted(m, left + 1, n_owned)
+    ok &= pulses[0] >= _shifted(m, base - 1, n_ext)
+    ok &= pulses[0] > _shifted(m, base + 1, n_ext)
     # all four pulses above threshold and within tolerance of the reference
     ptol = jnp.float32(cfg.pulse_tolerance)
     for p in pulses:
@@ -161,23 +171,21 @@ def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
     # quiet chips below quiet_tolerance * reference
     qtol = jnp.float32(cfg.quiet_tolerance)
     for q in PREAMBLE_QUIET_CHIPS:
-        ok &= _shifted(m, left + q * sps, n_owned) < ref * qtol
+        ok &= _shifted(m, base + q * sps, n_ext) < ref * qtol
 
     # Non-max suppression: keep the best reference level within +-nms_chips
     # chips (the "re-center on best peak" behavior). Ties break toward the
     # earliest sample: survive iff strictly greater than every hit in the
     # preceding half-window and >= every hit in the following half-window.
-    half = cfg.nms_chips * sps
-    score = jnp.where(ok, ref, 0.0)
-    padded = jnp.concatenate([jnp.zeros((half,), score.dtype), score,
-                              jnp.zeros((half,), score.dtype)])
+    score = jnp.where(ok, ref, 0.0)                   # ext coords
     win = jax.lax.reduce_window(
-        padded, -jnp.inf, jax.lax.max, window_dimensions=(half,),
-        window_strides=(1,), padding="VALID")        # win[j] = max(padded[j:j+half])
-    left_max = win[:n_owned]                          # max(score[i-half : i])
-    right_max = win[half + 1: half + 1 + n_owned]     # max(score[i+1 : i+half+1])
-    ok &= (score > left_max) & (score >= right_max)
-    return ok, ref
+        score, -jnp.inf, jax.lax.max, window_dimensions=(half,),
+        window_strides=(1,), padding="VALID")         # win[j] = max(score[j:j+half])
+    left_max = win[:n_owned]                          # max over [i-half, i)
+    right_max = win[half + 1: half + 1 + n_owned]     # max over [i+1, i+half]
+    owned = score[half: half + n_owned]
+    ok = ok[half: half + n_owned] & (owned > left_max) & (owned >= right_max)
+    return ok, ref[half: half + n_owned]
 
 
 def compact_detections(mask: jax.Array, max_detections: int,
@@ -367,8 +375,8 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     out_synd = jnp.where(use1 | use2, 0, synd)
 
     df11_ok = (df == 11) & ((synd & 0x7F) == 0)
-    df17_ok = ecc_allowed & (ok0 | use1 | use2)
-    df17_ok |= ((df == 17) | (df == 18)) & ok0
+    # clean long squitters; corrected frames get their status from use1/use2
+    ok_long = ((df == 17) | (df == 18)) & ok0
     # AP-overlaid DFs the decoder handles (df >= 24 is Comm-D ELM = DF24);
     # any other DF value came from noise and is dropped.
     addr_type = ((df == 0) | (df == 4) | (df == 5) | (df == 16) |
@@ -376,7 +384,7 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
 
     status = jnp.full((k,), STATUS_FAIL, jnp.int32)
     status = jnp.where(addr_type, STATUS_ADDR, status)
-    status = jnp.where(df17_ok & ok0, STATUS_CRC_OK, status)
+    status = jnp.where(ok_long, STATUS_CRC_OK, status)
     status = jnp.where(use1, STATUS_CORRECTED_1, status)
     status = jnp.where(use2, STATUS_CORRECTED_2, status)
     status = jnp.where(df11_ok, STATUS_CRC_OK, status)
@@ -439,10 +447,10 @@ def demod_block_jit(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
 # D2H transfer pays a large fixed latency, so the production path packs the
 # whole table into ONE int32 matrix fetched in a single transfer.
 #
-# Row k (detection k): [index, df, nbits, syndrome, status,
-#                       ref_level(bitcast), noise(bitcast), w0..w6]
-# where w0..w6 are the 112 frame bits packed 16 per int32 word (MSB first).
-# Final extra row: [n_detected, n_overflow, 0, ...].
+# Row k (detection k): [index, df | nbits<<8 | status<<16, syndrome,
+#                       ref_level(bitcast), noise(bitcast), w0..w3]
+# where w0..w3 are the 112 frame bits packed 28 per int32 word (MSB first).
+# Final extra row: [n_detected, n_overflow, 0, ...]. (See pack_table.)
 
 PACKED_COLS = 9
 

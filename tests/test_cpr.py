@@ -113,3 +113,63 @@ def test_maintain_evicts():
     dec.poslist[1] = (1.0, 2.0, 100.0)
     dec.maintain(now=100.0 + 120.0)
     assert not dec.lkplist and not dec.poslist
+
+
+def test_surface_global_decode_southern_hemisphere():
+    """Surface CPR in the southern hemisphere: NL must come from the
+    resolved (negative) latitude, not its northern image — nl(56) != nl(-34)
+    puts longitude in the wrong zone entirely (regression)."""
+    truth = (-33.95, 151.18)   # near Sydney
+    dec = cpr.cpr_decoder(my_location=(-33.94, 151.17))
+    yz0, xz0 = cpr.cpr_encode(truth[0], truth[1], odd=False, surface=True)
+    yz1, xz1 = cpr.cpr_encode(truth[0], truth[1], odd=True, surface=True)
+    with pytest.raises(CPRNoPositionError):
+        # first frame alone: poslist empty; local decode via my_location OK
+        # only because my_location is set — force the global path by using
+        # a decoder without a position history
+        cpr.cpr_decoder(my_location=None).decode(0x123456, yz0, xz0, 0,
+                                                 surface=True, timestamp=0.0)
+    lat, lon, rng, brg = dec.decode(0x123456, yz0, xz0, 0, surface=True,
+                                    timestamp=0.0)
+    lat, lon, rng, brg = dec.decode(0x123456, yz1, xz1, 1, surface=True,
+                                    timestamp=1.0)
+    assert abs(lat - truth[0]) < 1e-3
+    assert abs(lon - truth[1]) < 1e-3
+
+
+def test_global_decode_rejects_impossible_latitude():
+    """An inconsistent even/odd pair that lands rlat outside [-90, 90] must
+    raise, not return latitude 120 (regression)."""
+    yz1 = int(round((2.0 / 3.0) * (1 << 17)))   # rlat0 = 120 deg
+    with pytest.raises(CPRNoPositionError):
+        cpr.decode_global((0, 0), (yz1, 0), most_recent_odd=True,
+                          surface=False)
+
+
+def test_stale_pair_does_not_block_local_fallback():
+    """Both parities cached but 10 minutes old: the receiver-location local
+    decode must still work (the stale pair is pruned), instead of raising
+    CPRNoPositionError (regression)."""
+    truth = (47.2, 8.4)
+    dec = cpr.cpr_decoder(my_location=(47.0, 8.0))
+    yz0, xz0 = cpr.cpr_encode(truth[0], truth[1], odd=False, surface=False)
+    yz1, xz1 = cpr.cpr_encode(truth[0], truth[1], odd=True, surface=False)
+    dec.decode(0xABC, yz0, xz0, 0, timestamp=0.0)
+    dec.decode(0xABC, yz1, xz1, 1, timestamp=1.0)
+    # aircraft silent for 10 minutes, then one odd frame
+    lat, lon, rng, brg = dec.decode(0xABC, yz1, xz1, 1, timestamp=600.0)
+    assert abs(lat - truth[0]) < 1e-3
+    assert abs(lon - truth[1]) < 1e-3
+
+
+def test_cache_bounded_by_periodic_maintain():
+    dec = cpr.cpr_decoder(my_location=(47.0, 8.0))
+    yz, xz = cpr.cpr_encode(47.5, 8.5, odd=False, surface=False)
+    for i in range(4000):
+        try:
+            dec.decode(0x100000 + i, yz, xz, 0, timestamp=float(i))
+        except CPRNoPositionError:
+            pass
+    # 60 s eviction + maintain every 128 decodes: far fewer than 4000 live
+    assert len(dec.lkplist) < 300
+    assert len(dec.poslist) < 300

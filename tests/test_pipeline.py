@@ -251,3 +251,45 @@ def test_pure_noise_no_false_messages():
         n_det += int(np.asarray(table.n_detected))
         msgs.extend(host.table_to_messages(table, 0, cfg.channel_rate))
     assert msgs == [], f"false decodes from noise: {msgs} ({n_det} cands)"
+
+
+def test_boundary_preamble_cluster_decoded_once():
+    """At sps > 1 the detector fires on several sample offsets around a true
+    preamble (chip-energy smoothing) and NMS picks the peak. When that
+    cluster straddles a block boundary, the blocked pipeline must still
+    decode the frame exactly once — the NMS window reads real halo data,
+    not zero padding (regression: each block kept its own local max)."""
+    cfg = DspConfig(channel_rate=4e6, block_size=1 << 14, max_detections=16)
+    frame = int("8d4840d6202cc371c32ce0576098", 16)
+    for delta in (-2, -1, 0, 1, 2):
+        start = cfg.block_size * 2 + delta
+        iq, _ = encoder.make_capture(
+            [(frame, 112)], rate=4e6, snr_db=25.0, start=start, seed=5,
+            total_samples=4 * cfg.block_size)
+        msgs = []
+        for block, s0 in sources.frame_blocks(iq, cfg):
+            table = demod_block_jit(block, cfg)
+            msgs.extend(host.table_to_messages(table, s0, cfg.channel_rate))
+        hexes = [m.split()[1] for m in msgs]
+        assert hexes.count("8d4840d6202cc371c32ce0576098") == 1, (delta, hexes)
+
+
+def test_comm_d_df_normalized_on_wire():
+    """DF first-5-bits 24..31 are all Comm-D ELM; the wire string must say
+    24 (what the parser dispatches on), not the raw value."""
+    from airmodes.constants import STATUS_ADDR
+
+    class T:
+        index = np.array([10])
+        status = np.array([STATUS_ADDR])
+        df = np.array([26])
+        nbits = np.array([112])
+        syndrome = np.array([0xABCDEF])
+        ref_level = np.array([0.5])
+        bits = np.zeros((1, 112), np.uint8)
+        n_detected = np.array(1)
+        n_overflow = np.array(0)
+    T.bits[0, :2] = 1                      # first two bits 11 -> Comm-D
+    T.bits[0, 4] = 0
+    msgs = host.table_to_messages(T, 0, 2e6)
+    assert msgs and msgs[0].split()[0] == "24"
