@@ -23,8 +23,9 @@ _A = 6378137.0
 _F = 1.0 / 298.257223563
 _E2 = _F * (2 - _F)
 
-# Coarse geoid undulation table (meters), 10-degree grid, lat 90..-90 (rows)
-# x lon -180..180 (cols) — role equivalent of the reference's geoid table.
+# Coarse geoid undulation table (meters), 20-degree grid, lat 90..-90 (rows)
+# x lon -180..180 (cols) — role equivalent of the reference's geoid table
+# (approximate to +-15 m; fine work should substitute EGM96).
 _GEOID = np.array([
     [13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13],
     [3, 1, -2, -3, -3, -3, -1, 3, 1, 5, 9, 11, 19, 27, 31, 34, 33, 34, 3],
@@ -33,7 +34,7 @@ _GEOID = np.array([
     [-8, 8, 8, 1, -11, -19, -16, -18, -22, -35, -40, -26, -12, 24, 45, 63, 62, 59, -8],
     [-12, -10, -13, -20, -31, -34, -21, -16, -26, -34, -33, -35, -26, 2, 33, 59, 52, 51, -12],
     [-8, -10, -8, -11, -19, -17, -14, -12, -8, -18, -13, -9, -11, -5, 9, 28, 27, 22, -8],
-    [-12, -13, -20, -31, -34, -21, -16, -26, -34, -33, -35, -26, 2, 33, 59, 52, 51, 36, -12],
+    [-8, -9, -8, -10, -14, -12, -11, -10, -8, -13, -10, -8, -10, -6, 0, 10, 10, 7, -8],
     [-8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8, -8],
     [-30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30, -30],
 ], dtype=np.float64)
@@ -130,45 +131,58 @@ def mlat_iter(stations_ecef: np.ndarray, prange_rel: np.ndarray,
 
 
 def mlat(replies: Dict[Tuple[float, float, float], float],
-         altitude_ft: Optional[float] = None) -> Tuple[float, float, float]:
+         altitude_ft: Optional[float] = None,
+         alt_datum: str = "ellipsoid") -> Tuple[float, float, float]:
     """Solve a position from {station_llh: timestamp_s} observations.
 
     Seeds from the station centroid; with exactly 3 stations an altitude
     constraint (decoded AC field, feet) substitutes for the missing fourth
     observation. Returns (lat_deg, lon_deg, alt_m).
+
+    alt_datum: "ellipsoid" treats station altitudes (and the returned
+    altitude) as heights above the WGS-84 ellipsoid; "msl" treats them as
+    mean-sea-level heights and applies the llh2geoid undulation both ways
+    — surveyed station altitudes and the aircraft's baro altitude are
+    MSL-referenced, and the ~+-50 m geoid offset otherwise skews the
+    3-station constrained solve.
     """
     items = sorted(replies.items(), key=lambda kv: kv[1])
     if len(items) < 3:
         raise MlatNonConvergeError("need >= 3 stations")
-    stations = np.array([llh2ecef(s) for s, _ in items])
+    msl = alt_datum == "msl"
+
+    def to_ell(s):
+        return (s[0], s[1], s[2] + llh2geoid(s[0], s[1])) if msl else s
+
+    stations = np.array([llh2ecef(to_ell(s)) for s, _ in items])
     t0 = items[0][1]
     prange_rel = np.array([(t - t0) * C for _, t in items])
 
     # Seed above the station plane: planar ground-station geometry has a
     # mirror solution below ground; aircraft are above it.
     lat_c, lon_c, _ = ecef2llh(stations.mean(axis=0))
-    alt_m = altitude_ft * 0.3048 if altitude_ft is not None else 8000.0
+    und_c = llh2geoid(lat_c, lon_c) if msl else 0.0
+    alt_m = (altitude_ft * 0.3048 + und_c) if altitude_ft is not None \
+        else 8000.0
     guess = llh2ecef((lat_c, lon_c, alt_m))
-    if altitude_ft is not None:
-        lat, lon = lat_c, lon_c
-        if len(items) == 3:
-            # add a virtual range-to-geocenter constraint by iterating with
-            # altitude reprojection each step
-            # alternating projection: Gauss-Newton step, then re-pin altitude
-            xyz = guess.copy()
-            for _ in range(25):
-                xyz = mlat_iter(stations, prange_rel, xyz, max_iter=3,
-                                tol_m=5.0, raise_on_fail=False)
-                la, lo, _ = ecef2llh(xyz)
-                xyz = llh2ecef((la, lo, alt_m))
-            d = np.linalg.norm(stations - xyz, axis=1)
-            resid = (d - d[0]) - prange_rel
-            if np.max(np.abs(resid)) > 500.0:
-                raise MlatNonConvergeError()
-            lat, lon, alt = ecef2llh(xyz)
-            return lat, lon, alt
-    xyz = mlat_iter(stations, prange_rel, guess)
-    return ecef2llh(xyz)
+    if altitude_ft is not None and len(items) == 3:
+        # alternating projection: Gauss-Newton step, then re-pin altitude
+        xyz = guess.copy()
+        for _ in range(25):
+            xyz = mlat_iter(stations, prange_rel, xyz, max_iter=3,
+                            tol_m=5.0, raise_on_fail=False)
+            la, lo, _ = ecef2llh(xyz)
+            xyz = llh2ecef((la, lo, alt_m))
+        d = np.linalg.norm(stations - xyz, axis=1)
+        resid = (d - d[0]) - prange_rel
+        if np.max(np.abs(resid)) > 500.0:
+            raise MlatNonConvergeError()
+    else:
+        xyz = mlat_iter(stations, prange_rel, guess)
+    lat, lon, alt = ecef2llh(xyz)
+    if msl:
+        alt -= llh2geoid(lat, lon)
+    return lat, lon, alt
 
 
 class mlat_coordinator:
@@ -183,21 +197,36 @@ class mlat_coordinator:
     """
 
     def __init__(self, stations, min_stations: int = 4,
-                 window_s: float = 0.1):
-        # stations: {name: (lat, lon, alt_m)}
+                 window_s: float = 0.1, alt_datum: str = "ellipsoid"):
+        # stations: {name: (lat, lon, alt_m)} — alt_datum "msl" if the
+        # altitudes are surveyed MSL heights (see mlat())
         self.stations = dict(stations)
         self.min_stations = min_stations
         self.window_s = window_s
+        self.alt_datum = alt_datum
         self._pending = {}  # hex -> {station: timestamp}
         self._seen_t = {}   # hex -> first timestamp
+        self._since_prune = 0
 
     def report(self, station: str, message: str):
         """Feed one wire message from a named station; returns a position
-        (lat, lon, alt_m) when this message completes an observation set."""
+        (lat, lon, alt_m) when this message completes an observation set.
+        Malformed messages are dropped (network input from remote
+        receivers is untrusted; drop-and-continue)."""
         parts = message.split()
         if len(parts) != 6 or station not in self.stations:
             return None
-        hexframe, t = parts[1], float(parts[5])
+        try:
+            hexframe, t = parts[1], float(parts[5])
+            int(hexframe, 16)
+        except ValueError:
+            return None
+        # bound _pending in a long-running coordinator even if the caller
+        # never invokes prune()
+        self._since_prune += 1
+        if self._since_prune >= 256:
+            self._since_prune = 0
+            self.prune(t)
         obs = self._pending.setdefault(hexframe, {})
         first = self._seen_t.setdefault(hexframe, t)
         if abs(t - first) > self.window_s:
@@ -219,7 +248,8 @@ class mlat_coordinator:
         except Exception:
             pass
         try:
-            return mlat(replies, altitude_ft=alt_ft)
+            return mlat(replies, altitude_ft=alt_ft,
+                        alt_datum=self.alt_datum)
         except MlatNonConvergeError:
             return None
 

@@ -177,7 +177,7 @@ class parse:
             report.on_surface = True
             self._decode_position(rep, report, surface=True)
             mov = rep["mov"]
-            if 2 <= mov <= 123:
+            if 2 <= mov <= 124:
                 report.speed_kt = self._surface_speed(mov)
                 report.speed_type = "GS"
             if rep["gts"]:
@@ -211,17 +211,21 @@ class parse:
 
     @staticmethod
     def _surface_speed(mov: int) -> float:
-        """BDS0,6 movement field -> ground speed in kt (piecewise scale)."""
-        table = [(2, 0.125, 0.125), (9, 1.0, 0.146), (13, 2.0, 0.292),
-                 (39, 5.0, 0.5), (94, 10.0, 1.0), (109, 20.0, 2.0),
-                 (124, 100.0, 5.0)]
-        base_code = 2
-        base_speed = 0.125
-        for hi, speed_at, step in table:
-            if mov < hi:
-                return base_speed + (mov - base_code) * step
-            base_code, base_speed = hi, speed_at
-        return 175.0
+        """BDS0,6 movement field -> ground speed in kt.
+
+        DO-260 piecewise quantization: (first code, base speed, step) per
+        band — codes 2-8: 0.125-1 kt by 0.125; 9-12: 1-2 by 0.25;
+        13-38: 2-15 by 0.5; 39-93: 15-70 by 1; 94-108: 70-100 by 2;
+        109-123: 100-175 by 5; 124: >= 175 kt.
+        """
+        bands = [(2, 0.125, 0.125), (9, 1.0, 0.25), (13, 2.0, 0.5),
+                 (39, 15.0, 1.0), (94, 70.0, 2.0), (109, 100.0, 5.0)]
+        if mov >= 124:
+            return 175.0
+        for first, base, step in reversed(bands):
+            if mov >= first:
+                return base + (mov - first) * step
+        return 0.0
 
     def _decode_velocity(self, rep, report):
         sub = rep["sub"]

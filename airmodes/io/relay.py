@@ -42,7 +42,12 @@ class local_pubsub:
         with self._lock:
             subs = list(self._subs.get(topic, []))
         for cb in subs:
-            cb(msg)
+            try:
+                cb(msg)
+            except Exception:
+                continue  # drop-and-continue per subscriber, matching
+                # zmq_pubsub_iface._dispatch (a raising subscriber must not
+                # kill the publishing demod loop or starve later subscribers)
 
     def close(self) -> None:
         pass

@@ -68,14 +68,26 @@ class buffered_framer:
             self._next_start += n
 
     def flush(self) -> Iterator[Block]:
-        """Emit the final partial block zero-padded to full size."""
+        """Emit the remaining samples as zero-padded full-size blocks.
+
+        Loops until every pending sample is OWNED by some block: push()
+        holds back up to block_size + right_halo - 1 samples, more than one
+        block's worth, so a single final block would leave up to
+        right_halo - 1 trailing samples only ever seen as someone's right
+        halo — frames there would be silently lost (the native
+        iqstream.cc EOF path loops the same way)."""
         cfg = self.cfg
-        if len(self._pending) == 0:
-            return
         left, n, right = cfg.left_halo, cfg.block_size, cfg.right_halo
-        tail = np.zeros(n + right, dtype=np.complex64)
-        tail[: len(self._pending)] = self._pending
-        yield np.concatenate([self._carry, tail]), self._next_start
+        while len(self._pending) > 0:
+            m = min(len(self._pending), n + right)
+            tail = np.zeros(n + right, dtype=np.complex64)
+            tail[:m] = self._pending[:m]
+            yield np.concatenate([self._carry, tail]), self._next_start
+            if len(self._pending) <= n:
+                break
+            self._carry = tail[n - left: n].copy()
+            self._pending = self._pending[n:]
+            self._next_start += n
         self._pending = np.zeros(0, dtype=np.complex64)
 
 
@@ -157,6 +169,14 @@ def udp_source(cfg: DspConfig, host: str = "0.0.0.0", port: int = 10000,
             for block in framer.push(samples):
                 yield block
                 emitted += 1
+        # stream ended (timeout or block cap): emit the buffered tail so a
+        # short transmission is not dropped wholesale (file_source flushes
+        # in the identical situation)
+        for block in framer.flush():
+            if max_blocks is not None and emitted >= max_blocks:
+                break
+            yield block
+            emitted += 1
     finally:
         sock.close()
 

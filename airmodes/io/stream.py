@@ -79,20 +79,29 @@ def run_pipelined(
     inflight: deque = deque()
 
     def to_dev_layout(block):
+        """(device array, full_scale): quantization applies a per-block gain
+        of 120/peak and the kernels rescale int8 by 1/127, so the measured
+        ref_level is (gain/127)^2 times the float power — full_scale carries
+        that factor to table_to_messages so reported dBFS stays referenced
+        to the ORIGINAL float full scale, consistent across blocks."""
         x = iq_to_device_layout(block)
+        fs = 1.0
         if quantize_i8 and x.dtype == np.float32:
             peak = float(np.max(np.abs(x))) or 1.0
-            x = np.clip(np.round(x * (120.0 / peak)), -127, 127).astype(np.int8)
-        return x
+            gain = 120.0 / peak
+            x = np.clip(np.round(x * gain), -127, 127).astype(np.int8)
+            fs = gain / 127.0
+        return x, fs
 
     def drain_one():
-        packed, starts, n_real = inflight.popleft()
+        packed, starts, scales, n_real = inflight.popleft()
         arr = np.asarray(packed)
         out = []
         for j in range(n_real):
             table = unpack_table(arr[j] if batch > 1 else arr)
             msgs = host_mod.table_to_messages(
-                table, starts[j], cfg.channel_rate, epoch=epoch, stats=stats)
+                table, starts[j], cfg.channel_rate, epoch=epoch, stats=stats,
+                full_scale=scales[j])
             if on_messages:
                 on_messages(msgs)
             out.append(msgs)
@@ -100,7 +109,8 @@ def run_pipelined(
 
     if batch == 1:
         for block, start in blocks:
-            inflight.append((step(to_dev_layout(block), cfg), [start], 1))
+            x, fs = to_dev_layout(block)
+            inflight.append((step(x, cfg), [start], [fs], 1))
             if len(inflight) > depth:
                 yield from drain_one()
         while inflight:
@@ -111,15 +121,19 @@ def run_pipelined(
     for item in blocks:
         acc.append(item)
         if len(acc) == batch:
-            xb = np.stack([to_dev_layout(b) for b, _ in acc])
-            inflight.append((step(xb, cfg), [s for _, s in acc], batch))
+            devs = [to_dev_layout(b) for b, _ in acc]
+            xb = np.stack([d for d, _ in devs])
+            inflight.append((step(xb, cfg), [s for _, s in acc],
+                             [f for _, f in devs], batch))
             acc = []
             if len(inflight) > depth:
                 yield from drain_one()
     if acc:
         pads = [acc[-1][0]] * (batch - len(acc))
-        xb = np.stack([to_dev_layout(b) for b, _ in acc] +
-                      [to_dev_layout(p) for p in pads])
-        inflight.append((step(xb, cfg), [s for _, s in acc], len(acc)))
+        devs = [to_dev_layout(b) for b, _ in acc] + \
+               [to_dev_layout(p) for p in pads]
+        xb = np.stack([d for d, _ in devs])
+        inflight.append((step(xb, cfg), [s for _, s in acc],
+                         [f for _, f in devs], len(acc)))
     while inflight:
         yield from drain_one()

@@ -24,18 +24,11 @@ FG_VERSION = 0x00010001
 FG_POS_MSG = 7
 FG_MODEL = "Aircraft/737-200/Models/boeing733.xml"
 
-# WGS-84
-_A = 6378137.0
-_E2 = 6.69437999014e-3
-
-
 def llh2ecef(lat_deg: float, lon_deg: float, alt_m: float) -> Tuple[float, float, float]:
-    lat, lon = math.radians(lat_deg), math.radians(lon_deg)
-    n = _A / math.sqrt(1 - _E2 * math.sin(lat) ** 2)
-    x = (n + alt_m) * math.cos(lat) * math.cos(lon)
-    y = (n + alt_m) * math.cos(lat) * math.sin(lon)
-    z = (n * (1 - _E2) + alt_m) * math.sin(lat)
-    return x, y, z
+    # one WGS-84 implementation for the whole package (decode/mlat.py)
+    from ..decode.mlat import llh2ecef as _llh2ecef
+    x, y, z = _llh2ecef((lat_deg, lon_deg, alt_m))
+    return float(x), float(y), float(z)
 
 
 def pack_fg_position(callsign: str, lat: float, lon: float, alt_ft: float,

@@ -9,7 +9,6 @@ PyQt is absent).
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Dict, List, Optional
 
 from ..decode.parse import AircraftReport, parse
@@ -50,12 +49,14 @@ class dashboard:
     def __init__(self, stale_s: float = 60.0):
         self.stale_s = stale_s
         self.aircraft: Dict[int, AircraftState] = {}
+        self._latest = 0.0          # newest wire timestamp seen
 
     def update(self, rep: AircraftReport) -> Optional[AircraftState]:
         if rep.icao is None:
             return None
         st = self.aircraft.setdefault(rep.icao, AircraftState(icao=rep.icao))
         st.last_seen = rep.timestamp
+        self._latest = max(self._latest, rep.timestamp)
         st.rssi_dbfs = rep.ref_dbfs
         st.n_messages += 1
         for attr in ("squawk", "altitude_ft", "speed_kt", "heading_deg",
@@ -69,7 +70,10 @@ class dashboard:
         return st
 
     def prune(self, now: Optional[float] = None) -> None:
-        now = time.time() if now is None else now
+        # default to the newest WIRE timestamp, not wall clock: last_seen is
+        # wire-timestamp based, and file replays run with epoch 0.0 — a
+        # wall-clock default would evict every aircraft immediately
+        now = self._latest if now is None else now
         for icao in [k for k, v in self.aircraft.items()
                      if now - v.last_seen > self.stale_s]:
             del self.aircraft[icao]

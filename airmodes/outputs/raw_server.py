@@ -32,6 +32,9 @@ class output_raw:
                 c, _ = self._srv.accept()
             except (BlockingIOError, OSError):
                 return
+            # bounded send so one stalled client cannot block the decode
+            # loop; on timeout the client is dropped (drop-and-continue)
+            c.settimeout(1.0)
             with self._lock:
                 self._clients.append(c)
 

@@ -36,8 +36,11 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
         cols = base + fields
         return ",".join("" if c is None else str(c) for c in cols)
 
-    # fields: callsign, alt, gs, trk, lat, lon, vr, squawk, alert, emerg, spi, onground
-    f = [None] * 10
+    # fields: callsign, alt, gs, trk, lat, lon, vr, squawk, alert, emerg,
+    # spi, onground — 12 trailing columns, 22 total (BaseStation consumers
+    # parse positionally; short rows misalign, e.g. onground read as
+    # emergency)
+    f = [None] * 12
     if rep.df in (17, 18):
         if rep.callsign:
             f[0] = rep.callsign
@@ -46,7 +49,7 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
             f[1] = rep.altitude_ft
             f[4] = f"{rep.lat:.5f}"
             f[5] = f"{rep.lon:.5f}"
-            f[9] = "-1" if rep.on_surface else "0"
+            f[11] = "-1" if rep.on_surface else "0"
             return line(3, f)
         if rep.speed_kt is not None:
             f[2] = f"{rep.speed_kt:.0f}"
@@ -87,7 +90,10 @@ class output_sbs1:
                 c, _ = self._srv.accept()
             except (BlockingIOError, OSError):
                 return
-            c.setblocking(True)
+            # bounded send: a client that stops reading must not stall the
+            # decode loop (output() runs synchronously per message) — on
+            # timeout the client is dropped, honoring drop-and-continue
+            c.settimeout(1.0)
             with self._lock:
                 self._clients.append(c)
 
@@ -109,7 +115,7 @@ class output_sbs1:
             for c in self._clients:
                 try:
                     c.sendall(data)
-                except OSError:
+                except (socket.timeout, OSError):
                     dead.append(c)
             for c in dead:
                 self._clients.remove(c)

@@ -76,3 +76,26 @@ def test_cli_argparser_covers_reference_options():
     assert args.rate == 8e6 and args.threshold == 6.5
     assert args.sbs1 == 30003 and args.raw == 9988
     assert args.flightgear == "localhost:5000"
+
+
+def test_framer_flush_owns_all_trailing_samples():
+    """push() can hold back more than one block's worth; flush() must loop
+    so every sample is OWNED by some block (regression: up to
+    right_halo - 1 trailing samples were only ever halo, losing frames in
+    the last ~120 us of a capture)."""
+    from airmodes.io.sources import buffered_framer, frame_blocks
+    from airmodes.config import DspConfig
+
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    n = 2 * cfg.block_size + cfg.right_halo - 1
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+          ).astype(np.complex64)
+
+    ref = list(frame_blocks(iq, cfg))
+    fr = buffered_framer(cfg)
+    got = list(fr.push(iq)) + list(fr.flush())
+    assert len(got) == len(ref) == 3
+    for (a, sa), (b, sb) in zip(got, ref):
+        assert sa == sb
+        np.testing.assert_array_equal(a, b)

@@ -96,3 +96,31 @@ def test_mlat_coordinator_from_messages():
     lat, lon, alt = pos
     assert abs(lat - target[0]) < 1e-3
     assert abs(lon - target[1]) < 1e-3
+
+
+def test_coordinator_drops_malformed_messages():
+    from airmodes.decode.mlat import mlat_coordinator
+    coord = mlat_coordinator({f"st{i}": s for i, s in enumerate(STATIONS4)})
+    assert coord.report("st0", "17 8d4840d6 000000 0 -20.0 notanumber") is None
+    assert coord.report("st0", "17 zznothex 000000 0 -20.0 1.0") is None
+    assert coord.report("st0", "short") is None
+    assert coord.report("unknown", "17 8d4840d6 000000 0 -20.0 1.0") is None
+
+
+def test_mlat_msl_datum_roundtrip():
+    """Stations + aircraft altitude given as MSL heights: the geoid
+    undulation is applied on the way in and removed on the way out."""
+    lat_t, lon_t, alt_msl = 47.1, 8.25, 9144.0
+    und = mlat.llh2geoid(lat_t, lon_t)
+    target_ell = (lat_t, lon_t, alt_msl + und)
+    replies = {}
+    t_ecef = mlat.llh2ecef(target_ell)
+    for (la, lo, alt) in STATIONS4[:3]:
+        s_ell = (la, lo, alt + mlat.llh2geoid(la, lo))
+        d = np.linalg.norm(mlat.llh2ecef(s_ell) - t_ecef)
+        replies[(la, lo, alt)] = float(d / mlat.C)   # station alt is MSL
+    lat, lon, alt = mlat.mlat(replies, altitude_ft=alt_msl / 0.3048,
+                              alt_datum="msl")
+    assert abs(lat - lat_t) < 5e-3
+    assert abs(lon - lon_t) < 5e-3
+    assert abs(alt - alt_msl) < 50.0

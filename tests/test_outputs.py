@@ -162,3 +162,46 @@ def test_zmq_relay_roundtrip():
     assert received and received[0] == IDENT
     sub.close()
     pub.close()
+
+
+def test_sbs1_line_has_22_columns():
+    from airmodes.outputs.sbs1 import format_sbs1
+    from airmodes.decode.parse import AircraftReport
+    rep = AircraftReport(df=17, icao=0x4840D6, timestamp=1.5,
+                         ref_dbfs=-20.0, raw_hex="8d" + "0" * 26,
+                         lat=47.1, lon=8.2, altitude_ft=35000,
+                         on_surface=False)
+    line = format_sbs1(rep)
+    cols = line.split(",")
+    assert len(cols) == 22, line
+    assert cols[21] == "0"            # IsOnGround is the LAST column
+    assert cols[19] == ""             # Emergency stays empty
+    rep.on_surface = True
+    assert format_sbs1(rep).split(",")[21] == "-1"
+
+
+def test_local_pubsub_isolates_raising_subscriber():
+    from airmodes.io.relay import local_pubsub
+    bus = local_pubsub()
+    got = []
+
+    def bad(msg):
+        raise RuntimeError("boom")
+
+    bus.subscribe("t", bad)
+    bus.subscribe("t", got.append)
+    bus.publish("t", "hello")         # must not raise
+    assert got == ["hello"]
+
+
+def test_dashboard_prune_uses_wire_timebase():
+    from airmodes.outputs.gui_model import dashboard
+    from airmodes.decode.parse import AircraftReport
+    d = dashboard(stale_s=60.0)
+    d.update(AircraftReport(df=17, icao=1, timestamp=0.5, ref_dbfs=-20.0,
+                            raw_hex=""))
+    d.update(AircraftReport(df=17, icao=2, timestamp=100.0, ref_dbfs=-20.0,
+                            raw_hex=""))
+    d.prune()                          # default now = newest wire timestamp
+    assert 2 in d.aircraft             # fresh aircraft survives
+    assert 1 not in d.aircraft         # 99.5 s stale: evicted

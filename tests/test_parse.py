@@ -131,3 +131,21 @@ def test_parse_fuzz_never_crashes():
             pass
     # random frames essentially never pass the CRC re-check
     assert decoded <= 2
+
+
+def test_surface_movement_speed_table():
+    """DO-260 movement quantization (regression: bands above 15 kt were
+    decoded up to 60 kt low)."""
+    f = parse._surface_speed
+    assert f(2) == 0.125
+    assert f(8) == 0.875
+    assert f(9) == 1.0
+    assert f(13) == 2.0
+    assert f(38) == 14.5
+    assert f(39) == 15.0
+    assert f(93) == 69.0
+    assert f(94) == 70.0
+    assert f(108) == 98.0
+    assert f(109) == 100.0
+    assert f(123) == 170.0
+    assert f(124) == 175.0
