@@ -25,13 +25,15 @@ from ..decode.parse import parse
 
 
 def _qt_modules():
+    # QtGui must come from the SAME family as QtWidgets: importing PyQt5
+    # inside a PySide6 paintEvent raises on every repaint
     try:
-        from PyQt5 import QtCore, QtWidgets  # type: ignore
-        return QtCore, QtWidgets
+        from PyQt5 import QtCore, QtGui, QtWidgets  # type: ignore
+        return QtCore, QtWidgets, QtGui
     except ImportError:
         try:
-            from PySide6 import QtCore, QtWidgets  # type: ignore
-            return QtCore, QtWidgets
+            from PySide6 import QtCore, QtGui, QtWidgets  # type: ignore
+            return QtCore, QtWidgets, QtGui
         except ImportError:
             return None
 
@@ -41,7 +43,7 @@ def _qt_modules():
 # --------------------------------------------------------------------------
 
 def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
-    QtCore, QtWidgets = _qt_modules()
+    QtCore, QtWidgets, QtGui = _qt_modules()
 
     class AircraftTable(QtCore.QAbstractTableModel):
         def rowCount(self, parent=None):
@@ -66,7 +68,6 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
 
     class AzMap(QtWidgets.QWidget):
         def paintEvent(self, ev):
-            from PyQt5 import QtGui  # type: ignore
             p = QtGui.QPainter(self)
             w, h = self.width(), self.height()
             cx, cy, r = w // 2, h // 2, min(w, h) // 2 - 8
@@ -74,7 +75,7 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
             maxr = max(azm.max_range(), 1.0)
             import math
             pts = []
-            for brg, rng in azm.polygon():
+            for brg, rng in azm.envelope():
                 rr = r * min(rng / maxr, 1.0)
                 a = math.radians(brg - 90.0)
                 pts.append(QtCore.QPointF(cx + rr * math.cos(a),

@@ -156,11 +156,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ..resample.polyphase import streaming_resampler
         p_up, q_dn = rational_rate(args.rate, cfg.channel_rate)
         rs = streaming_resampler(p_up, q_dn)
+        # --start-sample is in OUTPUT (channel-rate) samples; seek the
+        # input to the corresponding raw offset (nearest sample — resume
+        # phase is approximate to < 1 chip, fine for re-acquisition) and
+        # resume the global counter so timestamps stay continuous
+        in_skip = (args.start_sample * q_dn) // p_up
 
         def resampled_blocks():
-            framer = src_mod.buffered_framer(cfg)
+            framer = src_mod.buffered_framer(cfg, args.start_sample)
             for chunk in src_mod.raw_file_chunks(
-                    args.source, dtype=args.file_format):
+                    args.source, dtype=args.file_format,
+                    offset_samples=in_skip):
                 yield from framer.push(rs.push(chunk))
             yield from framer.push(rs.flush())
             yield from framer.flush()

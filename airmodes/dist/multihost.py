@@ -52,24 +52,36 @@ class PodPipeline:
         if self.n_time is None:
             self.n_time = max(n_dev // self.n_channel, 1)
         self.mesh = sharded.make_mesh(self.n_channel, self.n_time)
-        self.step_fn = sharded.make_sharded_demod(self.mesh, self.cfg)
+        self.step_fn = sharded.make_sharded_demod_ctx(self.mesh, self.cfg)
         self.samples_per_step = self.n_time * self.cfg.block_size
 
     def run_step(self, iq_step: np.ndarray, step_start_sample: int,
                  epoch: float = 0.0,
-                 stats: Optional[host_mod.BlockStats] = None) -> List[str]:
+                 stats: Optional[host_mod.BlockStats] = None,
+                 lctx: Optional[np.ndarray] = None,
+                 rctx: Optional[np.ndarray] = None) -> List[str]:
         """One SPMD step over (n_channel, n_time*block, 2) float32 input.
 
-        Returns the wire messages for every channel/time shard, indices
-        globalized with step_start_sample.
+        lctx/rctx: (n_channel, left_halo/right_halo, 2) stream context
+        around the step (zeros = stream edge). Returns the wire messages
+        for every channel/time shard, indices globalized with
+        step_start_sample.
         """
         x = iq_to_device_layout(iq_step)
-        table = self.step_fn(sharded.shard_input(x, self.mesh))
+        if lctx is None:
+            lctx = np.zeros((self.n_channel, self.cfg.left_halo, 2),
+                            np.float32)
+        if rctx is None:
+            rctx = np.zeros((self.n_channel, self.cfg.right_halo, 2),
+                            np.float32)
+        table = self.step_fn(sharded.shard_input(x, self.mesh), lctx, rctx)
         msgs: List[str] = []
-        idx = np.asarray(table.index)
-        for c in range(idx.shape[0]):
-            for t in range(idx.shape[1]):
-                sub = type(table)(*(np.asarray(f)[c, t] for f in table))
+        # ONE fetch per field (10 total), not per (channel, time) shard —
+        # each np.asarray costs ~24 ms of fixed latency on relay/DCN paths
+        arrs = [np.asarray(f) for f in table]
+        for c in range(arrs[0].shape[0]):
+            for t in range(arrs[0].shape[1]):
+                sub = type(table)(*(a[c, t] for a in arrs))
                 msgs.extend(host_mod.table_to_messages(
                     sub, step_start_sample, self.cfg.channel_rate,
                     epoch=epoch, stats=stats))
@@ -79,26 +91,51 @@ class PodPipeline:
                    epoch: float = 0.0) -> Iterable[List[str]]:
         """Drive a (n_channel, N) complex64 chunk iterator through steps.
 
-        Chunks are buffered to step granularity with the halo carried
-        between steps by sharded halo exchange (zeros at stream edges)."""
+        Steps are emitted once the FOLLOWING right_halo samples are also
+        buffered, so each step's last shard sees real stream data as its
+        right halo and each step's first shard gets the previous step's
+        tail as its left halo — a frame straddling two steps decodes
+        exactly once (owned by the step containing its preamble start)."""
+        left, right = self.cfg.left_halo, self.cfg.right_halo
         pending = np.zeros((self.n_channel, 0), np.complex64)
+        carry_l = np.zeros((self.n_channel, left, 2), np.float32)
         start = 0
+
+        def to_f32(x):
+            return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+
         for chunk in chunks:
             pending = np.concatenate([pending, chunk], axis=1)
-            while pending.shape[1] >= self.samples_per_step:
+            while pending.shape[1] >= self.samples_per_step + right:
                 step = pending[:, : self.samples_per_step]
+                rctx = to_f32(pending[:,
+                                      self.samples_per_step:
+                                      self.samples_per_step + right])
                 pending = pending[:, self.samples_per_step:]
-                buf = np.stack([np.stack([s.real, s.imag], axis=-1)
-                                for s in step]).astype(np.float32)
-                yield self.run_step(buf, start, epoch=epoch)
+                buf = to_f32(step)
+                yield self.run_step(buf, start, epoch=epoch,
+                                    lctx=carry_l, rctx=rctx)
+                carry_l = buf[:, -left:]
                 start += self.samples_per_step
-        if pending.shape[1]:
+        while pending.shape[1]:
             pad = np.zeros((self.n_channel, self.samples_per_step),
                            np.complex64)
-            pad[:, : pending.shape[1]] = pending
-            buf = np.stack([np.stack([s.real, s.imag], axis=-1)
-                            for s in pad]).astype(np.float32)
-            yield self.run_step(buf, start, epoch=epoch)
+            n = min(pending.shape[1], self.samples_per_step + right)
+            pad[:, : min(n, self.samples_per_step)] = \
+                pending[:, : self.samples_per_step]
+            rctx = np.zeros((self.n_channel, right, 2), np.float32)
+            if pending.shape[1] > self.samples_per_step:
+                extra = pending[:, self.samples_per_step:
+                                self.samples_per_step + right]
+                rctx[:, : extra.shape[1]] = to_f32(extra)
+            buf = to_f32(pad)
+            yield self.run_step(buf, start, epoch=epoch,
+                                lctx=carry_l, rctx=rctx)
+            carry_l = buf[:, -left:]
+            start += self.samples_per_step
+            if pending.shape[1] <= self.samples_per_step:
+                break
+            pending = pending[:, self.samples_per_step:]
 
 
 def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],

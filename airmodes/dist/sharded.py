@@ -111,6 +111,42 @@ def shard_input(iq, mesh: Mesh):
         iq, NamedSharding(mesh, P("channel", "time", None)))
 
 
+def make_sharded_demod_ctx(mesh: Mesh, cfg: DspConfig):
+    """Sharded demod step with STREAM context at the step edges.
+
+    fn(iq, lctx, rctx): iq as in make_sharded_demod; lctx (C, left_halo, 2)
+    is the stream immediately BEFORE this step and rctx (C, right_halo, 2)
+    immediately AFTER it (zeros at the true stream start/end). The interior
+    shards still exchange halos over ICI; the first/last time shards take
+    their outer halo from the provided context instead of zeros — without
+    this, a frame straddling two consecutive steps of a long stream is
+    silently lost (its body reads zeros). Used by dist.multihost.PodPipeline,
+    which carries the context between steps host-side.
+    """
+    left, right = cfg.left_halo, cfg.right_halo
+
+    def shard_fn(iq_shard, lctx, rctx):
+        padded = _exchange_halos(iq_shard, left, right)
+        t = jax.lax.axis_index("time")
+        nt = jax.lax.axis_size("time")
+        first = (t == 0)
+        last = (t == nt - 1)
+        head = jnp.where(first, lctx, padded[:, :left])
+        tail = jnp.where(last, rctx, padded[:, -right:])
+        padded = jnp.concatenate([head, padded[:, left:-right], tail], axis=1)
+        table = jax.vmap(lambda x: demod_block(x, cfg))(padded)
+        table = _globalize(table, cfg.block_size)
+        return jax.tree.map(lambda a: a[:, None], table)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("channel", "time", None),
+                  P("channel", None, None), P("channel", None, None)),
+        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_demod_planar(mesh: Mesh, cfg: DspConfig, tile: int = None,
                               interpret: bool = None):
     """The production planar-int8 Pallas demod under shard_map.

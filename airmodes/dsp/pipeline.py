@@ -295,7 +295,7 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     """Per-detection CRC + the reference's acceptance/correction policy.
 
     - DF (first 5 bits) selects frame length: 112 for DF >= 16, else 56.
-    - DF11: accept when the low 7 syndrome bits are zero (PI overlaid with
+    - DF11: accept when the HIGH 17 syndrome bits are zero (PI overlaid with
       interrogator ID).
     - DF17/18: require syndrome == 0; else brute-force flips of low-confidence
       bits (singles then pairs), attempted only when the low-confidence count
@@ -374,7 +374,11 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     out_bits = jnp.logical_xor(bits, flip_mask)
     out_synd = jnp.where(use1 | use2, 0, synd)
 
-    df11_ok = (df == 11) & ((synd & 0x7F) == 0)
+    # A clean DF11 interrogated by II has syndrome == II (the interrogator
+    # ID is overlaid on the LOW bits of PI): accept syndrome < 0x80, i.e.
+    # high 17 bits zero. (synd & 0x7F) == 0 is the inverted rule — it drops
+    # every II != 0 all-call reply and admits garbage multiples of 128.
+    df11_ok = (df == 11) & ((synd & 0xFFFF80) == 0)
     # clean long squitters; corrected frames get their status from use1/use2
     ok_long = ((df == 17) | (df == 18)) & ok0
     # AP-overlaid DFs the decoder handles (df >= 24 is Comm-D ELM = DF24);

@@ -92,10 +92,17 @@ class buffered_framer:
 
 
 def raw_file_chunks(path: str, *, dtype: str = "complex64",
-                    chunk_samples: int = 1 << 20) -> Iterator[np.ndarray]:
+                    chunk_samples: int = 1 << 20,
+                    offset_samples: int = 0) -> Iterator[np.ndarray]:
     """Raw complex64 chunks from a recorded capture (no framing) — the input
-    to a streaming resampler when the SDR rate != channel rate."""
+    to a streaming resampler when the SDR rate != channel rate.
+    offset_samples seeks into the capture (resume support)."""
+    bytes_per = {"complex64": 8, "sc16": 4, "uc8": 2}.get(dtype)
+    if bytes_per is None:
+        raise ValueError(f"unknown file dtype {dtype}")
     with open(path, "rb") as f:
+        if offset_samples:
+            f.seek(offset_samples * bytes_per)
         while True:
             if dtype == "complex64":
                 samples = np.fromfile(f, np.complex64, chunk_samples)

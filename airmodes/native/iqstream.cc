@@ -17,6 +17,7 @@
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cerrno>
 #include <cstring>
 #include <thread>
 
@@ -249,7 +250,12 @@ int iq_stream_start_udp(void* h, const char* host, int port) {
     auto* buf = new uint8_t[1 << 16];
     while (!s->stop.load()) {
       ssize_t n = ::recv(fd, buf, 1 << 16, 0);
-      if (n <= 0) break;
+      if (n < 0) {
+        if (errno == EINTR) continue;
+        break;
+      }
+      // n == 0 is an EMPTY datagram (legal on SOCK_DGRAM), not EOF
+      if (n == 0) continue;
       uint64_t samples = static_cast<uint64_t>(n) / 8;
       const float* src = reinterpret_cast<const float*>(buf);
       uint64_t off = 0;

@@ -45,6 +45,14 @@ class az_map_model:
         return [(i * step + step / 2, rng)
                 for i, rng in enumerate(self.ranges[ring])]
 
+    def envelope(self) -> List[Tuple[float, float]]:
+        """Per-bearing max range across ALL altitude rings — the outline a
+        coverage display draws (ring 0 alone holds only sub-
+        max_alt/n_rings traffic and misses everything at cruise)."""
+        step = 360.0 / self.n_buckets
+        return [(i * step + step / 2, max(r[i] for r in self.ranges))
+                for i in range(self.n_buckets)]
+
     def max_range(self) -> float:
         return max(max(ring) for ring in self.ranges)
 

@@ -78,9 +78,15 @@ class output_sql:
                     "VALUES (?, ?, ?, ?, ?)",
                     (rep.icao, rep.timestamp, rep.lat, rep.lon, rep.altitude_ft))
             if rep.speed_kt is not None or rep.vertical_rate_fpm is not None:
+                # merge, don't replace: a vertical-rate-only report must not
+                # null out the last known speed/heading (and vice versa)
                 self._db.execute(
-                    "INSERT OR REPLACE INTO vectors (icao, seen, speed, heading, vertical) "
-                    "VALUES (?, ?, ?, ?, ?)",
+                    "INSERT INTO vectors (icao, seen, speed, heading, vertical) "
+                    "VALUES (?, ?, ?, ?, ?) ON CONFLICT(icao) DO UPDATE SET "
+                    "seen=excluded.seen, "
+                    "speed=COALESCE(excluded.speed, speed), "
+                    "heading=COALESCE(excluded.heading, heading), "
+                    "vertical=COALESCE(excluded.vertical, vertical)",
                     (rep.icao, rep.timestamp, rep.speed_kt, rep.heading_deg,
                      rep.vertical_rate_fpm))
             if rep.squawk is not None:

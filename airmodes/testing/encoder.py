@@ -157,6 +157,7 @@ class GroundTruth:
     sample_index: int       # preamble start, in samples
     amplitude: float
     snr_db: float
+    sps: int = 1            # samples per chip of the capture
 
     @property
     def hex(self) -> str:
@@ -210,7 +211,7 @@ def make_capture(
         if p + pulse.size > n_total:
             continue
         iq[seg] += (amp * phase * pulse).astype(np.complex64)
-        truth.append(GroundTruth(frame, nbits, p, amp, snr_db))
+        truth.append(GroundTruth(frame, nbits, p, amp, snr_db, sps))
     return iq, truth
 
 

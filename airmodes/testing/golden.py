@@ -110,7 +110,7 @@ def _slice_and_check(m, i, ref, cfg):
         frame = (frame << 1) | int(b)
     synd = crc.crc24(frame, nbits)
     if df == 11:
-        return f"{frame:014x}" if (synd & 0x7F) == 0 else None
+        return f"{frame:014x}" if (synd & 0xFFFF80) == 0 else None
     if df in (17, 18):
         if synd == 0:
             return f"{frame:028x}"
@@ -180,13 +180,14 @@ def inject_chip_errors(iq: np.ndarray, truth: encoder.GroundTruth,
     iq = iq.copy()
     p = truth.sample_index
     amp = truth.amplitude
+    sps = truth.sps            # chip offsets scale by samples-per-chip
     for b in bit_positions:
-        c0 = p + (PREAMBLE_CHIPS + 2 * b)
-        c1 = c0 + 1
+        c0 = p + (PREAMBLE_CHIPS + 2 * b) * sps
+        c1 = c0 + sps
         bitval = (truth.frame >> (truth.nbits - 1 - b)) & 1
         if mode == "erase":
-            iq[c0] = iq[c1] = 0.03 * amp
+            iq[c0: c0 + sps] = iq[c1: c1 + sps] = 0.03 * amp
         else:
             on, off = (c0, c1) if bitval else (c1, c0)
-            iq[on], iq[off] = 0.0, amp
+            iq[on: on + sps], iq[off: off + sps] = 0.0, amp
     return iq

@@ -93,3 +93,42 @@ def test_too_many_lowconf_bits_rejected():
                                     mode="erase")
     got = {h for _, h in jax_decode(bad)}
     assert "8d4840d6202cc371c32ce0576098" not in got
+
+
+def test_df11_nonzero_interrogator_accepted():
+    """A clean DF11 interrogated by II != 0 has syndrome == II (low bits):
+    it must decode (regression: the acceptance mask was inverted and
+    dropped every II != 0 all-call reply)."""
+    from airmodes import crc as crcmod
+
+    icao = 0x3C6614
+    frame = encoder.df11_frame(icao, interrogator=5)
+    assert crcmod.crc24(frame, 56) == 5
+    iq, truth = encoder.make_capture([(frame, 56)], snr_db=25.0, seed=11)
+    got = jax_decode(iq)
+    assert any(h == truth[0].hex for _, h in got), got
+    # oracle agrees
+    assert sorted(golden.reference_decode(iq, CFG)) == got
+
+
+def test_df11_garbage_syndrome_multiple_of_128_rejected():
+    """A DF11 whose syndrome is a nonzero multiple of 128 is corrupt (no
+    interrogator ID reaches the high 17 bits) and must NOT be emitted
+    (the old inverted mask accepted exactly these)."""
+    from airmodes import crc as crcmod
+
+    base = encoder.df11_frame(0x3C6614, interrogator=0)
+    # flip data bits until the syndrome is a nonzero multiple of 128
+    frame = None
+    for flip in range(6, 30):
+        cand = base ^ (1 << flip) ^ (1 << (flip + 7))
+        s = crcmod.crc24(cand, 56)
+        if s != 0 and (s & 0x7F) == 0:
+            frame = cand
+            break
+    if frame is None:
+        import pytest
+        pytest.skip("no 2-bit corruption with syndrome % 128 == 0 found")
+    iq, _ = encoder.make_capture([(frame, 56)], snr_db=25.0, seed=12)
+    hexes = {h for _, h in jax_decode(iq)}
+    assert f"{frame:014x}" not in hexes

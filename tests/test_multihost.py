@@ -48,3 +48,24 @@ def test_pod_pipeline_step_offsets():
     assert len(matching) == 1
     ts = float(matching[0].split()[5])
     assert abs(ts - pos / CFG.channel_rate) < 1e-6
+
+
+def test_step_boundary_frame_decoded(monkeypatch):
+    """A frame straddling two consecutive STEPS of run_stream must decode
+    exactly once (regression: each step's outer halos were zeros, so the
+    frame body read silence and CRC-failed)."""
+    from airmodes.dist.multihost import PodPipeline
+
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    pipe = PodPipeline(cfg, n_channel=1, n_time=2)
+    S = pipe.samples_per_step
+    frame = int("8d4840d6202cc371c32ce0576098", 16)
+    # preamble starts 100 samples before the step boundary: body crosses it
+    iq, truth = encoder.make_capture(
+        [(frame, 112)], snr_db=25.0, start=S - 100, seed=8,
+        total_samples=2 * S)
+    chunks = [iq[None, :S // 2], iq[None, S // 2: S + 777],
+              iq[None, S + 777:]]
+    msgs = [m for out in pipe.run_stream(chunks) for m in out]
+    hexes = [m.split()[1] for m in msgs]
+    assert hexes.count(truth[0].hex) == 1, hexes

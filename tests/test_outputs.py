@@ -205,3 +205,31 @@ def test_dashboard_prune_uses_wire_timebase():
     d.prune()                          # default now = newest wire timestamp
     assert 2 in d.aircraft             # fresh aircraft survives
     assert 1 not in d.aircraft         # 99.5 s stale: evicted
+
+
+def test_sql_vectors_merge_not_replace(tmp_path):
+    from airmodes.outputs.sql import output_sql
+    from airmodes.decode.parse import AircraftReport
+    db = tmp_path / "t.db"
+    out = output_sql(dbname=str(db))
+    base = dict(df=17, icao=0xAAA, ref_dbfs=-20.0, raw_hex="")
+    out.insert(AircraftReport(timestamp=1.0, speed_kt=410.0,
+                              heading_deg=95.0, **base))
+    out.insert(AircraftReport(timestamp=2.0, vertical_rate_fpm=-640.0, **base))
+    import sqlite3
+    con = sqlite3.connect(str(db))
+    row = con.execute("SELECT speed, heading, vertical FROM vectors "
+                      "WHERE icao=?", (0xAAA,)).fetchone()
+    con.close()
+    out.close()
+    assert row == (410.0, 95.0, -640.0)   # merged, not nulled
+
+
+def test_az_map_envelope_spans_rings():
+    from airmodes.outputs.az_map import az_map_model
+    m = az_map_model()
+    m.add(10.0, 30.0, alt_ft=1000.0)      # ring 0
+    m.add(10.0, 120.0, alt_ft=36000.0)    # high ring
+    env = dict(m.envelope())
+    assert env[12.5] == 120.0             # bucket center for bearing 10;
+    # cruise traffic shapes the outline (ring 0 alone would read 30)
