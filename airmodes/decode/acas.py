@@ -1,0 +1,78 @@
+"""ACAS coordination decode: the MV field of DF16 long air-air replies.
+
+Beyond the reference (gr-air-modes parses DF16 only for VS/altitude and
+carries MV raw): when MV's VDS is 3,0 it holds the aircraft's ACTIVE
+RESOLUTION ADVISORY — what TCAS is telling the crew to do right now —
+per ICAO Annex 10 Vol IV (same register as Comm-B BDS3,0):
+
+    [vds:8 = 0x30][ara:14][rac:4][rat:1][mte:1][tti:2][tid:26]
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from .fields import data_field
+
+MV_BDS30 = [("vds", 8), ("ara", 14), ("rac", 4), ("rat", 1), ("mte", 1),
+            ("tti", 2), ("tid", 26)]
+
+_ARA_FLAGS = (  # ARA bits 1..6 (MSB first) when a single threat is shown
+    ("corrective", "RA is corrective (else preventive)"),
+    ("downward_sense", "downward sense"),
+    ("increased_rate", "increased rate"),
+    ("sense_reversal", "sense reversal"),
+    ("altitude_crossing", "altitude crossing"),
+    ("positive", "positive (else vertical speed limit)"),
+)
+
+_RAC_FLAGS = (  # RAC bits 1..4 (MSB first): complements received
+    "do_not_pass_below", "do_not_pass_above",
+    "do_not_turn_left", "do_not_turn_right",
+)
+
+
+def decode_mv(mv: int) -> Optional[Dict]:
+    """DF16 MV field -> active-RA report, or None when VDS != 3,0 or no RA
+    is active (all-zero ARA/RAC with RAT clear)."""
+    r = data_field(mv, 56, MV_BDS30)
+    if r["vds"] != 0x30:
+        return None
+    if r["ara"] == 0 and r["rac"] == 0 and not r["rat"]:
+        return None
+    ara = r["ara"]
+    out: Dict = {"bds": "3,0"}
+    for i, (key, _) in enumerate(_ARA_FLAGS):
+        out[key] = bool((ara >> (13 - i)) & 1)
+    rac = [name for i, name in enumerate(_RAC_FLAGS)
+           if (r["rac"] >> (3 - i)) & 1]
+    if rac:
+        out["complements"] = rac
+    out["ra_terminated"] = bool(r["rat"])
+    out["multiple_threats"] = bool(r["mte"])
+    if r["tti"] == 1:
+        out["threat_icao"] = r["tid"] >> 2      # top 24 bits of TID
+    return out
+
+
+def summarize(ra: Dict) -> str:
+    """Short human-readable RA line (console output)."""
+    bits = []
+    if ra.get("ra_terminated"):
+        bits.append("RA terminated")
+    else:
+        sense = "descend" if ra.get("downward_sense") else "climb"
+        kind = "corrective" if ra.get("corrective") else "preventive"
+        bits.append(f"{kind} {sense}" if ra.get("positive")
+                    else f"{kind} limit-{sense}")
+        if ra.get("increased_rate"):
+            bits.append("increase rate")
+        if ra.get("sense_reversal"):
+            bits.append("reversal")
+        if ra.get("altitude_crossing"):
+            bits.append("crossing")
+    if ra.get("multiple_threats"):
+        bits.append("multi-threat")
+    if "threat_icao" in ra:
+        bits.append(f"threat {ra['threat_icao']:06x}")
+    return ", ".join(bits)

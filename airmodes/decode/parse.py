@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 from .. import crc
 from ..constants import (AP_ADDRESS_DFS, STATUS_FAIL)
 from ..exceptions import ADSBError, NoHandlerError, ParserError
-from . import commb
+from . import acas, commb
 from .altitude import decode_alt
 from .cpr import cpr_decoder
 from .fields import decode_callsign, decode_squawk, me_reply, modes_reply
@@ -53,6 +53,7 @@ class AircraftReport:
     flight_status: Optional[int] = None
     capability: Optional[int] = None
     commb: Optional[dict] = None         # decoded Comm-B register (DF20/21)
+    acas_ra: Optional[dict] = None       # active resolution advisory (DF16)
 
     @property
     def icao_hex(self) -> Optional[str]:
@@ -118,7 +119,14 @@ class parse:
         report.altitude_ft = self._alt13(reply["ac"])
         report.on_surface = bool(reply["vs"])
 
-    parse16 = parse0
+    def parse16(self, reply, report):
+        self.parse0(reply, report)
+        # DF16 MV with VDS 3,0 carries the active TCAS resolution advisory
+        # (beyond the reference, which drops MV) — see decode/acas.py
+        ra = acas.decode_mv(reply["mv"])
+        if ra is not None:
+            report.bds = "BDS3,0"
+            report.acas_ra = ra
 
     def parse4(self, reply, report):
         report.flight_status = reply["fs"]

@@ -95,7 +95,13 @@ class output_print:
             return f"Type 11 (all call reply) from {icao} " + tail
         if rep.df in (0, 16):
             alt = f" alt {rep.altitude_ft} ft" if rep.altitude_ft is not None else ""
-            return f"Type {rep.df} (short air-air ACAS) from {icao}{alt} " + tail
+            ra = ""
+            if rep.acas_ra:
+                from ..decode import acas
+                ra = f" RA[{acas.summarize(rep.acas_ra)}]"
+            kind = "short" if rep.df == 0 else "long"
+            return (f"Type {rep.df} ({kind} air-air ACAS) from "
+                    f"{icao}{alt}{ra} ") + tail
         if rep.df in (4, 20):
             alt = f" alt {rep.altitude_ft} ft" if rep.altitude_ft is not None else ""
             cb = output_print._commb_summary(rep)

@@ -76,6 +76,16 @@ def df0_frame(icao: int, ac13: int, vs: int = 0, ri: int = 0) -> int:
     frame, _ = build_frame(payload, 32, overlay=icao & 0xFFFFFF)
     return frame
 
+def df16_frame(icao: int, ac13: int, mv: int = 0, vs: int = 0,
+               ri: int = 0) -> int:
+    """DF16 long air-air ACAS:
+    [df:5][vs:1][_:2][sl:3][_:2][ri:4][_:2][ac:13][mv:56][ap:24]."""
+    payload = ((16 << 27) | ((vs & 1) << 26) | ((ri & 0xF) << 15)
+               | (ac13 & 0x1FFF)) << 56 | (mv & (1 << 56) - 1)
+    frame, n = build_frame(payload, 88, overlay=icao & 0xFFFFFF)
+    assert n == MAX_FRAME_BITS
+    return frame
+
 def df20_frame(icao: int, ac13: int, mb: int = 0, fs: int = 0) -> int:
     """DF20 Comm-B altitude: [df:5][fs:3][dr:5][um:6][ac:13][mb:56][ap:24]."""
     payload = ((20 << 27) | ((fs & 7) << 24) | (ac13 & 0x1FFF)) << 56 | (mb & (1 << 56) - 1)

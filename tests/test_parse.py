@@ -149,3 +149,41 @@ def test_surface_movement_speed_table():
     assert f(109) == 100.0
     assert f(123) == 170.0
     assert f(124) == 175.0
+
+
+def test_df16_acas_resolution_advisory():
+    """DF16 MV with VDS 3,0 decodes the active RA (beyond-reference)."""
+    from airmodes import crc
+    from airmodes.decode import acas
+    from airmodes.decode.altitude import encode_alt_q
+    from airmodes.outputs.msprint import output_print
+    from airmodes.testing import encoder
+
+    # corrective descend RA, altitude crossing, threat named by ICAO
+    ara = 0b11001100000000         # corrective, downward, crossing, positive
+    rac = 0b0000
+    tti = 1
+    tid = 0x7C6B1D << 2
+    mv = (0x30 << 48) | (ara << 34) | (rac << 30) | (0 << 29) | (0 << 28) \
+        | (tti << 26) | tid
+    frame = encoder.df16_frame(0xABCDEF, encode_alt_q(31000.0), mv=mv)
+    wire = f"16 {frame:028x} {crc.crc24(frame, 112):06x} 0 -18.0 4.0"
+    rep = parse().parse(wire)
+    assert rep.df == 16 and rep.icao == 0xABCDEF
+    assert rep.altitude_ft == 31000
+    assert rep.bds == "BDS3,0"
+    ra = rep.acas_ra
+    assert ra["corrective"] and ra["downward_sense"] and ra["positive"]
+    assert ra["altitude_crossing"] and not ra["increased_rate"]
+    assert ra["threat_icao"] == 0x7C6B1D
+    line = output_print.format_report(rep)
+    assert "RA[corrective descend, crossing, threat 7c6b1d]" in line, line
+    # MV without an advisory: no RA attached
+    quiet = encoder.df16_frame(0xABCDEF, encode_alt_q(31000.0),
+                               mv=(0x30 << 48))
+    rep2 = parse().parse(
+        f"16 {quiet:028x} {crc.crc24(quiet, 112):06x} 0 -18.0 4.0")
+    assert rep2.acas_ra is None
+    # RA-terminated summary
+    mv3 = (0x30 << 48) | (1 << 29)
+    assert acas.summarize(acas.decode_mv(mv3)) == "RA terminated"
