@@ -17,7 +17,9 @@ from .fields import data_field
 MV_BDS30 = [("vds", 8), ("ara", 14), ("rac", 4), ("rat", 1), ("mte", 1),
             ("tti", 2), ("tid", 26)]
 
-_ARA_FLAGS = (  # ARA bits 1..6 (MSB first) when a single threat is shown
+_ARA_FLAGS = (  # ARA bits 2..7 (MSB first); ARA bit 1 is the RA-active /
+    # single-threat indicator — descriptor flags are only meaningful when
+    # it is set (Annex 10 Vol IV: bits 42-47 of the register)
     ("corrective", "RA is corrective (else preventive)"),
     ("downward_sense", "downward sense"),
     ("increased_rate", "increased rate"),
@@ -42,8 +44,13 @@ def decode_mv(mv: int) -> Optional[Dict]:
         return None
     ara = r["ara"]
     out: Dict = {"bds": "3,0"}
-    for i, (key, _) in enumerate(_ARA_FLAGS):
-        out[key] = bool((ara >> (13 - i)) & 1)
+    # ARA bit 1 (MSB): one RA is active and bits 2-7 describe it; with
+    # bit 1 clear and MTE set, bits 2-7 carry the multi-threat encoding
+    # instead — don't misread those as sense flags
+    out["ra_active"] = bool((ara >> 13) & 1)
+    if out["ra_active"]:
+        for i, (key, _) in enumerate(_ARA_FLAGS):
+            out[key] = bool((ara >> (12 - i)) & 1)
     rac = [name for i, name in enumerate(_RAC_FLAGS)
            if (r["rac"] >> (3 - i)) & 1]
     if rac:
@@ -60,7 +67,7 @@ def summarize(ra: Dict) -> str:
     bits = []
     if ra.get("ra_terminated"):
         bits.append("RA terminated")
-    else:
+    elif ra.get("ra_active"):
         sense = "descend" if ra.get("downward_sense") else "climb"
         kind = "corrective" if ra.get("corrective") else "preventive"
         bits.append(f"{kind} {sense}" if ra.get("positive")
@@ -71,6 +78,8 @@ def summarize(ra: Dict) -> str:
             bits.append("reversal")
         if ra.get("altitude_crossing"):
             bits.append("crossing")
+    else:
+        bits.append("RA (multi-threat encoding)")
     if ra.get("multiple_threats"):
         bits.append("multi-threat")
     if "threat_icao" in ra:

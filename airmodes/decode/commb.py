@@ -107,7 +107,12 @@ def is_bds20(mb: int) -> bool:
     if _f(mb, BDS20)["bds"] != 0x20:
         return False
     cs = decode_bds20(mb)["callsign_raw"]
-    return "#" not in cs and cs.rstrip("_").replace("_", "") != ""
+    if "#" in cs:
+        return False
+    # valid idents are left-aligned with only TRAILING spaces; interior
+    # gaps mark some other register's payload that happens to start 0x20
+    body = cs.rstrip("_")
+    return body != "" and "_" not in body
 
 
 def is_bds40(mb: int) -> bool:

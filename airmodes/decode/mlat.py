@@ -221,6 +221,10 @@ class mlat_coordinator:
             int(hexframe, 16)
         except ValueError:
             return None
+        if not math.isfinite(t):
+            return None     # float('nan'/'inf') parses; NaN would sail
+            # through every window/residual comparison (NaN > x is False)
+            # and come back as a (nan, nan, nan) "fix"
         # bound _pending in a long-running coordinator even if the caller
         # never invokes prune()
         self._since_prune += 1

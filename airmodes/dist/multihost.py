@@ -48,11 +48,17 @@ class PodPipeline:
     n_time: Optional[int] = None
 
     def __post_init__(self):
+        from ..dsp.pipeline import pack_table
         n_dev = len(jax.devices())
         if self.n_time is None:
             self.n_time = max(n_dev // self.n_channel, 1)
         self.mesh = sharded.make_mesh(self.n_channel, self.n_time)
-        self.step_fn = sharded.make_sharded_demod_ctx(self.mesh, self.cfg)
+        base_fn = sharded.make_sharded_demod_ctx(self.mesh, self.cfg)
+        # pack device-side: the whole step comes back as ONE
+        # (C, T, K+1, 9) int32 fetch instead of 10 per-field transfers
+        # (each np.asarray costs ~24 ms fixed on relay/DCN paths)
+        self.step_fn = jax.jit(lambda x, l, r: jax.vmap(
+            jax.vmap(pack_table))(base_fn(x, l, r)))
         self.samples_per_step = self.n_time * self.cfg.block_size
 
     def run_step(self, iq_step: np.ndarray, step_start_sample: int,
@@ -74,14 +80,13 @@ class PodPipeline:
         if rctx is None:
             rctx = np.zeros((self.n_channel, self.cfg.right_halo, 2),
                             np.float32)
-        table = self.step_fn(sharded.shard_input(x, self.mesh), lctx, rctx)
+        from ..dsp.pipeline import unpack_table
+        packed = self.step_fn(sharded.shard_input(x, self.mesh), lctx, rctx)
+        arr = np.asarray(packed)                  # the step's ONE fetch
         msgs: List[str] = []
-        # ONE fetch per field (10 total), not per (channel, time) shard —
-        # each np.asarray costs ~24 ms of fixed latency on relay/DCN paths
-        arrs = [np.asarray(f) for f in table]
-        for c in range(arrs[0].shape[0]):
-            for t in range(arrs[0].shape[1]):
-                sub = type(table)(*(a[c, t] for a in arrs))
+        for c in range(arr.shape[0]):
+            for t in range(arr.shape[1]):
+                sub = unpack_table(arr[c, t])
                 msgs.extend(host_mod.table_to_messages(
                     sub, step_start_sample, self.cfg.channel_rate,
                     epoch=epoch, stats=stats))

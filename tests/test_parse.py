@@ -159,8 +159,10 @@ def test_df16_acas_resolution_advisory():
     from airmodes.outputs.msprint import output_print
     from airmodes.testing import encoder
 
-    # corrective descend RA, altitude crossing, threat named by ICAO
-    ara = 0b11001100000000         # corrective, downward, crossing, positive
+    # corrective descend RA, altitude crossing, threat named by ICAO.
+    # ARA bit 1 = RA active; bits 2-7 = corrective, downward, increased
+    # rate, reversal, crossing, positive (Annex 10 bits 41-47)
+    ara = 0b11100110000000
     rac = 0b0000
     tti = 1
     tid = 0x7C6B1D << 2
@@ -187,3 +189,40 @@ def test_df16_acas_resolution_advisory():
     # RA-terminated summary
     mv3 = (0x30 << 48) | (1 << 29)
     assert acas.summarize(acas.decode_mv(mv3)) == "RA terminated"
+
+
+def test_df16_ara_active_bit_gates_flags():
+    """ARA bit 1 is the RA-active indicator, not a descriptor: with it
+    clear and MTE set, bits 2-7 are the multi-threat encoding and must not
+    be read as sense flags (regression: flags were shifted one bit high,
+    printing 'descend' for a climb RA)."""
+    from airmodes.decode import acas
+    # real TCAS 'Climb' RA: active, corrective, upward, positive
+    mv = (0x30 << 48) | (0b11000010000000 << 34)
+    ra = acas.decode_mv(mv)
+    assert ra["ra_active"] and ra["corrective"] and ra["positive"]
+    assert not ra["downward_sense"]
+    assert "corrective climb" in acas.summarize(ra)
+    # multi-threat encoding: bit 1 clear, MTE set — no sense flags emitted
+    mv2 = (0x30 << 48) | (0b01100000000000 << 34) | (1 << 28)
+    ra2 = acas.decode_mv(mv2)
+    assert not ra2["ra_active"] and ra2["multiple_threats"]
+    assert "downward_sense" not in ra2
+    assert "multi-threat" in acas.summarize(ra2)
+
+
+def test_coordinator_rejects_nonfinite_timestamp():
+    from airmodes.decode.mlat import mlat_coordinator
+    coord = mlat_coordinator({"a": (47.0, 8.0, 500.0)})
+    assert coord.report("a", "17 8d4840d6 000000 0 -20.0 nan") is None
+    assert coord.report("a", "17 8d4840d6 000000 0 -20.0 inf") is None
+
+
+def test_bds20_rejects_interior_gaps():
+    from airmodes.decode import commb
+    from airmodes.constants import CALLSIGN_CHARMAP
+    # 'A_B_12__' has interior gaps: not a left-aligned ident
+    cs = 0
+    for i, ch in enumerate("A_B_12__"):
+        cs |= CALLSIGN_CHARMAP.index(ch) << (42 - 6 * i)
+    assert not commb.is_bds20((0x20 << 48) | cs)
