@@ -99,3 +99,31 @@ def test_framer_flush_owns_all_trailing_samples():
     for (a, sa), (b, sb) in zip(got, ref):
         assert sa == sb
         np.testing.assert_array_equal(a, b)
+
+
+def test_long_stream_soak_counters_consistent():
+    """30 blocks through the pipelined runner: stats counters must be
+    internally consistent and every injected frame decoded exactly once."""
+    from airmodes.config import DspConfig
+    from airmodes.dsp import host as host_mod
+    from airmodes.io import sources, stream
+
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    n_blocks = 30
+    total = n_blocks * cfg.block_size
+    frames = encoder.random_df17_frames(60, seed=55)
+    iq, truth = encoder.make_capture(frames, snr_db=18.0,
+                                     spacing=total // 60 - 37, seed=55,
+                                     total_samples=total)
+    stats = host_mod.BlockStats()
+    msgs = [m for out in stream.run_pipelined(
+        sources.frame_blocks(iq, cfg), cfg, stats=stats, batch=4)
+        for m in out]
+    hexes = [m.split()[1] for m in msgs]
+    want = [t.hex for t in truth]
+    for h in want:
+        assert hexes.count(h) == 1, h
+    assert stats.emitted == len(msgs)
+    assert stats.crc_ok + stats.corrected <= stats.emitted
+    assert stats.preambles >= stats.emitted
+    assert stats.overflow == 0
