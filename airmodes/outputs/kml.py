@@ -24,14 +24,24 @@ _KML_FOOTER = "</Document>\n</kml>\n"
 
 
 def render_kml(dbname: str, localpos: Optional[Tuple[float, float]] = None) -> str:
-    """One snapshot of the DB -> KML document string."""
+    """One snapshot of the DB -> KML document string (placemark + track
+    line per aircraft, like the reference's output_kml)."""
     db = sqlite3.connect(dbname)
     try:
         rows = db.execute(
             "SELECT p.icao, p.lat, p.lon, p.alt, a.ident FROM positions p "
             "LEFT JOIN aircraft a ON a.icao = p.icao").fetchall()
+        try:
+            tracks = db.execute(
+                "SELECT icao, lat, lon, alt FROM track "
+                "ORDER BY icao, seen").fetchall()
+        except sqlite3.OperationalError:
+            tracks = []          # pre-track-table database
     finally:
         db.close()
+    track_by_icao = {}
+    for icao, lat, lon, alt in tracks:
+        track_by_icao.setdefault(icao, []).append((lat, lon, alt))
     parts = [_KML_HEADER]
     if localpos is not None:
         parts.append(
@@ -48,6 +58,16 @@ def render_kml(dbname: str, localpos: Optional[Tuple[float, float]] = None) -> s
             "<Point><altitudeMode>absolute</altitudeMode><extrude>1</extrude>"
             f"<coordinates>{lon:.6f},{lat:.6f},{alt_m:.0f}</coordinates>"
             "</Point></Placemark>\n")
+        hist = track_by_icao.get(icao, ())
+        if len(hist) >= 2:
+            coords = " ".join(
+                f"{lo:.6f},{la:.6f},{(al or 0) * 0.3048:.0f}"
+                for la, lo, al in hist)
+            parts.append(
+                f"<Placemark><name>{name} track</name><LineString>"
+                "<altitudeMode>absolute</altitudeMode>"
+                f"<coordinates>{coords}</coordinates>"
+                "</LineString></Placemark>\n")
     parts.append(_KML_FOOTER)
     return "".join(parts)
 

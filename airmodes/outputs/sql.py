@@ -40,14 +40,25 @@ CREATE TABLE IF NOT EXISTS squawks (
     seen REAL,
     squawk INTEGER
 );
+CREATE TABLE IF NOT EXISTS track (
+    icao INTEGER,
+    seen REAL,
+    lat REAL,
+    lon REAL,
+    alt INTEGER
+);
+CREATE INDEX IF NOT EXISTS track_icao ON track (icao, seen);
 """
 
 
 class output_sql:
     def __init__(self, dbname: str, parser: Optional[parse] = None,
-                 lock: Optional[threading.Lock] = None):
+                 lock: Optional[threading.Lock] = None,
+                 track_keep_s: float = 1800.0):
         self._parser = parser or parse()
         self._lock = lock or threading.Lock()
+        self._track_keep_s = track_keep_s
+        self._since_prune = 0
         self._db = sqlite3.connect(dbname, check_same_thread=False)
         with self._lock:
             self._db.executescript(_SCHEMA)
@@ -77,6 +88,19 @@ class output_sql:
                     "INSERT OR REPLACE INTO positions (icao, seen, lat, lon, alt) "
                     "VALUES (?, ?, ?, ?, ?)",
                     (rep.icao, rep.timestamp, rep.lat, rep.lon, rep.altitude_ft))
+                # position HISTORY feeds the KML track lines (the
+                # reference's kml.py draws tracks); bounded by age
+                self._db.execute(
+                    "INSERT INTO track (icao, seen, lat, lon, alt) "
+                    "VALUES (?, ?, ?, ?, ?)",
+                    (rep.icao, rep.timestamp, rep.lat, rep.lon,
+                     rep.altitude_ft))
+                self._since_prune += 1
+                if self._since_prune >= 256:
+                    self._since_prune = 0
+                    self._db.execute(
+                        "DELETE FROM track WHERE seen < ?",
+                        (rep.timestamp - self._track_keep_s,))
             if rep.speed_kt is not None or rep.vertical_rate_fpm is not None:
                 # merge, don't replace: a vertical-rate-only report must not
                 # null out the last known speed/heading (and vice versa)

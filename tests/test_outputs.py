@@ -233,3 +233,23 @@ def test_az_map_envelope_spans_rings():
     env = dict(m.envelope())
     assert env[12.5] == 120.0             # bucket center for bearing 10;
     # cruise traffic shapes the outline (ring 0 alone would read 30)
+
+
+def test_kml_track_lines(tmp_path):
+    """KML output includes a LineString track per aircraft from the
+    position history (reference parity: kml.py draws tracks, not just the
+    latest placemark)."""
+    from airmodes.outputs.sql import output_sql
+    from airmodes.outputs.kml import render_kml
+    from airmodes.decode.parse import AircraftReport
+    db = tmp_path / "t.db"
+    out = output_sql(dbname=str(db))
+    base = dict(df=17, icao=0xBEEF01, ref_dbfs=-20.0, raw_hex="")
+    for i, (la, lo) in enumerate([(47.0, 8.0), (47.05, 8.1), (47.1, 8.2)]):
+        out.insert(AircraftReport(timestamp=float(i), lat=la, lon=lo,
+                                  altitude_ft=30000, **base))
+    doc = render_kml(str(db))
+    out.close()
+    assert "<LineString>" in doc
+    assert "8.000000,47.000000" in doc and "8.200000,47.100000" in doc
+    assert doc.count("<Placemark>") == 2   # point + track
