@@ -204,7 +204,10 @@ def compact_detections(mask: jax.Array, max_detections: int,
     # Earlier index -> larger score, so top_k returns ascending indices.
     score = jnp.where(mask, n - jnp.arange(n, dtype=jnp.int32), 0)
     n_det = jnp.sum(mask.astype(jnp.int32))
-    if n % group != 0 or n < 4 * group:
+    # the grouped path needs enough candidates to feed the global top-K
+    # (top_k with k > candidate count is a trace-time error)
+    if (n % group != 0 or n < 4 * group
+            or (n // group) * per_group < max_detections):
         vals, idx = jax.lax.top_k(score, max_detections)
         valid = vals > 0
         det_idx = jnp.where(valid, idx.astype(jnp.int32), -1)

@@ -19,11 +19,18 @@ from ..dsp import host as host_mod
 from ..dsp.pipeline import iq_to_device_layout, unpack_table
 
 
+def _pallas_ok(cfg: DspConfig, tile: int = 16384) -> bool:
+    """Whether the Pallas kernels' static constraints hold for this cfg —
+    checked HERE (the kernels raise rather than silently falling back)."""
+    return (cfg.noise_window == 128 and cfg.block_size % tile == 0
+            and 14 * cfg.sps < 128)
+
+
 def _default_step(cfg: DspConfig):
     """Pick the fastest available packed demod step for this backend."""
     import jax
     from ..dsp.pipeline import demod_block_packed_jit
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and _pallas_ok(cfg):
         try:
             from ..kernels.preamble_pallas import demod_block_packed_fast_jit
             return demod_block_packed_fast_jit
@@ -54,7 +61,7 @@ def run_pipelined(
     """
     if batch > 1 and step is None:
         import jax
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
             from ..kernels.preamble_pallas import (
                 demod_batch_packed_fast_jit, demod_batch_packed_planar_jit,
                 to_planar_i8)

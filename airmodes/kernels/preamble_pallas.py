@@ -18,8 +18,11 @@ Key structure:
     1D slices
   - grid steps are sequential on TPU; tiles are independent anyway
 
-Constraints (asserted): cfg.noise_window == 128, block_size % tile == 0,
-tile % 128 == 0. Falls back to the jnp path otherwise.
+Constraints (asserted/raised): cfg.noise_window == 128,
+block_size % tile == 0, tile % 1024 == 0, sps <= 9. There is NO silent
+fallback here — callers that cannot meet the constraints should use the
+XLA pipeline (dsp.pipeline.demod_block); io/stream._default_step does that
+selection for the streaming runner.
 """
 
 from __future__ import annotations
@@ -85,7 +88,9 @@ def preamble_detect_pallas(iq, cfg: DspConfig, tile: int = 16384,
     assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
     assert cfg.left_halo == _LOOKBACK
     n = cfg.block_size
-    assert n % tile == 0 and tile % 128 == 0
+    # 1D f32 memrefs are (1024,)-tiled: DMA origins (i * tile) must be
+    # 1024-aligned, so the tile itself must be — 128-aligned is NOT enough
+    assert n % tile == 0 and tile % 1024 == 0
     wl = _LOOKBACK + tile + _halo_r(cfg, tile)
     needed = (n // tile - 1) * tile + wl
 
@@ -119,23 +124,21 @@ def preamble_detect_pallas(iq, cfg: DspConfig, tile: int = 16384,
     return mask, ref
 
 
-def demod_block_pallas(iq, cfg: DspConfig, tile: int = 16384,
-                       interpret: bool = False):
-    """Full demod step with the Pallas fused detector front-end; slicing,
-    CRC, and ECC reuse the XLA stages (they are K-sized, not N-sized)."""
+def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):
+    """Shared XLA tail for the mask+ref detect kernels: compaction +
+    slice_bits + CRC/ECC -> DetectionTable (one block)."""
     from ..dsp import pipeline as P
 
-    mask, ref = preamble_detect_pallas(iq, cfg, tile=tile,
-                                       interpret=interpret)
-    mag2 = P.magnitude_squared(iq)
+    mag2 = P.magnitude_squared(iq_c)
     noise = P.noise_floor(mag2, cfg.noise_window)
     det_idx, valid, n_det, overflow = P.compact_detections(
-        mask.astype(bool), cfg.max_detections)
+        mask_c.astype(bool), cfg.max_detections)
     left = cfg.left_halo
     safe_idx = jnp.where(valid, det_idx, 0)
-    ref_level = ref[safe_idx]
+    ref_level = ref_c[safe_idx]
     noise_at = noise[left + safe_idx]
-    bits, confidence = P.slice_bits(mag2, det_idx, valid, ref_level, cfg, left)
+    bits, confidence = P.slice_bits(mag2, det_idx, valid, ref_level, cfg,
+                                    left)
     out_bits, df, nbits, synd, status = P.crc_check_and_correct(
         bits, confidence, cfg)
     status = jnp.where(valid, status, P.STATUS_FAIL)
@@ -145,6 +148,15 @@ def demod_block_pallas(iq, cfg: DspConfig, tile: int = 16384,
         df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
         status=status, ref_level=ref_level, noise=noise_at,
         n_detected=n_det, n_overflow=overflow)
+
+
+def demod_block_pallas(iq, cfg: DspConfig, tile: int = 16384,
+                       interpret: bool = False):
+    """Full demod step with the Pallas fused detector front-end; slicing,
+    CRC, and ECC reuse the XLA stages (they are K-sized, not N-sized)."""
+    mask, ref = preamble_detect_pallas(iq, cfg, tile=tile,
+                                       interpret=interpret)
+    return _xla_full_tail(iq, mask, ref, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
@@ -242,9 +254,20 @@ def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
     _detect_body_2d(win_i[:], win_q[:], mask_ref, ref_ref, cfg=cfg, tile=tile)
 
 
+def _check_2d_limits(cfg: DspConfig):
+    """The 2D/planar kernels shift by up to 14*sps lanes; Mosaic's roll +
+    row-borrow construction supports |shift| < 128 -> sps <= 9."""
+    if 14 * cfg.sps >= 128:
+        raise ValueError(
+            f"2D/planar Pallas detect supports sps <= 9 (channel_rate <= "
+            f"18 Msps); got sps={cfg.sps} — use the XLA pipeline "
+            "(demod_block / demod_batch_jit) at this rate")
+
+
 def preamble_detect_pallas_2d(iq, cfg: DspConfig, tile: int = 16384,
                               interpret: bool = False):
     """2D-layout fused detector; same contract as preamble_detect_pallas."""
+    _check_2d_limits(cfg)
     assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
     assert cfg.left_halo == _LOOKBACK
     n = cfg.block_size
@@ -531,6 +554,7 @@ def preamble_detect_pallas_2d_batch(iq, cfg: DspConfig, tile: int = 16384,
     per-batch row stride is 8-row aligned so every DMA origin stays on an
     f32 (8, 128) tile boundary.
     """
+    _check_2d_limits(cfg)
     assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
     assert cfg.left_halo == _LOOKBACK
     n = cfg.block_size
@@ -590,9 +614,14 @@ def preamble_detect_pallas_2d_batch(iq, cfg: DspConfig, tile: int = 16384,
 
 
 def gather_tail(iq, det_idx, valid, ref, n_det, overflow, cfg: DspConfig):
-    """K-sized tail: raw (L+N+R, 2) block + detection indices -> DetectionTable."""
-    from ..dsp import pipeline as P
+    """K-sized tail: raw (L+N+R, 2) block + detection indices -> DetectionTable.
 
+    `ref` (the detect kernel's reference levels) is accepted for signature
+    stability but unused: _tail_from_power recomputes the reference level
+    from the gathered window with the same f32 op order as the kernel —
+    identical floats — which also avoids a (K,)-indexed gather (sequential
+    on TPU, CLAUDE.md)."""
+    del ref
     sps = cfg.sps
     left = cfg.left_halo
     nw = cfg.noise_window
@@ -608,43 +637,15 @@ def gather_tail(iq, det_idx, valid, ref, n_det, overflow, cfg: DspConfig):
     start = left + safe_idx - nw                       # >= 128 > 0
     # one contiguous (W, 2) slab per detection: vmapped dynamic_slice lowers
     # to a gather with slice_sizes=(W, 2) — K big slices, not K*W tiny ones
+    # (still ~2.5 us each on TPU; the planar path's slice kernel is the
+    # production alternative)
     win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(iq, (s, 0), (W, 2)))(start)
     win = win.astype(jnp.float32)
     if scale is not None:
         win = win * scale
     w2 = win[..., 0] ** 2 + win[..., 1] ** 2           # (K, W)
-
-    noise_at = jnp.mean(w2[:, :nw], axis=1)            # exact trailing mean
-    ref_level = ref[safe_idx]
-
-    # data chip energies: chips 16..240 of the event, at window offset
-    # nw + chip*sps (+ sub-sample s); identical arithmetic to slice_bits
-    n_chips = 224
-    chip0 = nw + 16 * sps
-    if sps == 1:
-        energies = jax.lax.slice_in_dim(w2, chip0, chip0 + n_chips, axis=1)
-    else:
-        span = n_chips * sps
-        energies = sum(
-            jax.lax.slice_in_dim(w2, chip0 + s, chip0 + s + span, axis=1)[:, ::sps]
-            for s in range(sps)) * (1.0 / sps)
-
-    e0 = energies[:, 0::2]
-    e1 = energies[:, 1::2]
-    bits = e0 > e1
-    level = ref_level[:, None] * jnp.float32(cfg.confidence_level)
-    confidence = jnp.logical_xor(e0 > level, e1 > level)
-
-    out_bits, df, nbits, synd, status = P.crc_check_and_correct(
-        bits, confidence, cfg)
-    status = jnp.where(valid, status, P.STATUS_FAIL)
-    return P.DetectionTable(
-        index=jnp.where(valid, det_idx, -1),
-        bits=out_bits.astype(jnp.uint8),
-        df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
-        status=status, ref_level=ref_level, noise=noise_at,
-        n_detected=n_det, n_overflow=overflow)
+    return _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg)
 
 
 def demod_block_pallas_fast(iq, cfg: DspConfig, tile: int = 16384,
@@ -697,33 +698,10 @@ def demod_batch_pallas(iq, cfg: DspConfig, tile: int = 16384,
 
     Pallas batched detect + vmapped XLA tail (batching amortizes the tail's
     small-op dispatch overhead across blocks)."""
-    from ..dsp import pipeline as P
-
     mask, ref = preamble_detect_pallas_batch(iq, cfg, tile=tile,
                                              interpret=interpret)
-
-    def tail(iq_c, mask_c, ref_c):
-        mag2 = P.magnitude_squared(iq_c)
-        noise = P.noise_floor(mag2, cfg.noise_window)
-        det_idx, valid, n_det, overflow = P.compact_detections(
-            mask_c.astype(bool), cfg.max_detections)
-        left = cfg.left_halo
-        safe_idx = jnp.where(valid, det_idx, 0)
-        ref_level = ref_c[safe_idx]
-        noise_at = noise[left + safe_idx]
-        bits, confidence = P.slice_bits(mag2, det_idx, valid, ref_level,
-                                        cfg, left)
-        out_bits, df, nbits, synd, status = P.crc_check_and_correct(
-            bits, confidence, cfg)
-        status = jnp.where(valid, status, P.STATUS_FAIL)
-        return P.DetectionTable(
-            index=jnp.where(valid, det_idx, -1),
-            bits=out_bits.astype(jnp.uint8),
-            df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
-            status=status, ref_level=ref_level, noise=noise_at,
-            n_detected=n_det, n_overflow=overflow)
-
-    return jax.vmap(tail)(iq, mask, ref)
+    return jax.vmap(
+        lambda a, b, c: _xla_full_tail(a, b, c, cfg))(iq, mask, ref)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
@@ -1004,6 +982,7 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
     (pair with compact_candidates_unordered — ~40% faster end to end)."""
     if tile is None:
         tile = default_tile(cfg)
+    _check_2d_limits(cfg)
     assert cfg.noise_window == 128, "pallas kernel fixes noise_window=128"
     assert cfg.left_halo == _LOOKBACK
     n = cfg.block_size

@@ -293,3 +293,26 @@ def test_comm_d_df_normalized_on_wire():
     T.bits[0, 4] = 0
     msgs = host.table_to_messages(T, 0, 2e6)
     assert msgs and msgs[0].split()[0] == "24"
+
+
+def test_compact_detections_small_block_large_k():
+    """block_size small relative to max_detections must route to the simple
+    top_k path (regression: the grouped path asked top_k for more
+    candidates than exist — a trace-time crash for block_size 4096 with
+    the default max_detections=128)."""
+    cfg = DspConfig(block_size=4096, max_detections=128, noise_window=64)
+    n = cfg.left_halo + cfg.block_size + cfg.right_halo
+    rng = np.random.default_rng(1)
+    iq = (rng.standard_normal((n, 2)) * 0.05).astype(np.float32)
+    table = demod_block_jit(iq, cfg)   # must trace and run
+    assert np.asarray(table.index).shape == (128,)
+
+
+def test_planar_kernel_rejects_high_sps():
+    import pytest
+    from airmodes.kernels.preamble_pallas import demod_batch_planar
+    cfg = DspConfig(channel_rate=20e6, block_size=1 << 14,
+                    max_detections=16)   # sps = 10
+    xi = np.zeros((1, 1 << 15), np.int8)
+    with pytest.raises(ValueError, match="sps <= 9"):
+        demod_batch_planar(xi, xi, cfg, interpret=True)
