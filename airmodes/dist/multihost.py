@@ -30,12 +30,24 @@ from . import sharded
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """jax.distributed.initialize passthrough (no-op when single-process)."""
-    if num_processes is None or num_processes <= 1:
+    """jax.distributed.initialize passthrough.
+
+    With explicit args, passes them through. With no args, falls back to
+    jax.distributed's standard environment-based auto-configuration when a
+    coordinator is configured (JAX_COORDINATOR_ADDRESS / TPU metadata) —
+    a plain no-op would silently leave each pod host with a local-only
+    mesh, each demodulating the full stream independently.
+    """
+    import os
+    if num_processes is not None:
+        if num_processes <= 1:
+            return
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes, process_id=process_id)
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(coordinator_address=coordinator_address)
 
 
 @dataclasses.dataclass
@@ -82,14 +94,25 @@ class PodPipeline:
                             np.float32)
         from ..dsp.pipeline import unpack_table
         packed = self.step_fn(sharded.shard_input(x, self.mesh), lctx, rctx)
-        arr = np.asarray(packed)                  # the step's ONE fetch
         msgs: List[str] = []
-        for c in range(arr.shape[0]):
-            for t in range(arr.shape[1]):
-                sub = unpack_table(arr[c, t])
-                msgs.extend(host_mod.table_to_messages(
-                    sub, step_start_sample, self.cfg.channel_rate,
-                    epoch=epoch, stats=stats))
+
+        def emit(arr):
+            for c in range(arr.shape[0]):
+                for t in range(arr.shape[1]):
+                    sub = unpack_table(arr[c, t])
+                    msgs.extend(host_mod.table_to_messages(
+                        sub, step_start_sample, self.cfg.channel_rate,
+                        epoch=epoch, stats=stats))
+
+        if jax.process_count() == 1:
+            emit(np.asarray(packed))              # the step's ONE fetch
+        else:
+            # multi-host: a global np.asarray would raise (the array spans
+            # non-addressable devices) — each host converts only the shards
+            # it OWNS, which also keeps the message fan-out host-local and
+            # duplicate-free (every (channel, time) shard has one owner)
+            for shard in packed.addressable_shards:
+                emit(np.asarray(shard.data))
         return sorted(msgs, key=lambda m: float(m.split()[5]))
 
     def run_stream(self, chunks: Iterable[np.ndarray],

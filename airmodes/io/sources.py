@@ -51,6 +51,10 @@ class buffered_framer:
     blocks (the streaming equivalent of GR history)."""
 
     def __init__(self, cfg: DspConfig, start_sample: int = 0):
+        if cfg.block_size < cfg.left_halo:
+            raise ValueError(
+                f"block_size {cfg.block_size} < left_halo {cfg.left_halo}: "
+                "the inter-block carry needs a full halo of owned samples")
         self.cfg = cfg
         self._carry = np.zeros(cfg.left_halo, dtype=np.complex64)
         self._pending = np.zeros(0, dtype=np.complex64)
@@ -108,16 +112,16 @@ def raw_file_chunks(path: str, *, dtype: str = "complex64",
                 samples = np.fromfile(f, np.complex64, chunk_samples)
             elif dtype == "sc16":
                 raw = np.fromfile(f, np.int16, chunk_samples * 2)
+                raw = raw[: len(raw) // 2 * 2]   # drop a truncated half-sample
                 samples = ((raw[0::2].astype(np.float32) +
                             1j * raw[1::2].astype(np.float32)) / 32768.0
                            ).astype(np.complex64)
-            elif dtype == "uc8":
+            else:  # uc8 (validated above)
                 raw = np.fromfile(f, np.uint8, chunk_samples * 2)
+                raw = raw[: len(raw) // 2 * 2]
                 samples = (((raw[0::2].astype(np.float32) - 127.5) +
                             1j * (raw[1::2].astype(np.float32) - 127.5))
                            / 127.5).astype(np.complex64)
-            else:
-                raise ValueError(f"unknown file dtype {dtype}")
             if len(samples) == 0:
                 return
             yield samples
@@ -133,28 +137,10 @@ def file_source(path: str, cfg: DspConfig, *, dtype: str = "complex64",
     position IS the sample counter, SURVEY.md §5.4).
     """
     framer = buffered_framer(cfg, start_sample)
-    chunk_samples = 1 << 22
-    bytes_per_sample = {"complex64": 8, "sc16": 4, "uc8": 2}[dtype]
-    with open(path, "rb") as f:
-        if start_sample:
-            f.seek(start_sample * bytes_per_sample)
-        while True:
-            if dtype == "complex64":
-                raw = np.fromfile(f, np.complex64, chunk_samples)
-                samples = raw
-            elif dtype == "sc16":
-                raw = np.fromfile(f, np.int16, chunk_samples * 2)
-                samples = (raw[0::2].astype(np.float32) +
-                           1j * raw[1::2].astype(np.float32)) / 32768.0
-            elif dtype == "uc8":
-                raw = np.fromfile(f, np.uint8, chunk_samples * 2)
-                samples = ((raw[0::2].astype(np.float32) - 127.5) +
-                           1j * (raw[1::2].astype(np.float32) - 127.5)) / 127.5
-            else:
-                raise ValueError(f"unknown file dtype {dtype}")
-            if len(samples) == 0:
-                break
-            yield from framer.push(samples)
+    for samples in raw_file_chunks(path, dtype=dtype,
+                                   chunk_samples=1 << 22,
+                                   offset_samples=start_sample):
+        yield from framer.push(samples)
     yield from framer.flush()
 
 
@@ -172,10 +158,17 @@ def udp_source(cfg: DspConfig, host: str = "0.0.0.0", port: int = 10000,
                 data, _ = sock.recvfrom(1 << 16)
             except socket.timeout:
                 break
+            # tolerate malformed/truncated datagrams (the port is open to
+            # the network): drop the partial trailing sample, skip empties
+            data = data[: len(data) - len(data) % 8]
+            if not data:
+                continue
             samples = np.frombuffer(data, dtype=np.complex64)
             for block in framer.push(samples):
                 yield block
                 emitted += 1
+                if max_blocks is not None and emitted >= max_blocks:
+                    break
         # stream ended (timeout or block cap): emit the buffered tail so a
         # short transmission is not dropped wholesale (file_source flushes
         # in the identical situation)
@@ -203,7 +196,18 @@ def synthetic_source(cfg: DspConfig, *, n_messages: int = 100,
 
 
 def open_source(src: SourceConfig, cfg: DspConfig) -> Iterator[Block]:
-    """Dispatch on SourceConfig.kind (ref: modes_rx -s option)."""
+    """Dispatch on SourceConfig.kind (ref: modes_rx -s option).
+
+    Raises when src.sample_rate != cfg.channel_rate: this dispatcher does
+    no resampling, and silently framing a wrong-rate capture would
+    demodulate garbage — route non-native rates through the streaming
+    resampler the way apps/modes_rx.py does.
+    """
+    if abs(src.sample_rate - cfg.channel_rate) > 1e-3:
+        raise ValueError(
+            f"source rate {src.sample_rate:g} != channel rate "
+            f"{cfg.channel_rate:g}: resample first "
+            "(resample.polyphase.streaming_resampler; see modes_rx -r)")
     if src.kind == "file":
         if not src.path:
             raise ValueError("file source needs a path")

@@ -79,6 +79,8 @@ def _resample_cols(x2: jax.Array, p: int, q: int,
     n_in = x2.shape[0]
     nc = x2.shape[1]
     n_out = (n_in * p) // q
+    if n_out <= 0:
+        return jnp.zeros((0, nc), x2.dtype)
     t = taps_per_phase
     bank = _polyphase_bank(p, q, t)                       # numpy (p, T)
     m_rows = -(-n_out // p)                               # outputs per row
@@ -310,6 +312,12 @@ class streaming_resampler:
 
     def __init__(self, p: int, q: int, taps_per_phase: int = 12,
                  stride_blocks: int = 2048):
+        if p * q > _GROUP_PQ_CAP:
+            raise ValueError(
+                f"p/q={p}/{q}: group matrices would be "
+                f"{3 * 128 * 128 * p * q * 4 / 1e6:.0f} MB — pick a "
+                "friendlier rate ratio (rational_rate with a smaller "
+                "max_denominator) or resample offline")
         self.p, self.q, self.t = int(p), int(q), int(taps_per_phase)
         gi, go = 128 * self.q, 128 * self.p
         self.s_groups = max(2, (stride_blocks * self.q) // gi)

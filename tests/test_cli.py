@@ -127,3 +127,18 @@ def test_long_stream_soak_counters_consistent():
     assert stats.crc_ok + stats.corrected <= stats.emitted
     assert stats.preambles >= stats.emitted
     assert stats.overflow == 0
+
+
+def test_open_source_rejects_rate_mismatch():
+    from airmodes.config import DspConfig, SourceConfig
+    from airmodes.io.sources import open_source
+    with pytest.raises(ValueError, match="resample"):
+        open_source(SourceConfig(kind="synthetic", sample_rate=2.4e6),
+                    DspConfig())
+
+
+def test_framer_rejects_tiny_block():
+    from airmodes.config import DspConfig
+    from airmodes.io.sources import buffered_framer
+    with pytest.raises(ValueError, match="left_halo"):
+        buffered_framer(DspConfig(block_size=128, max_detections=4))

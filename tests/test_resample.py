@@ -128,3 +128,17 @@ def test_streaming_matches_offline(pq):
     np.testing.assert_allclose(streamed, offline, rtol=3e-6, atol=3e-6)
     # flush ended the stream: a second flush emits nothing
     assert len(rs.flush()) == 0
+
+
+def test_streaming_resampler_rejects_huge_ratio():
+    with pytest.raises(ValueError, match="MB"):
+        polyphase.streaming_resampler(100, 61)
+
+
+def test_resample_empty_output():
+    # slice-form path with input shorter than one output sample
+    y = np.asarray(polyphase.resample(np.zeros(3, np.float32), 17, 19))
+    assert y.shape[0] == 2  # floor(3*17/19)
+    y2 = np.asarray(polyphase._resample_cols(
+        np.zeros((1, 1), np.float32), 1, 3, 12))
+    assert y2.shape[0] == 0
