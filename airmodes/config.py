@@ -56,8 +56,13 @@ class DspConfig:
     @property
     def left_halo(self) -> int:
         """Samples of left context a block needs: the noise window plus one
-        extra 128-sample row of lookback (peak/NMS lookback; keeps the
-        Pallas kernels' DMA windows row-aligned)."""
+        extra 128-sample row of lookback (peak/NMS lookback). Row alignment
+        for the Pallas DMA windows holds when noise_window is a multiple of
+        128 — the kernels assert noise_window == 128; other values are
+        valid for the jnp pipeline only."""
+        if self.noise_window <= 0:
+            raise ValueError(f"noise_window must be > 0, got "
+                             f"{self.noise_window}")
         return self.noise_window + 128
 
     @property

@@ -75,12 +75,10 @@ def syndrome_np(bits: np.ndarray, nbits: int | None = None) -> np.ndarray:
     if nbits is None:
         nbits = bits.shape[-1]
     rows = syndrome_rows(nbits)
-    acc = np.zeros(bits.shape[:-1], dtype=np.uint32)
     sel = bits[..., :nbits].astype(bool)
     # XOR-accumulate rows of set bits.
     contrib = np.where(sel, rows, 0)
-    out = np.bitwise_xor.reduce(contrib, axis=-1)
-    return out + acc
+    return np.bitwise_xor.reduce(contrib, axis=-1)
 
 
 def check_frame(data: int, nbits: int) -> int:

@@ -84,6 +84,11 @@ class zmq_pubsub_iface:
         with self._lock:
             self._subs[topic].append(callback)
 
+    def unsubscribe(self, topic: str, callback) -> None:
+        with self._lock:
+            if callback in self._subs.get(topic, []):
+                self._subs[topic].remove(callback)
+
     def publish(self, topic: str, msg: str) -> None:
         if self._pub is not None:
             with self._pub_lock:
@@ -102,15 +107,29 @@ class zmq_pubsub_iface:
                 continue  # drop-and-continue per subscriber
 
     def _run(self) -> None:
-        sub = self._ctx.socket(zmq.SUB)
-        sub.connect(self._subaddr)
-        sub.setsockopt(zmq.SUBSCRIBE, b"")
+        import sys
+        try:
+            sub = self._ctx.socket(zmq.SUB)
+            sub.connect(self._subaddr)
+            sub.setsockopt(zmq.SUBSCRIBE, b"")
+        except zmq.ZMQError as e:
+            print(f"zmq_pubsub_iface: SUB setup failed for "
+                  f"{self._subaddr!r}: {e}", file=sys.stderr)
+            return
         poller = zmq.Poller()
         poller.register(sub, zmq.POLLIN)
         while not self._stop.is_set():
-            if not dict(poller.poll(timeout=100)):
-                continue
-            parts = sub.recv_multipart()
+            try:
+                if not dict(poller.poll(timeout=100)):
+                    continue
+                parts = sub.recv_multipart()
+            except zmq.ZMQError as e:
+                # context terminated / transient socket error: a silent
+                # thread death would stop every subscriber with no signal
+                if self._stop.is_set():
+                    break
+                print(f"zmq_pubsub_iface: recv error: {e}", file=sys.stderr)
+                break
             if len(parts) == 2:
                 self._dispatch(parts[0].decode(), parts[1].decode())
         sub.close(linger=0)

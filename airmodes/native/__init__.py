@@ -40,8 +40,14 @@ def load() -> ctypes.CDLL:
     with _lib_lock:
         if _lib is not None:
             return _lib
+        # a prebuilt .so with no source alongside (installed package) is
+        # fine — only rebuild when the source exists and is newer
+        have_src = os.path.exists(_SRC)
         if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                have_src and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            if not have_src:
+                raise NativeUnavailable(
+                    f"no prebuilt {_LIB} and no source {_SRC} to build from")
             try:
                 _build()
             except (OSError, subprocess.CalledProcessError) as e:
@@ -101,10 +107,18 @@ class IQStream:
     # --- producer -----------------------------------------------------------
 
     def push(self, iq: np.ndarray) -> int:
-        """Push complex64 or float32 (N,2) samples; returns samples taken."""
+        """Push complex64 or float32 (N,2) samples; returns samples taken.
+        Other dtypes are converted (the C side reinterprets raw bytes as
+        f32 pairs — handing it, say, complex128 silently fills the ring
+        with garbage)."""
         arr = np.ascontiguousarray(iq)
         if arr.dtype == np.complex64:
             arr = arr.view(np.float32)
+        elif np.iscomplexobj(arr):
+            arr = np.ascontiguousarray(
+                arr.astype(np.complex64)).view(np.float32)
+        elif arr.dtype != np.float32:
+            arr = np.ascontiguousarray(arr.astype(np.float32))
         n = arr.size // 2
         return int(self._lib.iq_stream_push_f32(
             self._h, arr.ctypes.data_as(ctypes.c_void_p), n))

@@ -53,7 +53,10 @@ def pack_fg_position(callsign: str, lat: float, lon: float, alt_ft: float,
 
     model = FG_MODEL.encode()[:95]
     body = struct.pack("!96s", model)
-    body += struct.pack("!dd", sim_time or time.time(), 0.02)  # time, lag
+    # time, lag — `is None`, not falsy: a legitimate 0.0 wire timestamp
+    # must not jump to wall clock and break FG's motion interpolation
+    t = time.time() if sim_time is None else sim_time
+    body += struct.pack("!dd", t, 0.02)
     body += struct.pack("!3d", x, y, z)
     body += struct.pack("!3f", *ori)
     body += struct.pack("!3f", vx, vy, vz)

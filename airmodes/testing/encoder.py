@@ -22,7 +22,6 @@ from ..constants import (
     PREAMBLE_CHIPS,
     PREAMBLE_PULSE_CHIPS,
     SHORT_FRAME_BITS,
-    frame_bits_for_df,
 )
 
 PREAMBLE_CHIP_PATTERN = np.zeros(PREAMBLE_CHIPS, dtype=np.float32)
