@@ -160,6 +160,17 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
     try:
         import curses
         curses.wrapper(ui)
+    except curses.error as e:
+        # no usable terminal (headless/dumb TERM): degrade to a plain
+        # summary instead of dying with a curses traceback
+        stop.set()
+        print(f"curses UI unavailable ({e}); falling back to a plain "
+              "summary — use modes_rx for full console output",
+              file=sys.stderr)
+        t.join(timeout=max_seconds or 60.0)
+        for row in dash.rows():
+            print(" ".join("" if v is None else str(v) for v in row))
+        return 0
     finally:
         stop.set()
     return 0
