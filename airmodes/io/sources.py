@@ -145,11 +145,16 @@ def file_source(path: str, cfg: DspConfig, *, dtype: str = "complex64",
 
 
 def udp_source(cfg: DspConfig, host: str = "0.0.0.0", port: int = 10000,
-               *, max_blocks: Optional[int] = None) -> Iterator[Block]:
-    """Receive complex64 IQ over UDP (ref: radio.py UDP source branch)."""
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.bind((host, port))
-    sock.settimeout(5.0)
+               *, max_blocks: Optional[int] = None, timeout_s: float = 5.0,
+               sock: Optional[socket.socket] = None) -> Iterator[Block]:
+    """Receive complex64 IQ over UDP (ref: radio.py UDP source branch).
+
+    `sock` injects a pre-bound socket (port 0 / testing); the stream ends
+    after `timeout_s` of silence and flushes the buffered tail."""
+    if sock is None:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sock.bind((host, port))
+    sock.settimeout(timeout_s)
     framer = buffered_framer(cfg)
     emitted = 0
     try:

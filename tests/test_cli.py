@@ -142,3 +142,36 @@ def test_framer_rejects_tiny_block():
     from airmodes.io.sources import buffered_framer
     with pytest.raises(ValueError, match="left_halo"):
         buffered_framer(DspConfig(block_size=128, max_detections=4))
+
+
+def test_udp_source_decodes_and_flushes():
+    """Python udp_source: short transmission (under one block) decodes via
+    the timeout flush; malformed datagrams are tolerated."""
+    import socket as socketlib
+
+    from airmodes.config import DspConfig
+    from airmodes.dsp import host as host_mod
+    from airmodes.dsp.pipeline import demod_block_jit
+    from airmodes.io.sources import udp_source
+
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    frames = encoder.random_df17_frames(3, seed=91)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=3000,
+                                     seed=91, total_samples=12000)
+    srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    snd = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    snd.sendto(b"\x00" * 10, ("127.0.0.1", port))       # malformed
+    raw = iq.astype(np.complex64).tobytes()
+    for off in range(0, len(raw), 8192):
+        snd.sendto(raw[off: off + 8192], ("127.0.0.1", port))
+    snd.sendto(b"", ("127.0.0.1", port))                # empty datagram
+    snd.close()
+    msgs = []
+    for block, start in udp_source(cfg, sock=srv, timeout_s=1.0):
+        table = demod_block_jit(block, cfg)
+        msgs.extend(host_mod.table_to_messages(table, start,
+                                               cfg.channel_rate))
+    got = {m.split()[1] for m in msgs}
+    assert {t.hex for t in truth} <= got
