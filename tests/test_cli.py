@@ -54,7 +54,11 @@ def test_cli_batched_int8(capture, capsys):
                "--int8", "--stats-interval", "0"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert out.count("Type 17") >= 10
+    # every injected frame's ICAO appears in the printed reports
+    import re
+    icaos = {m for m in re.findall(r"from ([0-9a-f]{6})", out)}
+    want = {f"{(t.frame >> 80) & 0xFFFFFF:06x}" for t in truth}
+    assert want <= icaos, want - icaos
 
 
 def test_cli_rejects_sdr_sources(capsys):

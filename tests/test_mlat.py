@@ -105,6 +105,9 @@ def test_coordinator_drops_malformed_messages():
     assert coord.report("st0", "17 zznothex 000000 0 -20.0 1.0") is None
     assert coord.report("st0", "short") is None
     assert coord.report("unknown", "17 8d4840d6 000000 0 -20.0 1.0") is None
+    # sub-quorum returns are also None, so pin the actual rejection:
+    # nothing malformed (or from an unknown station) may be enqueued
+    assert coord._pending == {}
 
 
 def test_mlat_msl_datum_roundtrip():

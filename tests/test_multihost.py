@@ -30,7 +30,7 @@ def test_pod_pipeline_stream_decodes():
     want = {t.hex for t in truth}
     assert want <= got
     # timestamps are sorted within each step batch
-    assert msgs == sorted(msgs, key=lambda m: float(m.split()[5])) or True
+    assert msgs == sorted(msgs, key=lambda m: float(m.split()[5]))
 
 
 def test_pod_pipeline_step_offsets():

@@ -49,7 +49,9 @@ def test_output_sbs1_socket():
     cli.settimeout(5)
     data = b""
     while b"MSG,3" not in data:
-        data += cli.recv(4096)
+        chunk = cli.recv(4096)
+        assert chunk, f"server closed before MSG,3 arrived: {data!r}"
+        data += chunk
     text = data.decode()
     assert "MSG,1" in text and "KLM1023" in text
     assert "MSG,4" in text

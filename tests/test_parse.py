@@ -212,10 +212,27 @@ def test_df16_ara_active_bit_gates_flags():
 
 
 def test_coordinator_rejects_nonfinite_timestamp():
-    from airmodes.decode.mlat import mlat_coordinator
-    coord = mlat_coordinator({"a": (47.0, 8.0, 500.0)})
+    """A nan/inf timestamp must be DROPPED, not enqueued: sub-quorum
+    reports also return None, so assert on the pending table and on the
+    final solve staying finite when one station sends nan."""
+    import math as _math
+
+    import numpy as np
+    from airmodes.decode.mlat import C, llh2ecef, mlat_coordinator
+
+    stations = {"a": (47.0, 8.0, 500.0), "b": (47.3, 8.5, 600.0),
+                "c": (46.8, 8.6, 450.0), "d": (47.2, 7.7, 550.0)}
+    coord = mlat_coordinator(stations, min_stations=4)
     assert coord.report("a", "17 8d4840d6 000000 0 -20.0 nan") is None
-    assert coord.report("a", "17 8d4840d6 000000 0 -20.0 inf") is None
+    assert coord._pending == {}          # rejected, not enqueued
+    target = llh2ecef((47.1, 8.25, 10000.0))
+    pos = None
+    for i, (name, s) in enumerate(stations.items()):
+        d = float(np.linalg.norm(llh2ecef(s) - target))
+        t = "nan" if name == "b" else f"{1000.0 + d / C:.9f}"
+        pos = coord.report(name, f"17 8d4840d6 000000 0 -20.0 {t}") or pos
+    # station b dropped -> only 3 of min 4 -> no (nan, nan, nan) fix
+    assert pos is None or all(_math.isfinite(v) for v in pos)
 
 
 def test_bds20_rejects_interior_gaps():

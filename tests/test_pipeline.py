@@ -196,6 +196,7 @@ def test_packed_table_roundtrip():
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         msgs = host.table_to_messages(got, start, CFG.channel_rate)
+        assert msgs == host.table_to_messages(ref, start, CFG.channel_rate)
 
 
 def test_run_pipelined_batched_matches_serial():
