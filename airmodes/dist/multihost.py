@@ -167,8 +167,12 @@ class PodPipeline:
 
 
 def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],
-                   n_steps: int = 4, seed: int = 0) -> List[dict]:
-    """Measure samples/s over several mesh shapes (scaling efficiency)."""
+                   n_steps: int = 4, seed: int = 0,
+                   baseline: Optional[dict] = None) -> List[dict]:
+    """Measure samples/s over several mesh shapes (scaling efficiency).
+
+    Each entry carries `efficiency` relative to the first mesh's
+    per-device rate (the BASELINE north star asks >= 0.8)."""
     import time
     from ..testing import encoder
     out = []
@@ -186,6 +190,33 @@ def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],
         for _ in range(n_steps):
             pipe.run_step(step, 0)
         dt = (time.time() - t0) / n_steps
-        out.append({"mesh": (n_ch, n_t),
-                    "samples_per_s": n_ch * total / dt})
+        n_dev = n_ch * n_t
+        rate = n_ch * total / dt
+        entry = {"mesh": (n_ch, n_t), "devices": n_dev,
+                 "samples_per_s": rate, "per_device": rate / n_dev}
+        ref = out[0] if out else entry
+        entry["efficiency"] = entry["per_device"] / ref["per_device"]
+        out.append(entry)
     return out
+
+
+if __name__ == "__main__":
+    # `python -m airmodes.dist.multihost` — weak-scaling sweep over the
+    # available devices (use XLA_FLAGS=--xla_force_host_platform_device_count
+    # =N JAX_PLATFORMS=cpu off-hardware; on CPU the numbers demonstrate the
+    # machinery, not TPU throughput).
+    import json
+    import sys
+
+    n = len(jax.devices())
+    meshes = [(1, 1)]
+    t = 2
+    while t <= n:
+        meshes.append((1, t))
+        t *= 2
+    if n >= 4:
+        meshes.append((2, n // 2))
+    cfg = DspConfig(block_size=1 << 16, max_detections=64)
+    for row in scaling_report(cfg, meshes, n_steps=3):
+        print(json.dumps(row))
+    sys.exit(0)
