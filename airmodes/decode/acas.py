@@ -40,9 +40,17 @@ def decode_mv(mv: int) -> Optional[Dict]:
     r = data_field(mv, 56, MV_BDS30)
     if r["vds"] != 0x30:
         return None
-    if r["ara"] == 0 and r["rac"] == 0 and not r["rat"]:
+    return decode_ra(r["ara"], r["rac"], r["rat"], r["mte"], r["tti"],
+                     r["tid"])
+
+
+def decode_ra(ara: int, rac: int, rat: int, mte: int, tti: int,
+              tid: int) -> Optional[Dict]:
+    """Shared RA-field decode: used for BDS3,0 (DF16 MV / Comm-B) and the
+    identical payload of the DF17 TC28 subtype-2 RA broadcast (BDS6,1).
+    Returns None when no RA is active (all-zero ARA/RAC with RAT clear)."""
+    if ara == 0 and rac == 0 and not rat:
         return None
-    ara = r["ara"]
     out: Dict = {"bds": "3,0"}
     # ARA bit 1 (MSB): one RA is active and bits 2-7 describe it; with
     # bit 1 clear and MTE set, bits 2-7 carry the multi-threat encoding
@@ -51,14 +59,14 @@ def decode_mv(mv: int) -> Optional[Dict]:
     if out["ra_active"]:
         for i, (key, _) in enumerate(_ARA_FLAGS):
             out[key] = bool((ara >> (12 - i)) & 1)
-    rac = [name for i, name in enumerate(_RAC_FLAGS)
-           if (r["rac"] >> (3 - i)) & 1]
-    if rac:
-        out["complements"] = rac
-    out["ra_terminated"] = bool(r["rat"])
-    out["multiple_threats"] = bool(r["mte"])
-    if r["tti"] == 1:
-        out["threat_icao"] = r["tid"] >> 2      # top 24 bits of TID
+    complements = [name for i, name in enumerate(_RAC_FLAGS)
+                   if (rac >> (3 - i)) & 1]
+    if complements:
+        out["complements"] = complements
+    out["ra_terminated"] = bool(rat)
+    out["multiple_threats"] = bool(mte)
+    if tti == 1:
+        out["threat_icao"] = tid >> 2      # top 24 bits of TID
     return out
 
 

@@ -89,6 +89,26 @@ ME_VELOCITY_AS: FieldSpec = [("ftc", 5), ("sub", 3), ("ic", 1), ("ifr", 1),     
                              ("nuc", 3), ("shdg", 1), ("hdg", 10), ("ast", 1),
                              ("as_", 10), ("vrsrc", 1), ("s_vr", 1), ("vr", 9),
                              ("_1", 2), ("s_dif", 1), ("dif", 7)]
+ME_STATUS_EMERG: FieldSpec = [("ftc", 5), ("sub", 3), ("es", 3),                    # BDS6,1 st1
+                              ("mode_a", 13), ("_1", 32)]
+ME_STATUS_RA: FieldSpec = [("ftc", 5), ("sub", 3), ("ara", 14), ("rac", 4),         # BDS6,1 st2
+                           ("rat", 1), ("mte", 1), ("tti", 2), ("tid", 26)]
+ME_TARGET_STATE: FieldSpec = [("ftc", 5), ("sub", 2), ("sil_sup", 1),               # BDS6,2 st1
+                              ("sel_alt_type", 1), ("sel_alt", 11), ("baro", 9),
+                              ("shdg", 1), ("hdg_sign", 1), ("hdg", 8),
+                              ("nacp", 4), ("nic_baro", 1), ("sil", 2),
+                              ("mode_status", 1), ("autopilot", 1), ("vnav", 1),
+                              ("alt_hold", 1), ("_1", 1), ("approach", 1),
+                              ("tcas_op", 1), ("lnav", 1), ("_2", 2)]
+ME_OP_STATUS_AIR: FieldSpec = [("ftc", 5), ("sub", 3), ("cc", 16), ("om", 16),      # BDS6,5 st0
+                               ("ver", 3), ("nic_sup_a", 1), ("nacp", 4),
+                               ("gva", 2), ("sil", 2), ("nic_baro", 1),
+                               ("hrd", 1), ("sil_sup", 1), ("_1", 1)]
+ME_OP_STATUS_SURF: FieldSpec = [("ftc", 5), ("sub", 3), ("cc", 12), ("lw", 4),      # BDS6,5 st1
+                                ("om", 16), ("ver", 3), ("nic_sup_a", 1),
+                                ("nacp", 4), ("_1", 2), ("sil", 2),
+                                ("trk_hdg", 1), ("hrd", 1), ("sil_sup", 1),
+                                ("_2", 1)]
 
 
 def me_reply(me: int) -> data_field:
@@ -98,11 +118,34 @@ def me_reply(me: int) -> data_field:
         layout = ME_IDENT
     elif 5 <= ftc <= 8:
         layout = ME_SURFACE_POS
-    elif (9 <= ftc <= 18) or (20 <= ftc <= 22):
+    elif ftc == 0 or (9 <= ftc <= 18) or (20 <= ftc <= 22):
+        # TC0: airborne position with no position information — same layout,
+        # lat/lon fields are meaningless but the altitude is valid
         layout = ME_AIRBORNE_POS
     elif ftc == 19:
         sub = (me >> 48) & 0x7
         layout = ME_VELOCITY_GS if sub in (1, 2) else ME_VELOCITY_AS
+    elif ftc == 28:
+        sub = (me >> 48) & 0x7
+        if sub == 1:
+            layout = ME_STATUS_EMERG
+        elif sub == 2:
+            layout = ME_STATUS_RA
+        else:
+            raise NoHandlerError(ftc)
+    elif ftc == 29:
+        # only DO-260B subtype 1 (target state and status) is decodable
+        if (me >> 49) & 0x3 != 1:
+            raise NoHandlerError(ftc)
+        layout = ME_TARGET_STATE
+    elif ftc == 31:
+        sub = (me >> 48) & 0x7
+        if sub == 0:
+            layout = ME_OP_STATUS_AIR
+        elif sub == 1:
+            layout = ME_OP_STATUS_SURF
+        else:
+            raise NoHandlerError(ftc)
     else:
         raise NoHandlerError(ftc)
     return data_field(me, 56, layout)

@@ -53,7 +53,10 @@ class AircraftReport:
     flight_status: Optional[int] = None
     capability: Optional[int] = None
     commb: Optional[dict] = None         # decoded Comm-B register (DF20/21)
-    acas_ra: Optional[dict] = None       # active resolution advisory (DF16)
+    acas_ra: Optional[dict] = None       # active RA (DF16 MV or DF17 TC28/2)
+    emergency: Optional[str] = None      # TC28/1 emergency/priority state
+    tss: Optional[dict] = None           # TC29/1 target state and status
+    opstatus: Optional[dict] = None      # TC31 aircraft operational status
 
     @property
     def icao_hex(self) -> Optional[str]:
@@ -173,9 +176,24 @@ class parse:
 
     # --- ME (DF17 extended squitter) -------------------------------------------
 
+    # TC28 subtype-1 emergency/priority state encoding (DO-260B 2.2.3.2.7.8.1.1)
+    EMERGENCY_STATES = ("none", "general", "lifeguard/medical", "minimum fuel",
+                        "no communications", "unlawful interference",
+                        "downed aircraft", "reserved")
+
     def _parse_me(self, me: int, report: AircraftReport):
         ftc = me >> 51
         rep = me_reply(me)
+        if ftc == 0:
+            # airborne position, position information unavailable: altitude only
+            report.bds = "BDS0,5"
+            alt12 = rep["alt"]
+            if alt12:
+                try:
+                    report.altitude_ft = decode_alt(alt12, bit13=False)
+                except ADSBError:
+                    pass
+            return
         if 1 <= ftc <= 4:
             report.bds = "BDS0,8"
             report.callsign = decode_callsign(rep["ident"])
@@ -202,8 +220,71 @@ class parse:
         elif ftc == 19:
             report.bds = "BDS0,9"
             self._decode_velocity(rep, report)
+        elif ftc == 28:
+            report.bds = "BDS6,1"
+            if rep["sub"] == 1:
+                report.emergency = self.EMERGENCY_STATES[rep["es"]]
+                if rep["mode_a"]:
+                    report.squawk = decode_squawk(rep["mode_a"])
+            else:  # subtype 2: ACAS RA broadcast (same payload as BDS3,0)
+                report.acas_ra = acas.decode_ra(
+                    rep["ara"], rep["rac"], rep["rat"], rep["mte"],
+                    rep["tti"], rep["tid"])
+        elif ftc == 29:
+            report.bds = "BDS6,2"
+            report.tss = self._decode_target_state(rep)
+        elif ftc == 31:
+            report.bds = "BDS6,5"
+            report.opstatus = self._decode_op_status(rep)
+            report.on_surface = rep["sub"] == 1
         else:
             raise NoHandlerError(ftc)
+
+    @staticmethod
+    def _decode_target_state(rep) -> dict:
+        """TC29 subtype 1 (DO-260B target state and status, BDS6,2)."""
+        out: dict = {}
+        if rep["sel_alt"]:
+            out["selected_altitude_ft"] = (rep["sel_alt"] - 1) * 32
+            out["altitude_source"] = "FMS" if rep["sel_alt_type"] else "MCP/FCU"
+        if rep["baro"]:
+            out["baro_setting_mb"] = round(800.0 + (rep["baro"] - 1) * 0.8, 1)
+        if rep["shdg"]:
+            hdg9 = (rep["hdg_sign"] << 8) | rep["hdg"]
+            out["selected_heading_deg"] = round(hdg9 * 180.0 / 256.0, 2)
+        out["nacp"] = rep["nacp"]
+        out["sil"] = rep["sil"]
+        out["nic_baro"] = rep["nic_baro"]
+        if rep["mode_status"]:
+            out["autopilot"] = bool(rep["autopilot"])
+            out["vnav"] = bool(rep["vnav"])
+            out["altitude_hold"] = bool(rep["alt_hold"])
+            out["approach"] = bool(rep["approach"])
+            out["lnav"] = bool(rep["lnav"])
+        out["tcas_operational"] = bool(rep["tcas_op"])
+        return out
+
+    @staticmethod
+    def _decode_op_status(rep) -> dict:
+        """TC31 (aircraft operational status, BDS6,5), subtype 0/1."""
+        surface = rep["sub"] == 1
+        out: dict = {
+            "surface": surface,
+            "version": rep["ver"],
+            "nic_supplement_a": bool(rep["nic_sup_a"]),
+            "nacp": rep["nacp"],
+            "sil": rep["sil"],
+            "capability_class": rep["cc"],
+            "operational_modes": rep["om"],
+            "heading_reference": "magnetic" if rep["hrd"] else "true",
+        }
+        if surface:
+            out["length_width_code"] = rep["lw"]
+            out["track_angle_not_heading"] = bool(rep["trk_hdg"])
+        else:
+            out["gva"] = rep["gva"]
+            out["nic_baro"] = rep["nic_baro"]
+        return out
 
     def _decode_position(self, rep, report, surface: bool):
         if report.icao is None:

@@ -73,11 +73,33 @@ class output_print:
         tail = f"({rep.ref_dbfs:.1f} dBFS) [{rep.timestamp:.6f}]"
         if rep.df in (17, 18):
             kind = {"BDS0,8": "ident", "BDS0,5": "airborne position",
-                    "BDS0,6": "surface position", "BDS0,9": "velocity"}.get(
-                        rep.bds, "unknown")
+                    "BDS0,6": "surface position", "BDS0,9": "velocity",
+                    "BDS6,1": "aircraft status",
+                    "BDS6,2": "target state and status",
+                    "BDS6,5": "operational status"}.get(rep.bds, "unknown")
             parts = [f"Type {rep.df} {rep.bds} ({kind}) from {icao}"]
             if rep.callsign:
                 parts.append(f"ident {rep.callsign} (cat {rep.category})")
+            if rep.emergency and rep.emergency != "none":
+                parts.append(f"EMERGENCY: {rep.emergency}")
+            if rep.squawk is not None:
+                parts.append(f"squawk {rep.squawk:04d}")
+            if rep.acas_ra:
+                from ..decode import acas
+                parts.append(f"RA[{acas.summarize(rep.acas_ra)}]")
+            if rep.tss:
+                t = rep.tss
+                if "selected_altitude_ft" in t:
+                    parts.append(f"sel alt {t['selected_altitude_ft']} ft"
+                                 f" ({t['altitude_source']})")
+                if "selected_heading_deg" in t:
+                    parts.append(f"sel hdg {t['selected_heading_deg']:.0f}")
+                if "baro_setting_mb" in t:
+                    parts.append(f"QNH {t['baro_setting_mb']:.1f} mb")
+            if rep.opstatus:
+                o = rep.opstatus
+                parts.append(f"ADS-B v{o['version']} NACp {o['nacp']}"
+                             f" SIL {o['sil']}")
             if rep.lat is not None:
                 parts.append(f"at ({rep.lat:.5f}, {rep.lon:.5f})")
                 if rep.range_nm is not None:

@@ -146,6 +146,69 @@ def me_velocity(gs_kt: float, track_deg: float, vrate_fpm: float,
     return me
 
 
+def me_emergency_status(state: int, squawk: int = 0) -> int:
+    """BDS6,1 subtype 1 (TC28) emergency/priority status ME."""
+    from ..decode.fields import encode_squawk
+    me = (28 << 51) | (1 << 48) | (state & 7) << 45
+    if squawk:
+        me |= (encode_squawk(squawk) & 0x1FFF) << 32
+    return me
+
+
+def me_ra_broadcast(ara: int, rac: int = 0, rat: int = 0, mte: int = 0,
+                    tti: int = 0, tid: int = 0) -> int:
+    """BDS6,1 subtype 2 (TC28) ACAS RA broadcast ME (payload = BDS3,0)."""
+    return ((28 << 51) | (2 << 48) | (ara & 0x3FFF) << 34 |
+            (rac & 0xF) << 30 | (rat & 1) << 29 | (mte & 1) << 28 |
+            (tti & 3) << 26 | (tid & 0x3FFFFFF))
+
+
+def me_target_state(sel_alt_ft: Optional[float] = None, fms: bool = False,
+                    baro_mb: Optional[float] = None,
+                    sel_hdg_deg: Optional[float] = None,
+                    nacp: int = 0, sil: int = 0, nic_baro: int = 0,
+                    modes: Optional[dict] = None, tcas_op: bool = True) -> int:
+    """BDS6,2 subtype 1 (TC29) target state and status ME."""
+    me = (29 << 51) | (1 << 49)
+    if fms:
+        me |= 1 << 47
+    if sel_alt_ft is not None:
+        me |= (min(int(round(sel_alt_ft / 32.0)) + 1, 0x7FF)) << 36
+    if baro_mb is not None:
+        me |= (min(int(round((baro_mb - 800.0) / 0.8)) + 1, 0x1FF)) << 27
+    if sel_hdg_deg is not None:
+        hdg9 = int(round((sel_hdg_deg % 360.0) * 256.0 / 180.0)) & 0x1FF
+        me |= (1 << 26) | hdg9 << 17
+    me |= (nacp & 0xF) << 13 | (nic_baro & 1) << 12 | (sil & 3) << 10
+    if modes is not None:
+        me |= 1 << 9
+        for key, pos in (("autopilot", 8), ("vnav", 7), ("altitude_hold", 6),
+                         ("approach", 4), ("lnav", 2)):
+            if modes.get(key):
+                me |= 1 << pos
+    if tcas_op:
+        me |= 1 << 3
+    return me
+
+
+def me_op_status(surface: bool = False, version: int = 2, nacp: int = 9,
+                 sil: int = 3, gva: int = 2, nic_baro: int = 1,
+                 nic_sup_a: int = 0, cc: int = 0, om: int = 0, lw: int = 0,
+                 trk_hdg: int = 0, hrd: int = 0) -> int:
+    """BDS6,5 (TC31) aircraft operational status ME, subtype 0/1."""
+    me = (31 << 51) | ((1 if surface else 0) << 48)
+    if surface:
+        me |= (cc & 0xFFF) << 36 | (lw & 0xF) << 32 | (om & 0xFFFF) << 16
+        me |= (version & 7) << 13 | (nic_sup_a & 1) << 12 | (nacp & 0xF) << 8
+        me |= (sil & 3) << 4 | (trk_hdg & 1) << 3 | (hrd & 1) << 2
+    else:
+        me |= (cc & 0xFFFF) << 32 | (om & 0xFFFF) << 16
+        me |= (version & 7) << 13 | (nic_sup_a & 1) << 12 | (nacp & 0xF) << 8
+        me |= (gva & 3) << 6 | (sil & 3) << 4 | (nic_baro & 1) << 3
+        me |= (hrd & 1) << 2
+    return me
+
+
 # --- modulation ---------------------------------------------------------------
 
 def frame_to_chips(frame: int, nbits: int) -> np.ndarray:

@@ -243,3 +243,127 @@ def test_bds20_rejects_interior_gaps():
     for i, ch in enumerate("A_B_12__"):
         cs |= CALLSIGN_CHARMAP.index(ch) << (42 - 6 * i)
     assert not commb.is_bds20((0x20 << 48) | cs)
+
+
+# --- DF17 TC0/28/29/31 (aircraft status, target state, operational status) ---
+
+def test_parse_tc0_altitude_without_position():
+    from airmodes.decode.altitude import encode_alt_12bit
+    me = encode_alt_12bit(25000.0) << 36  # ftc=0, alt in BDS0,5 position
+    frame = encoder.df17_frame(0x3C6614, me)
+    rep = parse().parse(wire(frame, 112))
+    assert rep.bds == "BDS0,5"
+    assert rep.altitude_ft == 25000
+    assert rep.lat is None
+
+
+def test_parse_tc28_emergency_status():
+    me = encoder.me_emergency_status(5, squawk=7500)
+    frame = encoder.df17_frame(0x4840D6, me)
+    rep = parse().parse(wire(frame, 112))
+    assert rep.bds == "BDS6,1"
+    assert rep.emergency == "unlawful interference"
+    assert rep.squawk == 7500
+
+
+def test_parse_tc28_ra_broadcast_matches_df16_decode():
+    """TC28/2 carries the same ARA/RAC payload as the DF16 MV BDS3,0."""
+    from airmodes import crc
+    from airmodes.decode.altitude import encode_alt_q
+    ara = (1 << 13) | (1 << 12) | (1 << 11) | (1 << 7)  # active, corrective,
+    # downward sense, positive
+    me = encoder.me_ra_broadcast(ara, rac=0b0100, mte=0, tti=1,
+                                 tid=0xABCDEF << 2)
+    frame = encoder.df17_frame(0x4840D6, me)
+    rep = parse().parse(wire(frame, 112))
+    assert rep.bds == "BDS6,1"
+    ra = rep.acas_ra
+    assert ra["ra_active"] and ra["corrective"] and ra["downward_sense"]
+    assert ra["positive"] and not ra["increased_rate"]
+    assert ra["complements"] == ["do_not_pass_above"]
+    assert ra["threat_icao"] == 0xABCDEF
+
+    mv = (0x30 << 48) | (me & ((1 << 48) - 1))
+    df16 = encoder.df16_frame(0x4840D6, encode_alt_q(31000.0), mv=mv)
+    rep16 = parse().parse(
+        f"16 {df16:028x} {crc.crc24(df16, 112):06x} 0 -18.0 4.0")
+    assert rep16.acas_ra == ra
+
+
+def test_parse_tc29_target_state_roundtrip():
+    me = encoder.me_target_state(
+        sel_alt_ft=36000, fms=False, baro_mb=1013.6, sel_hdg_deg=270.0,
+        nacp=9, sil=3, nic_baro=1,
+        modes={"autopilot": True, "vnav": True, "lnav": True})
+    frame = encoder.df17_frame(0xA1B2C3, me)
+    rep = parse().parse(wire(frame, 112))
+    assert rep.bds == "BDS6,2"
+    t = rep.tss
+    assert t["selected_altitude_ft"] == 36000
+    assert t["altitude_source"] == "MCP/FCU"
+    assert abs(t["baro_setting_mb"] - 1013.6) < 0.41
+    assert abs(t["selected_heading_deg"] - 270.0) < 0.36
+    assert t["autopilot"] and t["vnav"] and t["lnav"]
+    assert not t["approach"] and not t["altitude_hold"]
+    assert t["nacp"] == 9 and t["sil"] == 3 and t["nic_baro"] == 1
+    assert t["tcas_operational"]
+
+
+def test_parse_tc29_no_data_fields_omitted():
+    me = encoder.me_target_state(tcas_op=False)
+    rep = parse().parse(wire(encoder.df17_frame(0xA1B2C3, me), 112))
+    t = rep.tss
+    assert "selected_altitude_ft" not in t
+    assert "baro_setting_mb" not in t
+    assert "selected_heading_deg" not in t
+    assert "autopilot" not in t  # mode bits invalid when status bit clear
+    assert not t["tcas_operational"]
+
+
+def test_parse_tc31_operational_status_airborne():
+    me = encoder.me_op_status(surface=False, version=2, nacp=10, sil=3,
+                              gva=2, nic_baro=1, hrd=0)
+    rep = parse().parse(wire(encoder.df17_frame(0x111111, me), 112))
+    assert rep.bds == "BDS6,5"
+    o = rep.opstatus
+    assert not o["surface"] and not rep.on_surface
+    assert o["version"] == 2 and o["nacp"] == 10 and o["sil"] == 3
+    assert o["gva"] == 2 and o["nic_baro"] == 1
+    assert o["heading_reference"] == "true"
+
+
+def test_parse_tc31_operational_status_surface():
+    me = encoder.me_op_status(surface=True, version=2, nacp=8, sil=2,
+                              lw=9, trk_hdg=1, hrd=1)
+    rep = parse().parse(wire(encoder.df17_frame(0x222222, me), 112))
+    o = rep.opstatus
+    assert o["surface"] and rep.on_surface
+    assert o["length_width_code"] == 9
+    assert o["track_angle_not_heading"]
+    assert o["heading_reference"] == "magnetic"
+    assert "gva" not in o
+
+
+def test_parse_reserved_tcs_still_raise():
+    from airmodes.exceptions import NoHandlerError
+    for tc in (23, 24, 25, 26, 27, 30):
+        me = tc << 51
+        with pytest.raises(NoHandlerError):
+            parse().parse(wire(encoder.df17_frame(0x333333, me), 112))
+
+
+def test_msprint_formats_new_bds_types():
+    from airmodes.outputs.msprint import output_print
+    me = encoder.me_emergency_status(1, squawk=7700)
+    rep = parse().parse(wire(encoder.df17_frame(0x4840D6, me), 112))
+    line = output_print.format_report(rep)
+    assert "EMERGENCY: general" in line and "squawk 7700" in line
+
+    me = encoder.me_target_state(sel_alt_ft=4000, baro_mb=1020.0)
+    rep = parse().parse(wire(encoder.df17_frame(0x4840D6, me), 112))
+    line = output_print.format_report(rep)
+    assert "sel alt 4000 ft" in line and "QNH" in line
+
+    me = encoder.me_op_status(version=2, nacp=9, sil=3)
+    rep = parse().parse(wire(encoder.df17_frame(0x4840D6, me), 112))
+    assert "ADS-B v2 NACp 9 SIL 3" in output_print.format_report(rep)
