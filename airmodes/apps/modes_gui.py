@@ -138,19 +138,22 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
                              f"(q to quit)", curses.A_BOLD)
             hdr = (f"{'icao':7s}{'ident':9s}{'sqk':5s}{'alt':>7s}{'spd':>5s}"
                    f"{'hdg':>5s}{'vs':>7s}{'lat':>10s}{'lon':>11s}"
-                   f"{'rng':>7s}{'brg':>5s}{'dBFS':>7s}")
+                   f"{'rng':>7s}{'brg':>5s}{'dBFS':>7s}  emergency")
             scr.addstr(2, 0, hdr, curses.A_UNDERLINE)
             maxy, maxx = scr.getmaxyx()
             for i, r in enumerate(rows[: maxy - 4]):
-                icao, ident, sqk, alt, spd, hdg, vs, lat, lon, rng, brg, rssi, _ = r
+                (icao, ident, sqk, alt, spd, hdg, vs, lat, lon, rng, brg,
+                 emerg, rssi, _) = r
                 def s(v, fmt="{}"):
                     return "" if v is None else fmt.format(v)
                 line = (f"{icao:7s}{(ident or ''):9s}{s(sqk,'{:04d}'):5s}"
                         f"{s(alt):>7s}{s(spd,'{:.0f}'):>5s}{s(hdg,'{:.0f}'):>5s}"
                         f"{s(vs,'{:+.0f}'):>7s}{s(lat,'{:.4f}'):>10s}"
                         f"{s(lon,'{:.4f}'):>11s}{s(rng,'{:.1f}'):>7s}"
-                        f"{s(brg,'{:.0f}'):>5s}{s(rssi,'{:.1f}'):>7s}")
-                scr.addstr(3 + i, 0, line[: maxx - 1])
+                        f"{s(brg,'{:.0f}'):>5s}{s(rssi,'{:.1f}'):>7s}"
+                        f"{'  ' + emerg.upper() if emerg else ''}")
+                scr.addstr(3 + i, 0, line[: maxx - 1],
+                           curses.A_BOLD if emerg else curses.A_NORMAL)
             scr.refresh()
             dash.prune()
             time.sleep(0.5)

@@ -16,7 +16,7 @@ from ..exceptions import ADSBError
 
 COLUMNS = ["icao", "ident", "squawk", "altitude_ft", "speed_kt",
            "heading_deg", "vertical_rate_fpm", "lat", "lon", "range_nm",
-           "bearing_deg", "rssi_dbfs", "last_seen"]
+           "bearing_deg", "emergency", "rssi_dbfs", "last_seen"]
 
 
 @dataclasses.dataclass
@@ -32,6 +32,7 @@ class AircraftState:
     lon: Optional[float] = None
     range_nm: Optional[float] = None
     bearing_deg: Optional[float] = None
+    emergency: Optional[str] = None
     rssi_dbfs: Optional[float] = None
     last_seen: float = 0.0
     n_messages: int = 0
@@ -40,7 +41,7 @@ class AircraftState:
         return [f"{self.icao:06x}", self.ident, self.squawk, self.altitude_ft,
                 self.speed_kt, self.heading_deg, self.vertical_rate_fpm,
                 self.lat, self.lon, self.range_nm, self.bearing_deg,
-                self.rssi_dbfs, self.last_seen]
+                self.emergency, self.rssi_dbfs, self.last_seen]
 
 
 class dashboard:
@@ -67,6 +68,8 @@ class dashboard:
                 setattr(st, attr, v)
         if rep.callsign:
             st.ident = rep.callsign
+        if rep.emergency is not None:
+            st.emergency = None if rep.emergency == "none" else rep.emergency
         return st
 
     def prune(self, now: Optional[float] = None) -> None:

@@ -59,6 +59,10 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
         if rep.altitude_ft is not None:
             f[1] = rep.altitude_ft
             return line(5, f)
+        if rep.squawk is not None:  # TC28/1 aircraft status (BDS6,1)
+            f[7] = f"{rep.squawk:04d}"
+            f[9] = "-1" if (rep.emergency and rep.emergency != "none") else "0"
+            return line(6, f)
         return None
     if rep.df in (0, 4, 16, 20) and rep.altitude_ft is not None:
         f[1] = rep.altitude_ft

@@ -255,3 +255,32 @@ def test_kml_track_lines(tmp_path):
     assert "<LineString>" in doc
     assert "8.000000,47.000000" in doc and "8.200000,47.100000" in doc
     assert doc.count("<Placemark>") == 2   # point + track
+
+
+def test_sbs1_emergency_squawk_line():
+    from airmodes.outputs.sbs1 import format_sbs1
+    from airmodes.decode.parse import parse
+    from airmodes.testing import encoder
+    me = encoder.me_emergency_status(1, squawk=7700)
+    frame = encoder.df17_frame(0x4840D6, me)
+    w = f"17 {frame:028x} 000000 0 -20.0 1.0"
+    lin = format_sbs1(parse().parse(w))
+    cols = lin.split(",")
+    assert cols[1] == "6" and len(cols) == 22
+    assert cols[17] == "7700" and cols[19] == "-1"
+
+
+def test_dashboard_tracks_emergency():
+    from airmodes.outputs.gui_model import dashboard
+    from airmodes.decode.parse import parse
+    from airmodes.testing import encoder
+    d = dashboard()
+    me = encoder.me_emergency_status(4, squawk=7600)
+    frame = encoder.df17_frame(0xABC123, me)
+    st = d.update(parse().parse(f"17 {frame:028x} 000000 0 -20.0 1.0"))
+    assert st.emergency == "no communications" and st.squawk == 7600
+    # recovery: a later "none" state clears the flag
+    me = encoder.me_emergency_status(0, squawk=1200)
+    frame = encoder.df17_frame(0xABC123, me)
+    st = d.update(parse().parse(f"17 {frame:028x} 000000 0 -20.0 2.0"))
+    assert st.emergency is None and st.squawk == 1200
