@@ -45,13 +45,16 @@ def decode_mv(mv: int) -> Optional[Dict]:
 
 
 def decode_ra(ara: int, rac: int, rat: int, mte: int, tti: int,
-              tid: int) -> Optional[Dict]:
+              tid: int, bds: str = "3,0") -> Optional[Dict]:
     """Shared RA-field decode: used for BDS3,0 (DF16 MV / Comm-B) and the
     identical payload of the DF17 TC28 subtype-2 RA broadcast (BDS6,1).
-    Returns None when no RA is active (all-zero ARA/RAC with RAT clear)."""
+    `bds` labels the CARRYING register in the returned dict (pass "6,1"
+    for the TC28/2 broadcast so consumers keying on acas_ra["bds"] see the
+    actual source). Returns None when no RA is active (all-zero ARA/RAC
+    with RAT clear)."""
     if ara == 0 and rac == 0 and not rat:
         return None
-    out: Dict = {"bds": "3,0"}
+    out: Dict = {"bds": bds}
     # ARA bit 1 (MSB): one RA is active and bits 2-7 describe it; with
     # bit 1 clear and MTE set, bits 2-7 carry the multi-threat encoding
     # instead — don't misread those as sense flags

@@ -109,6 +109,11 @@ ME_OP_STATUS_SURF: FieldSpec = [("ftc", 5), ("sub", 3), ("cc", 12), ("lw", 4),  
                                 ("nacp", 4), ("_1", 2), ("sil", 2),
                                 ("trk_hdg", 1), ("hrd", 1), ("sil_sup", 1),
                                 ("_2", 1)]
+# Known TC but reserved/undecodable subtype: carried raw so downstream
+# counters distinguish "reserved" from "unknown TC" (the reference carries
+# MB/MV raw the same way). `sub` width matches the TC's subtype field.
+ME_RESERVED_SUB3: FieldSpec = [("ftc", 5), ("sub", 3), ("raw", 48)]
+ME_RESERVED_SUB2: FieldSpec = [("ftc", 5), ("sub", 2), ("raw", 49)]
 
 
 def me_reply(me: int) -> data_field:
@@ -132,12 +137,12 @@ def me_reply(me: int) -> data_field:
         elif sub == 2:
             layout = ME_STATUS_RA
         else:
-            raise NoHandlerError(ftc)
+            layout = ME_RESERVED_SUB3
     elif ftc == 29:
-        # only DO-260B subtype 1 (target state and status) is decodable
-        if (me >> 49) & 0x3 != 1:
-            raise NoHandlerError(ftc)
-        layout = ME_TARGET_STATE
+        # only DO-260B subtype 1 (target state and status) is decodable;
+        # DO-260A subtype 0 is carried raw rather than dropped
+        layout = (ME_TARGET_STATE if (me >> 49) & 0x3 == 1
+                  else ME_RESERVED_SUB2)
     elif ftc == 31:
         sub = (me >> 48) & 0x7
         if sub == 0:

@@ -57,6 +57,7 @@ class AircraftReport:
     emergency: Optional[str] = None      # TC28/1 emergency/priority state
     tss: Optional[dict] = None           # TC29/1 target state and status
     opstatus: Optional[dict] = None      # TC31 aircraft operational status
+    me_raw: Optional[int] = None         # undecoded-but-known ME, carried raw
 
     @property
     def icao_hex(self) -> Optional[str]:
@@ -226,13 +227,18 @@ class parse:
                 report.emergency = self.EMERGENCY_STATES[rep["es"]]
                 if rep["mode_a"]:
                     report.squawk = decode_squawk(rep["mode_a"])
-            else:  # subtype 2: ACAS RA broadcast (same payload as BDS3,0)
+            elif "ara" in rep:  # subtype 2: RA broadcast (BDS3,0 payload)
                 report.acas_ra = acas.decode_ra(
                     rep["ara"], rep["rac"], rep["rat"], rep["mte"],
-                    rep["tti"], rep["tid"])
+                    rep["tti"], rep["tid"], bds="6,1")
+            else:  # reserved subtype: carried raw (like the reference
+                report.me_raw = me  # carries MB/MV raw), not dropped
         elif ftc == 29:
             report.bds = "BDS6,2"
-            report.tss = self._decode_target_state(rep)
+            if "sel_alt" in rep:
+                report.tss = self._decode_target_state(rep)
+            else:  # DO-260A subtype 0 TSS: known but undecoded — carry raw
+                report.me_raw = me
         elif ftc == 31:
             report.bds = "BDS6,5"
             report.opstatus = self._decode_op_status(rep)

@@ -61,7 +61,11 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
             return line(5, f)
         if rep.squawk is not None:  # TC28/1 aircraft status (BDS6,1)
             f[7] = f"{rep.squawk:04d}"
-            f[9] = "-1" if (rep.emergency and rep.emergency != "none") else "0"
+            emerg = bool(rep.emergency and rep.emergency != "none")
+            # BaseStation convention: Alert (col 18) flashes alongside
+            # Emergency (col 19) on an active emergency state
+            f[8] = "-1" if emerg else "0"
+            f[9] = "-1" if emerg else "0"
             return line(6, f)
         return None
     if rep.df in (0, 4, 16, 20) and rep.altitude_ft is not None:
@@ -69,6 +73,9 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
         return line(5, f)
     if rep.df in (5, 21) and rep.squawk is not None:
         f[7] = f"{rep.squawk:04d}"
+        if rep.squawk in (7500, 7600, 7700):  # emergency squawks
+            f[8] = "-1"
+            f[9] = "-1"
         return line(6, f)
     return None
 

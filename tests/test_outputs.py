@@ -268,6 +268,22 @@ def test_sbs1_emergency_squawk_line():
     cols = lin.split(",")
     assert cols[1] == "6" and len(cols) == 22
     assert cols[17] == "7700" and cols[19] == "-1"
+    assert cols[18] == "-1"  # Alert flashes alongside Emergency
+
+
+def test_sbs1_df5_emergency_squawk_sets_alert():
+    from airmodes.decode.fields import encode_squawk
+    from airmodes.outputs.sbs1 import format_sbs1
+    from airmodes.decode.parse import parse
+    from airmodes.testing import encoder
+    icao = 0x4840D6
+    for squawk, alert in ((7600, "-1"), (1200, "")):
+        frame = encoder.df5_frame(icao, encode_squawk(squawk))
+        w = f"5 {frame:014x} {icao:06x} 1 -20.0 1.0"
+        lin = format_sbs1(parse().parse(w))
+        cols = lin.split(",")
+        assert cols[1] == "6" and cols[17] == f"{squawk:04d}"
+        assert cols[18] == alert and cols[19] == alert
 
 
 def test_dashboard_tracks_emergency():

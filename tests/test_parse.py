@@ -282,12 +282,37 @@ def test_parse_tc28_ra_broadcast_matches_df16_decode():
     assert ra["positive"] and not ra["increased_rate"]
     assert ra["complements"] == ["do_not_pass_above"]
     assert ra["threat_icao"] == 0xABCDEF
+    assert ra["bds"] == "6,1"  # labeled by the CARRYING register
 
     mv = (0x30 << 48) | (me & ((1 << 48) - 1))
     df16 = encoder.df16_frame(0x4840D6, encode_alt_q(31000.0), mv=mv)
     rep16 = parse().parse(
         f"16 {df16:028x} {crc.crc24(df16, 112):06x} 0 -18.0 4.0")
-    assert rep16.acas_ra == ra
+    ra16 = rep16.acas_ra
+    assert ra16["bds"] == "3,0"
+    # identical payload decode, differing only in the carrying register
+    assert {k: v for k, v in ra16.items() if k != "bds"} == \
+        {k: v for k, v in ra.items() if k != "bds"}
+
+
+def test_parse_tc28_reserved_subtype_carried_raw():
+    """TC28 subtypes other than 1/2 are reserved: carried raw, not dropped
+    (downstream counters distinguish 'reserved' from 'unknown')."""
+    me = (28 << 51) | (5 << 48) | 0xDEADBEEF
+    rep = parse().parse(wire(encoder.df17_frame(0x4840D6, me), 112))
+    assert rep.bds == "BDS6,1"
+    assert rep.me_raw == me
+    assert rep.emergency is None and rep.acas_ra is None
+
+
+def test_parse_tc29_do260a_subtype0_carried_raw():
+    """DO-260A target state & status (TC29 subtype 0) is known but
+    undecoded: carried raw rather than raising NoHandlerError."""
+    me = (29 << 51) | (0 << 49) | 0x1234567
+    rep = parse().parse(wire(encoder.df17_frame(0x4840D6, me), 112))
+    assert rep.bds == "BDS6,2"
+    assert rep.me_raw == me
+    assert rep.tss is None
 
 
 def test_parse_tc29_target_state_roundtrip():
