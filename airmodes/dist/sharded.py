@@ -105,10 +105,22 @@ def make_sharded_demod(mesh: Mesh, cfg: DspConfig):
     return jax.jit(fn)
 
 
+def _place(x, sharding: NamedSharding):
+    """Host array -> sharded device array, multi-process-safe.
+
+    Single process: plain device_put. Multi-process (a mesh spanning
+    non-addressable devices): every process passes the SAME full array and
+    contributes only its addressable shards via make_array_from_callback —
+    the jax.distributed analog of the reference's per-machine zmq feed."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
+
 def shard_input(iq, mesh: Mesh):
     """Place a host (C, T, 2) float32 array with the pipeline's sharding."""
-    return jax.device_put(
-        iq, NamedSharding(mesh, P("channel", "time", None)))
+    return _place(iq, NamedSharding(mesh, P("channel", "time", None)))
 
 
 def make_sharded_demod_ctx(mesh: Mesh, cfg: DspConfig):
@@ -196,7 +208,62 @@ def make_sharded_demod_planar(mesh: Mesh, cfg: DspConfig, tile: int = None,
 def shard_input_planar(xi, xq, mesh: Mesh):
     """Place host (C, T) int8 planar streams with the pipeline's sharding."""
     s = NamedSharding(mesh, P("channel", "time"))
-    return jax.device_put(xi, s), jax.device_put(xq, s)
+    return _place(xi, s), _place(xq, s)
+
+
+def make_sharded_demod_planar_ctx(mesh: Mesh, cfg: DspConfig,
+                                  tile: int = None, interpret: bool = None):
+    """Planar-int8 sharded demod with STREAM context at the step edges.
+
+    The ctx analog of make_sharded_demod_ctx for the production planar
+    kernel: fn(xi, xq, li, lq, ri, rq) where xi/xq are the global
+    (n_channels, n_time_shards * block_size) int8 planar streams sharded
+    P("channel", "time"), li/lq are (C, left_halo) int8 context immediately
+    BEFORE this step and ri/rq (C, right_halo) immediately AFTER it (zeros
+    at the true stream start/end). Interior shards exchange halos over ICI
+    (1 byte/sample/stream — 8x less than the f32 layout); the first/last
+    time shards take their outer halo from the provided context, so a frame
+    straddling two consecutive steps of a long stream decodes exactly once.
+    Used by dist.multihost.PodPipeline(planar=True). (Ref: GR history
+    semantics, gr::block::set_history in lib/preamble_impl.cc.)
+    """
+    from ..kernels.preamble_pallas import (
+        default_tile, demod_batch_planar, planar_length)
+
+    if tile is None:
+        tile = default_tile(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    left, right = cfg.left_halo, cfg.right_halo
+    p = planar_length(cfg, tile)
+
+    def one_stream(x_shard, lctx, rctx):
+        x = _exchange_halos(x_shard, left, right)
+        t = jax.lax.axis_index("time")
+        nt = jax.lax.axis_size("time")
+        head = jnp.where(t == 0, lctx, x[:, :left])
+        tail = jnp.where(t == nt - 1, rctx, x[:, -right:])
+        x = jnp.concatenate([head, x[:, left:-right], tail], axis=1)
+        return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
+
+    def shard_fn(xi_shard, xq_shard, li, lq, ri, rq):
+        xi = one_stream(xi_shard, li, ri)
+        xq = one_stream(xq_shard, lq, rq)
+        table = demod_batch_planar(xi, xq, cfg, tile=tile,
+                                   interpret=interpret)
+        table = _globalize(table, cfg.block_size)
+        return jax.tree.map(lambda a: a[:, None], table)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("channel", "time"), P("channel", "time"),
+                  P("channel", None), P("channel", None),
+                  P("channel", None), P("channel", None)),
+        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        # pallas_call outputs don't carry vma metadata; skip the check
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,

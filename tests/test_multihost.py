@@ -69,3 +69,74 @@ def test_step_boundary_frame_decoded(monkeypatch):
     msgs = [m for out in pipe.run_stream(chunks) for m in out]
     hexes = [m.split()[1] for m in msgs]
     assert hexes.count(truth[0].hex) == 1, hexes
+
+
+def test_step_boundary_frame_decoded_planar():
+    """Same step-straddle guarantee on the PLANAR int8 streaming path —
+    the production TPU driver (interpret-mode Pallas on the CPU mesh)."""
+    from airmodes.dist.multihost import PodPipeline
+
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    pipe = PodPipeline(cfg, n_channel=1, n_time=2, planar=True)
+    S = pipe.samples_per_step
+    frame = int("8d4840d6202cc371c32ce0576098", 16)
+    iq, truth = encoder.make_capture(
+        [(frame, 112)], snr_db=25.0, start=S - 100, seed=8,
+        total_samples=2 * S)
+    chunks = [iq[None, :S // 2], iq[None, S // 2: S + 777],
+              iq[None, S + 777:]]
+    msgs = [m for out in pipe.run_stream(chunks) for m in out]
+    hexes = [m.split()[1] for m in msgs]
+    assert hexes.count(truth[0].hex) == 1, hexes
+    # dBFS referenced to the float full scale despite int8 quantization:
+    # a ~0.5-amplitude pulse reads ~ -12..0 dBFS, not shifted by the gain
+    ref = float(msgs[0].split()[4])
+    assert -30.0 < ref < 1.0, ref
+
+
+def test_planar_stream_matches_f32_stream():
+    """Planar streaming decodes the same message set as the f32 ctx path
+    over a multi-step capture with traffic near every boundary."""
+    from airmodes.dist.multihost import PodPipeline
+
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    n_time = 2
+    S = n_time * cfg.block_size
+    frames = encoder.random_df17_frames(8, seed=91)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=S // 5,
+                                     seed=91, total_samples=2 * S + 3000)
+    chunks = lambda: [iq[None, :S - 50], iq[None, S - 50:]]
+    f32 = PodPipeline(cfg, n_channel=1, n_time=n_time, planar=False)
+    pl = PodPipeline(cfg, n_channel=1, n_time=n_time, planar=True)
+    got_f32 = {m.split()[1] for out in f32.run_stream(chunks())
+               for m in out}
+    got_pl = {m.split()[1] for out in pl.run_stream(chunks())
+              for m in out}
+    want = {t.hex for t in truth}
+    assert want <= got_f32
+    assert want <= got_pl
+
+
+def test_pod_stream_tail_longer_than_one_step():
+    """EOF tail spanning MORE than one full step drains step by step
+    (regression guard for the old convoluted tail loop)."""
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    pipe = PodPipeline(cfg, n_channel=1, n_time=2)
+    S = pipe.samples_per_step
+    frames = encoder.random_df17_frames(6, seed=92)
+    # 3.6 steps of data, delivered as ONE chunk: after the first step is
+    # emitted the remaining 2.6 steps are all "tail"
+    total = int(3.6 * S)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0,
+                                     spacing=total // 7, seed=92,
+                                     total_samples=total)
+    outs = list(pipe.run_stream([iq[None, :]]))
+    assert len(outs) == 4  # ceil(3.6)
+    got = {m.split()[1] for out in outs for m in out}
+    want = {t.hex for t in truth}
+    assert want <= got
+    # messages fall in their owning step's sample range
+    for i, out in enumerate(outs):
+        for m in out:
+            ts = float(m.split()[5])
+            assert i * S <= ts * cfg.channel_rate < (i + 1) * S
