@@ -26,8 +26,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="modes_rx", description="TPU-native Mode S / ADS-B receiver")
     src = p.add_argument_group("source")
-    src.add_argument("-s", "--source", default="synthetic",
-                     help="file path, 'udp', or 'synthetic'")
+    src.add_argument("-s", "--source", action="append", default=None,
+                     help="file path, 'udp', or 'synthetic' "
+                     "[synthetic]. Repeat for multi-channel operation: "
+                     "every -s becomes one channel of a single batched "
+                     "device call per step; messages publish on 'dl_data' "
+                     "(merged) and 'dl_data/ch<N>' (per channel)")
     src.add_argument("-r", "--rate", type=float, default=2e6,
                      help="source sample rate [2e6]")
     src.add_argument("--file-format", default="complex64",
@@ -82,6 +86,72 @@ def parse_location(s: Optional[str]):
         return None
     parts = [float(x) for x in s.split(",")]
     return (parts[0], parts[1], parts[2] if len(parts) > 2 else 0.0)
+
+
+def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
+    """Multi-channel operation (BASELINE config 4): every -s source is one
+    channel of a single batched device call per step (the single-chip
+    realization of the mesh "channel" axis). Merged messages publish on
+    'dl_data'; channel c's also publish on f'dl_data/ch{c}'."""
+    import itertools
+    from ..dsp import host
+    from ..io import sources as src_mod
+    from ..io.stream import run_channels
+
+    if abs(args.rate - cfg.channel_rate) > 1e-3:
+        print("multi-channel mode does not resample; provide captures at "
+              "the channel rate", file=sys.stderr)
+        return 2
+    chans = []
+    for s in srcs:
+        if s in ("uhd", "osmocom", "udp"):
+            print(f"multi-channel mode takes file/synthetic sources, "
+                  f"not {s!r}", file=sys.stderr)
+            return 2
+        if s == "synthetic":
+            chans.append(src_mod.synthetic_source(
+                cfg, n_blocks=args.max_blocks or 4))
+        else:
+            chans.append(src_mod.file_source(
+                s, cfg, dtype=args.file_format,
+                start_sample=args.start_sample))
+    if args.max_blocks:
+        chans = [itertools.islice(c, args.max_blocks) for c in chans]
+
+    stats = host.BlockStats()
+    epoch = time.time()
+    t_stats = time.time()
+    n_steps = 0
+    samples_done = 0
+    try:
+        for step_msgs in run_channels(chans, cfg, epoch=epoch, stats=stats,
+                                      quantize_i8=args.int8):
+            for c, msgs in enumerate(step_msgs):
+                for m in msgs:
+                    bus.publish("dl_data", m)
+                    bus.publish(f"dl_data/ch{c}", m)
+            n_steps += 1
+            samples_done += len(step_msgs) * cfg.block_size
+            if args.stats_interval and \
+                    time.time() - t_stats > args.stats_interval:
+                rate = samples_done / (time.time() - epoch) / 1e6
+                print(f"# {rate:.1f} Msps aggregate over {len(chans)} "
+                      f"channels | preambles {stats.preambles} | "
+                      f"ok {stats.crc_ok} | corrected {stats.corrected} | "
+                      f"emitted {stats.emitted}", file=sys.stderr)
+                t_stats = time.time()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for c in closers:
+            try:
+                c()
+            except Exception:
+                pass
+    print(f"# done: {n_steps} steps x {len(chans)} channels, "
+          f"{stats.emitted} messages ({stats.crc_ok} crc-ok, "
+          f"{stats.corrected} corrected)", file=sys.stderr)
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -144,6 +214,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         closers.append(relay.close)
 
     # --- source ----------------------------------------------------------
+    srcs = args.source or ["synthetic"]
+    if len(srcs) > 1:
+        return _run_multichannel(args, srcs, cfg, bus, closers)
+    args.source = srcs[0]
     needs_resample = abs(args.rate - cfg.channel_rate) > 1e-3
     if args.source in ("uhd", "osmocom"):
         print(f"SDR source '{args.source}' needs UHD/osmosdr hardware drivers "
@@ -211,8 +285,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 rate = samples_done / (time.time() - epoch) / 1e6
                 print(f"# {rate:.1f} Msps | preambles {stats.preambles} | "
                       f"ok {stats.crc_ok} | corrected {stats.corrected} | "
-                      f"emitted {stats.emitted} | overflow {stats.overflow}",
-                      file=sys.stderr)
+                      f"rejected {stats.crc_fail} | emitted {stats.emitted} "
+                      f"| overflow {stats.overflow}", file=sys.stderr)
                 t_stats = time.time()
     except KeyboardInterrupt:
         pass

@@ -34,6 +34,9 @@ class BlockStats:
     crc_ok: int = 0
     corrected: int = 0
     emitted: int = 0
+    crc_fail: int = 0   # detections dropped uncorrectable (noise candidates
+    #                     that passed the preamble checks but failed CRC/ECC
+    #                     — the false-positive pressure gauge)
 
 
 def _bits_to_int(bits: np.ndarray, nbits: int) -> int:
@@ -71,7 +74,11 @@ def table_to_messages(
     msgs: List[str] = []
     order = np.argsort(index, kind="stable")
     for k in order:
-        if index[k] < 0 or status[k] == STATUS_FAIL:
+        if index[k] < 0:
+            continue
+        if status[k] == STATUS_FAIL:
+            if stats is not None:
+                stats.crc_fail += 1
             continue
         n = int(nbits[k])
         frame = _bits_to_int(bits[k], n)

@@ -132,7 +132,10 @@ def main():
     # correctness gate: the bench capture must decode its injected traffic.
     # At 15 dB SNR an occasional message is genuinely marginal (the CPU
     # reference path misses the same ones — verified), so the gate is
-    # >= 99.9% rather than exact.
+    # >= 99.9% rather than exact. The SPURIOUS side is gated too: hexes
+    # decoded that were never injected (noise or ECC minting a valid-CRC
+    # frame from a marginal one) must stay under 1% of the injected count
+    # — a false-positive regression fails the bench, not just a miss.
     arr = np.asarray(step(xi, xq, cfg))
     msgs = []
     for i in range(C):
@@ -142,6 +145,7 @@ def main():
     want = {t.hex for t in truth}
     got = {m.split()[1] for m in msgs}
     missing = len(want - got)
+    spurious = len(got - want)
 
     # streaming loop — H2D of each int8 batch + demod + packed D2H per call
     iters = 4
@@ -187,14 +191,17 @@ def main():
         "streaming_incl_relay_msps": round(stream_msps, 2),
         "kernel": kernel,
         "batch_blocks": reps * C,
+        "spurious": spurious,
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} kernel={kernel} "
           f"compile={compile_s:.1f}s block={cfg.block_size} C={C} "
           f"stream={stream_msps:.1f} Msps (wall {stream_dt:.2f}s) "
           f"device={dev_msps:.0f} Msps decoded={len(got)}/{len(want)} "
-          f"missing={missing}", file=sys.stderr)
-    return 0 if missing <= max(1, len(want) // 1000) else 1
+          f"missing={missing} spurious={spurious}", file=sys.stderr)
+    ok = (missing <= max(1, len(want) // 1000)
+          and spurious <= max(1, len(want) // 100))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -47,11 +47,45 @@ def test_jax_matches_reference_near_threshold():
 
 
 def test_snr_sweep_monotone():
-    pts = golden.snr_sweep([3.0, 10.0, 20.0], n_msgs=25, seed=7)
+    """Decode rate is (near-)monotone in SNR with a bound at EVERY point —
+    a broken mid-SNR point must fail, not hide between endpoints."""
+    pts = golden.snr_sweep([3.0, 7.0, 10.0, 14.0, 20.0], n_msgs=25, seed=7)
     rates = [p.rate for p in pts]
-    assert rates[2] >= 0.95          # high SNR decodes nearly everything
-    assert rates[0] <= rates[2]      # low SNR strictly worse
     assert pts[0].injected == 25
+    # adjacent points: allow one marginal message of non-monotonicity
+    # (different captures per point), no more
+    slack = 1.0 / 25
+    for lo, hi in zip(rates, rates[1:]):
+        assert hi >= lo - slack, rates
+    assert rates[0] <= 0.8           # 3 dB genuinely loses messages
+    assert rates[2] >= 0.5           # 10 dB decodes most traffic
+    assert rates[3] >= 0.9           # 14 dB decodes nearly everything
+    assert rates[4] >= 0.95          # 20 dB decodes (essentially) all
+
+
+def test_noise_only_false_positive_bound():
+    """Pure noise must mint NO CRC-validated messages (DF11/17/18) and no
+    ECC 'corrections'. AP-overlaid DFs (0/4/5/...) are unverifiable by
+    construction (the reference emits them too — address = syndrome), so
+    only the CRC-checked families are pinned here. 4M samples at the
+    default threshold; stats.crc_fail records the preamble-level noise
+    pressure without failing the run."""
+    cfg = DspConfig(block_size=1 << 20, max_detections=128)
+    rng = np.random.default_rng(123)
+    n = 4 * cfg.block_size
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) \
+        .astype(np.complex64) * 0.05
+    stats = host.BlockStats()
+    msgs = []
+    for block, start in sources.frame_blocks(iq, cfg):
+        table = demod_block_jit(block, cfg)
+        msgs.extend(host.table_to_messages(table, start, cfg.channel_rate,
+                                           stats=stats))
+    validated = [m for m in msgs if int(m.split()[0]) in (11, 17, 18)]
+    assert validated == [], validated
+    assert stats.corrected == 0
+    # and the counters stay coherent: everything surfaced is accounted
+    assert stats.emitted == len(msgs)
 
 
 def test_ecc_fault_injection_single_bit():
