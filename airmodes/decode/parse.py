@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 from .. import crc
 from ..constants import (AP_ADDRESS_DFS, STATUS_FAIL)
 from ..exceptions import ADSBError, NoHandlerError, ParserError
-from . import acas, commb
+from . import acas, commb, elm
 from .altitude import decode_alt
 from .cpr import cpr_decoder
 from .fields import decode_callsign, decode_squawk, me_reply, modes_reply
@@ -58,6 +58,10 @@ class AircraftReport:
     tss: Optional[dict] = None           # TC29/1 target state and status
     opstatus: Optional[dict] = None      # TC31 aircraft operational status
     me_raw: Optional[int] = None         # undecoded-but-known ME, carried raw
+    elm_ke: Optional[int] = None         # DF24 control (0=downlink segment)
+    elm_nd: Optional[int] = None         # DF24 segment number
+    elm_md: Optional[int] = None         # DF24 80-bit MD payload (raw int)
+    elm_data: Optional[bytes] = None     # reassembled Comm-D ELM (decode/elm)
 
     @property
     def icao_hex(self) -> Optional[str]:
@@ -70,6 +74,7 @@ class parse:
     def __init__(self, my_position: Optional[Tuple[float, float]] = None):
         self.my_position = my_position
         self.cpr = cpr_decoder(my_position)
+        self.elm = elm.elm_reassembler()
 
     # --- wire format ----------------------------------------------------------
 
@@ -173,7 +178,17 @@ class parse:
             report.callsign = fields["callsign"]
 
     def parse24(self, reply, report):
-        pass  # Comm-D ELM segment; carried raw (reference: partial support)
+        """Comm-D ELM segment (the reference carries DF24 raw; segment
+        reassembly here exceeds it — see decode/elm.py)."""
+        report.bds = "Comm-D"
+        report.elm_ke = reply["ke"]
+        report.elm_nd = reply["nd"]
+        report.elm_md = reply["md"]
+        # cycle-restart emission; idle cycles surface via the owning app
+        # calling parser.elm.flush(now) (see outputs/msprint staleness)
+        report.elm_data = self.elm.add(
+            report.icao, reply["ke"], reply["nd"], reply["md"],
+            report.timestamp)
 
     # --- ME (DF17 extended squitter) -------------------------------------------
 

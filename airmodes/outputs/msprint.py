@@ -132,4 +132,13 @@ class output_print:
             sq = f" squawk {rep.squawk:04d}" if rep.squawk is not None else ""
             cb = output_print._commb_summary(rep)
             return f"Type {rep.df} (identity reply) from {icao}{sq}{cb} " + tail
+        if rep.df == 24:
+            if rep.elm_ke != 0:
+                what = "uplink ELM ack"
+            else:
+                what = f"segment {rep.elm_nd}"
+                if rep.elm_data is not None:
+                    what += f", ELM complete {len(rep.elm_data)}B " \
+                            f"{rep.elm_data.hex()}"
+            return f"Type 24 (Comm-D {what}) from {icao} " + tail
         return f"Type {rep.df} from {icao} " + tail

@@ -99,6 +99,29 @@ def df21_frame(icao: int, id13: int, mb: int = 0, fs: int = 0) -> int:
     assert n == MAX_FRAME_BITS
     return frame
 
+def df24_frame(icao: int, nd: int, md: int, ke: int = 0) -> int:
+    """DF24 Comm-D ELM segment: [df:2][_:1][ke:1][nd:4][md:80][ap:24]."""
+    payload = (3 << 86) | ((ke & 1) << 84) | ((nd & 0xF) << 80) \
+        | (md & (1 << 80) - 1)
+    frame, n = build_frame(payload, 88, overlay=icao & 0xFFFFFF)
+    assert n == MAX_FRAME_BITS
+    return frame
+
+def df24_segments(icao: int, data: bytes, ke: int = 0) -> list:
+    """Split a Comm-D ELM payload into DF24 segment frames (10 bytes per
+    80-bit MD, zero-padded; <= 16 segments — decode/elm.py reassembles)."""
+    from ..decode.elm import MAX_SEGMENTS, SEGMENT_BYTES
+    n = -(-len(data) // SEGMENT_BYTES)
+    if not 1 <= n <= MAX_SEGMENTS:
+        raise ValueError(f"ELM payload needs 1..{MAX_SEGMENTS} segments, "
+                         f"got {n}")
+    padded = data.ljust(n * SEGMENT_BYTES, b"\0")
+    return [df24_frame(icao,
+                       i, int.from_bytes(
+                           padded[i * SEGMENT_BYTES:(i + 1) * SEGMENT_BYTES],
+                           "big"), ke=ke)
+            for i in range(n)]
+
 
 # --- ME-field helpers (DF17 payload types, ref: python/parse.py layouts) -----
 
