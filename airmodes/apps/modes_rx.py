@@ -59,6 +59,13 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="quantize blocks to int8 on host (SDR-native "
                      "precision; enables the traffic-minimal planar TPU "
                      "kernel — 4x less host->device traffic)")
+    dsp.add_argument("--depth", type=int, default=2,
+                     help="device calls kept in flight (H2D/compute/D2H "
+                     "overlap) [2]")
+    dsp.add_argument("--compile-cache", default="~/.cache/airmodes-xla",
+                     metavar="DIR", help="persistent XLA compile cache "
+                     "('' disables); repeat runs skip the ~1-2 min TPU "
+                     "compile")
 
     out = p.add_argument_group("output")
     out.add_argument("-P", "--sbs1", type=int, default=None, metavar="PORT",
@@ -156,6 +163,17 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
+
+    if args.compile_cache:
+        import os
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser(args.compile_cache))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass  # cache is best-effort; never block the receive chain
 
     from ..config import DspConfig
     from ..dsp import host
@@ -272,7 +290,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
       with trace(args.profile):
         for msgs in run_pipelined(blocks, cfg, epoch=epoch, stats=stats,
-                                  batch=batch, quantize_i8=args.int8):
+                                  batch=batch, quantize_i8=args.int8,
+                                  depth=args.depth):
             for m in msgs:
                 bus.publish("dl_data", m)
             n_blocks += 1

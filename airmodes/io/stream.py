@@ -39,6 +39,31 @@ def _default_step(cfg: DspConfig):
     return demod_block_packed_jit
 
 
+def _batch_step(cfg: DspConfig):
+    """Fastest available BATCHED (leading-axis) packed demod step."""
+    import jax
+    if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
+        from ..kernels.preamble_pallas import (
+            demod_batch_packed_fast_jit, demod_batch_packed_planar_jit,
+            to_planar_i8)
+
+        def step(xb, cfg):
+            if xb.dtype == np.int8:
+                # planar split on host (overlapped with device compute
+                # by the in-flight window) -> traffic-minimal kernel
+                xi, xq = to_planar_i8(xb, cfg)
+                return demod_batch_packed_planar_jit(xi, xq, cfg)
+            return demod_batch_packed_fast_jit(xb, cfg)
+        return step
+    import functools
+    from ..dsp.pipeline import demod_block, pack_table
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def step(xb, cfg):
+        return jax.vmap(lambda x: pack_table(demod_block(x, cfg)))(xb)
+    return step
+
+
 def run_pipelined(
     blocks: Iterable[Tuple[np.ndarray, int]],
     cfg: DspConfig,
@@ -60,28 +85,7 @@ def run_pipelined(
     and the padding's messages dropped.
     """
     if batch > 1 and step is None:
-        import jax
-        if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
-            from ..kernels.preamble_pallas import (
-                demod_batch_packed_fast_jit, demod_batch_packed_planar_jit,
-                to_planar_i8)
-
-            def step(xb, cfg):
-                if xb.dtype == np.int8:
-                    # planar split on host (overlapped with device compute
-                    # by the in-flight window) -> traffic-minimal kernel
-                    xi, xq = to_planar_i8(xb, cfg)
-                    return demod_batch_packed_planar_jit(xi, xq, cfg)
-                return demod_batch_packed_fast_jit(xb, cfg)
-        else:
-            from ..dsp.pipeline import demod_block, pack_table
-            import functools
-            import jax.numpy as jnp
-
-            @functools.partial(jax.jit, static_argnames=("cfg",))
-            def step(xb, cfg):
-                return jax.vmap(
-                    lambda x: pack_table(demod_block(x, cfg)))(xb)
+        step = _batch_step(cfg)
     step = step or _default_step(cfg)
     inflight: deque = deque()
 
@@ -144,3 +148,71 @@ def run_pipelined(
                          [f for _, f in devs], len(acc)))
     while inflight:
         yield from drain_one()
+
+
+def run_channels(
+    channel_blocks: List[Iterable[Tuple[np.ndarray, int]]],
+    cfg: DspConfig,
+    *,
+    epoch: float = 0.0,
+    stats: Optional[host_mod.BlockStats] = None,
+    depth: int = 2,
+    step=None,
+    quantize_i8: bool = False,
+) -> Iterator[List[List[str]]]:
+    """Concurrent multi-channel demod: C independent framed block iterators
+    (one per SDR channel / capture) batched down the leading axis of ONE
+    device call per time step — the single-chip realization of the mesh's
+    "channel" data-parallel axis (SURVEY.md §2.7; BASELINE config 4's
+    multi-channel batch). Yields one List[List[str]] per step: entry c is
+    channel c's wire messages, timestamped by that channel's own sample
+    counter. Channels may end at different times; ended channels ride
+    along as silence (no messages) until all end."""
+    C = len(channel_blocks)
+    if C == 0:
+        return
+    iters = [iter(cb) for cb in channel_blocks]
+    step = step or _batch_step(cfg)
+    inflight: deque = deque()
+    n_frame = cfg.left_halo + cfg.block_size + cfg.right_halo
+    zero = np.zeros(n_frame, np.complex64)
+
+    def to_dev_layout(block):
+        x = iq_to_device_layout(block)
+        fs = 1.0
+        if quantize_i8 and x.dtype == np.float32:
+            peak = float(np.max(np.abs(x))) or 1.0
+            gain = 120.0 / peak
+            x = np.clip(np.round(x * gain), -127, 127).astype(np.int8)
+            fs = gain / 127.0
+        return x, fs
+
+    def drain_one() -> List[List[str]]:
+        packed, starts, scales, live = inflight.popleft()
+        arr = np.asarray(packed)
+        out: List[List[str]] = []
+        for c in range(C):
+            if not live[c]:
+                out.append([])
+                continue
+            table = unpack_table(arr[c])
+            out.append(host_mod.table_to_messages(
+                table, starts[c], cfg.channel_rate, epoch=epoch,
+                stats=stats, full_scale=scales[c]))
+        return out
+
+    while True:
+        items = [next(it, None) for it in iters]
+        live = [it is not None for it in items]
+        if not any(live):
+            break
+        devs = [to_dev_layout(items[c][0] if live[c] else zero)
+                for c in range(C)]
+        xb = np.stack([d for d, _ in devs])
+        starts = [items[c][1] if live[c] else 0 for c in range(C)]
+        inflight.append((step(xb, cfg), starts,
+                         [f for _, f in devs], live))
+        if len(inflight) > depth:
+            yield drain_one()
+    while inflight:
+        yield drain_one()

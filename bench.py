@@ -108,6 +108,66 @@ def jnp_stack_iq(a, b):
     return jnp.stack([jnp.asarray(a), jnp.asarray(b)], axis=-1)
 
 
+def bench_e2e(cfg, n_blocks: int = 32, seed: int = 1):
+    """The PRODUCT path, end to end: modes_rx on a uc8 (rtl-sdr byte
+    format) capture file -> framer -> int8 quantize -> batched planar demod
+    -> wire messages -> parser -> SQLite plugin. Returns (msps, ok).
+
+    Runs in-process with the same cfg/batch shape as the kernel bench so
+    the jit cache is already warm — the figure measures the steady-state
+    product loop (disk read + host framing/quantize + device + parse +
+    DB), not compilation."""
+    import os
+    import sqlite3
+    import tempfile
+    from airmodes.apps.modes_rx import main as rx_main
+    from airmodes.testing import encoder
+
+    d = tempfile.mkdtemp(prefix="airmodes_bench_")
+    path = os.path.join(d, "cap.uc8")
+    db = os.path.join(d, "out.db")
+    icaos = set()
+    with open(path, "wb") as f:
+        for b in range(n_blocks):
+            frames = encoder.random_df17_frames(13, seed=seed * 1000 + b)
+            iq, truth = encoder.make_capture(
+                frames, rate=cfg.channel_rate, snr_db=18.0,
+                spacing=cfg.block_size // 14, seed=seed * 1000 + b,
+                total_samples=cfg.block_size)
+            icaos |= {(t.frame >> 80) & 0xFFFFFF for t in truth}
+            peak = float(np.max(np.abs(iq))) or 1.0
+            x = iq / peak * 0.9
+            u = np.empty(2 * cfg.block_size, np.uint8)
+            u[0::2] = np.round(x.real * 127.5 + 127.5).astype(np.uint8)
+            u[1::2] = np.round(x.imag * 127.5 + 127.5).astype(np.uint8)
+            u.tofile(f)
+
+    args = ["-s", path, "--file-format", "uc8", "--int8",
+            "--block-size", str(cfg.block_size),
+            "--max-detections", str(cfg.max_detections),
+            "--batch", "16", "-n", "-d", db, "--stats-interval", "0",
+            "--compile-cache", "/root/repo/.jax_cache"]
+    rx_main(args + ["--max-blocks", "2"])      # warm the in-process jits
+    t0 = time.time()
+    rc = rx_main(args)
+    dt = time.time() - t0
+    msps = n_blocks * cfg.block_size / dt / 1e6
+
+    con = sqlite3.connect(db)
+    n_aircraft = con.execute("SELECT COUNT(*) FROM aircraft").fetchone()[0]
+    con.close()
+    ok = rc == 0 and n_aircraft >= int(0.9 * len(icaos))
+    print(f"# e2e modes_rx: {msps:.1f} Msps over {n_blocks} blocks "
+          f"(wall {dt:.2f}s), {n_aircraft}/{len(icaos)} aircraft in DB",
+          file=sys.stderr)
+    for p in (path, db):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return msps, ok
+
+
 def main():
     import jax
     try:
@@ -182,6 +242,9 @@ def main():
     dev_dt = time.time() - t0
     dev_msps = iters * reps * C * cfg.block_size / dev_dt / 1e6
 
+    # product path end-to-end (modes_rx: disk -> ... -> parse -> SQLite)
+    e2e_msps, e2e_ok = bench_e2e(cfg)
+
     baseline_msps = 10.0  # reference real-time ceiling on desktop CPU
     result = {
         "metric": "demod_throughput",
@@ -192,6 +255,7 @@ def main():
         "kernel": kernel,
         "batch_blocks": reps * C,
         "spurious": spurious,
+        "e2e_modes_rx_msps": round(e2e_msps, 2),
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} kernel={kernel} "
@@ -200,7 +264,7 @@ def main():
           f"device={dev_msps:.0f} Msps decoded={len(got)}/{len(want)} "
           f"missing={missing} spurious={spurious}", file=sys.stderr)
     ok = (missing <= max(1, len(want) // 1000)
-          and spurious <= max(1, len(want) // 100))
+          and spurious <= max(1, len(want) // 100) and e2e_ok)
     return 0 if ok else 1
 
 
