@@ -230,6 +230,37 @@ class PodPipeline:
             start += S
 
 
+def ici_scaling_model(cfg: DspConfig, device_msps: float,
+                      planar: bool = True,
+                      ici_bytes_per_s: float = 45e9,
+                      hop_latency_s: float = 2e-6) -> dict:
+    """Analytic weak-scaling efficiency of time-sharding over ICI.
+
+    The CPU-mesh scaling_report demonstrates the machinery but not the
+    >= 0.8 ICI target (one real chip here); this model extrapolates from
+    the measured single-chip rate. Per step each shard exchanges its halo
+    with both ring neighbors (lax.ppermute): overlap is CONSTANT per chip
+    while compute scales with the block, so efficiency is independent of
+    chip count (weak scaling) —
+
+        eff = t_compute / (t_compute + t_halo)
+        t_halo = 2 hops * (halo_bytes / ICI_BW + hop_latency)
+
+    Defaults are conservative public v4-generation per-link numbers; the
+    production planar halos are ~1 KB against ~450 us of compute, so eff
+    stays > 0.99 even at 10x worse ICI assumptions. Returns the terms so
+    callers/tests can re-derive with their own hardware numbers."""
+    bytes_per_sample = 2 if planar else 8      # I+Q int8 vs (N, 2) f32
+    halo_samples = cfg.left_halo + cfg.right_halo
+    halo_bytes = halo_samples * bytes_per_sample
+    t_halo = 2 * (halo_bytes / ici_bytes_per_s + hop_latency_s)
+    t_compute = cfg.block_size / (device_msps * 1e6)
+    eff = t_compute / (t_compute + t_halo)
+    return {"halo_bytes": halo_bytes, "t_halo_s": t_halo,
+            "t_compute_s": t_compute, "efficiency": eff,
+            "meets_target": eff >= 0.8}
+
+
 def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],
                    n_steps: int = 4, seed: int = 0,
                    baseline: Optional[dict] = None) -> List[dict]:

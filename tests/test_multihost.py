@@ -117,6 +117,24 @@ def test_planar_stream_matches_f32_stream():
     assert want <= got_pl
 
 
+def test_ici_scaling_model_meets_target():
+    """The halo-cost extrapolation says the >= 0.8 ICI weak-scaling target
+    holds for the production config with wide margin — and still holds at
+    10x worse interconnect assumptions."""
+    from airmodes.dist.multihost import ici_scaling_model
+    cfg = DspConfig(block_size=1 << 22, max_detections=256)
+    m = ici_scaling_model(cfg, device_msps=9300.0, planar=True)
+    assert m["meets_target"] and m["efficiency"] > 0.98, m
+    # conservative: 10x slower links, 10x hop latency, f32 halos
+    worse = ici_scaling_model(cfg, device_msps=9300.0, planar=False,
+                              ici_bytes_per_s=4.5e9, hop_latency_s=2e-5)
+    assert worse["efficiency"] >= 0.8, worse
+    # the model is honest about where it breaks: tiny blocks at high rate
+    tiny = ici_scaling_model(DspConfig(block_size=4096), 9300.0,
+                             ici_bytes_per_s=4.5e9, hop_latency_s=2e-5)
+    assert tiny["efficiency"] < 0.8
+
+
 def test_pod_stream_tail_longer_than_one_step():
     """EOF tail spanning MORE than one full step drains step by step
     (regression guard for the old convoluted tail loop)."""
