@@ -428,16 +428,26 @@ def demod_block(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
     bits, confidence = slice_bits(mag2, det_idx, valid, ref_level, cfg, left)
     out_bits, df, nbits, synd, status = crc_check_and_correct(bits, confidence, cfg)
 
-    status = jnp.where(valid, status, STATUS_FAIL)
+    return finalize_table(valid, det_idx, out_bits, df, nbits, synd, status,
+                          ref_level, noise_at, n_det, overflow)
+
+
+def finalize_table(valid, det_idx, bits, df, nbits, synd, status,
+                   ref_level, noise_at, n_det, overflow) -> DetectionTable:
+    """Mask EMPTY table rows to a deterministic all-zero shape (index -1,
+    df -1, status FAIL): empty rows would otherwise carry whatever the
+    capacity-K tail computed from placeholder windows, which differs
+    between the XLA / Pallas / sparse-slice paths and defeats
+    table-equality testing (and lets the slice kernel skip them)."""
     return DetectionTable(
         index=jnp.where(valid, det_idx, -1),
-        bits=out_bits.astype(jnp.uint8),
+        bits=jnp.where(valid[:, None], bits, False).astype(jnp.uint8),
         df=jnp.where(valid, df, -1),
-        nbits=nbits,
-        syndrome=synd,
-        status=status,
-        ref_level=ref_level,
-        noise=noise_at,
+        nbits=jnp.where(valid, nbits, 0),
+        syndrome=jnp.where(valid, synd, 0),
+        status=jnp.where(valid, status, STATUS_FAIL),
+        ref_level=jnp.where(valid, ref_level, 0.0),
+        noise=jnp.where(valid, noise_at, 0.0),
         n_detected=n_det,
         n_overflow=overflow,
     )

@@ -141,13 +141,8 @@ def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):
                                     left)
     out_bits, df, nbits, synd, status = P.crc_check_and_correct(
         bits, confidence, cfg)
-    status = jnp.where(valid, status, P.STATUS_FAIL)
-    return P.DetectionTable(
-        index=jnp.where(valid, det_idx, -1),
-        bits=out_bits.astype(jnp.uint8),
-        df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
-        status=status, ref_level=ref_level, noise=noise_at,
-        n_detected=n_det, n_overflow=overflow)
+    return P.finalize_table(valid, det_idx, out_bits, df, nbits, synd,
+                            status, ref_level, noise_at, n_det, overflow)
 
 
 def demod_block_pallas(iq, cfg: DspConfig, tile: int = 16384,
@@ -1195,12 +1190,18 @@ def _slice_kernel(dets_smem, i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
     lane rolls) so window sample j lands at flat position j — the XLA tail
     then runs on a static layout. Replaces the vmapped dynamic_slice
     gather, which XLA lowers to a ~2.5 us-per-slice sequential loop on TPU
-    (~41 ms per 16K detections vs ~10 ms of DMA here)."""
+    (~41 ms per 16K detections vs ~10 ms of DMA here).
+
+    EMPTY table rows (base < 0 sentinel) skip the DMA and the rotate
+    entirely and emit zeros: the detection table is fixed-capacity K but
+    real blocks fill a fraction of it, so most grid steps are skips. The
+    start/wait predicates read the same SMEM value, so every started DMA
+    is waited exactly once."""
     g = pl.program_id(0)
     slot = jax.lax.rem(g, nbuf)
 
     def copies(slot_s, step):
-        base = dets_smem[step]
+        base = jnp.maximum(dets_smem[step], 0)   # clamped; gated by when
         row32 = pl.multiple_of((base >> 7) & ~jnp.int32(31), 32)
         return (
             pltpu.make_async_copy(i_hbm.at[pl.ds(row32, dma_rows)],
@@ -1208,45 +1209,56 @@ def _slice_kernel(dets_smem, i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
             pltpu.make_async_copy(q_hbm.at[pl.ds(row32, dma_rows)],
                                   win_q.at[slot_s], sems.at[slot_s, 1]))
 
+    def start(slot_s, step):
+        @pl.when(dets_smem[step] >= 0)
+        def _():
+            for dma in copies(slot_s, step):
+                dma.start()
+
     @pl.when(g == 0)
     def _():
         for s in range(min(nbuf - 1, nsteps)):
-            for dma in copies(s % nbuf, g + s):
-                dma.start()
+            start(s % nbuf, g + s)
 
     @pl.when(g + nbuf - 1 < nsteps)
     def _():
-        for dma in copies(jax.lax.rem(g + nbuf - 1, nbuf), g + nbuf - 1):
-            dma.start()
+        start(jax.lax.rem(g + nbuf - 1, nbuf), g + nbuf - 1)
 
-    for dma in copies(slot, g):
-        dma.wait()
+    @pl.when(dets_smem[g] >= 0)
+    def _():
+        for dma in copies(slot, g):
+            dma.wait()
 
-    xi = win_i[0].astype(jnp.float32)
-    xq = win_q[0].astype(jnp.float32)
-    for s in range(1, nbuf):
-        xi = jnp.where(slot == s, win_i[s].astype(jnp.float32), xi)
-        xq = jnp.where(slot == s, win_q[s].astype(jnp.float32), xq)
-    scale = jnp.float32(1.0 / 127.0)
-    xi = xi * scale
-    xq = xq * scale
-    w2 = xi * xi + xq * xq                             # (dma_rows, 128)
+        xi = win_i[0].astype(jnp.float32)
+        xq = win_q[0].astype(jnp.float32)
+        for s in range(1, nbuf):
+            xi = jnp.where(slot == s, win_i[s].astype(jnp.float32), xi)
+            xq = jnp.where(slot == s, win_q[s].astype(jnp.float32), xq)
+        scale = jnp.float32(1.0 / 127.0)
+        xi = xi * scale
+        xq = xq * scale
+        w2 = xi * xi + xq * xq                         # (dma_rows, 128)
 
-    base = dets_smem[g]
-    dr = (base >> 7) - ((base >> 7) & ~jnp.int32(31))  # 0..31
-    ln = base & 127
-    # rows dr..dr+out_rows to the top (dr + out_rows + 1 <= dma_rows: no
-    # wraparound contamination), then lane roll + row borrow for ln
-    z = pltpu.roll(w2, (dma_rows - dr) % dma_rows, axis=0)
-    zz = z[0: out_rows + 1]
-    y = pltpu.roll(zz, (128 - ln) % 128, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
-    aligned = jnp.where(lane < 128 - ln, y[0: out_rows], y[1: out_rows + 1])
-    if pad_rows > out_rows:
-        aligned = jnp.concatenate(
-            [aligned,
-             jnp.zeros((pad_rows - out_rows, 128), jnp.float32)], axis=0)
-    out_ref[:] = aligned
+        base = dets_smem[g]
+        dr = (base >> 7) - ((base >> 7) & ~jnp.int32(31))  # 0..31
+        ln = base & 127
+        # rows dr..dr+out_rows to the top (dr + out_rows + 1 <= dma_rows:
+        # no wraparound contamination), then lane roll + row borrow for ln
+        z = pltpu.roll(w2, (dma_rows - dr) % dma_rows, axis=0)
+        zz = z[0: out_rows + 1]
+        y = pltpu.roll(zz, (128 - ln) % 128, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 128), 1)
+        aligned = jnp.where(lane < 128 - ln, y[0: out_rows],
+                            y[1: out_rows + 1])
+        if pad_rows > out_rows:
+            aligned = jnp.concatenate(
+                [aligned,
+                 jnp.zeros((pad_rows - out_rows, 128), jnp.float32)], axis=0)
+        out_ref[:] = aligned
+
+    @pl.when(dets_smem[g] < 0)
+    def _():
+        out_ref[:] = jnp.zeros((pad_rows, 128), jnp.float32)
 
 
 def slice_windows_planar(ri, rq, base_global, cfg: DspConfig, *,
@@ -1312,13 +1324,8 @@ def _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg: DspConfig):
 
     out_bits, df, nbits, synd, status = P.crc_check_and_correct(
         bits, confidence, cfg)
-    status = jnp.where(valid, status, P.STATUS_FAIL)
-    return P.DetectionTable(
-        index=jnp.where(valid, det_idx, -1),
-        bits=out_bits.astype(jnp.uint8),
-        df=jnp.where(valid, df, -1), nbits=nbits, syndrome=synd,
-        status=status, ref_level=ref_level, noise=noise_at,
-        n_detected=n_det, n_overflow=overflow)
+    return P.finalize_table(valid, det_idx, out_bits, df, nbits, synd,
+                            status, ref_level, noise_at, n_det, overflow)
 
 
 def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
@@ -1389,7 +1396,11 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
     batch, K = det_idx.shape
     safe_idx = jnp.where(valid, det_idx, 0)
     chan0 = jnp.arange(batch, dtype=jnp.int32)[:, None] * (stride_rows * 128)
-    base = chan0 + cfg.left_halo + safe_idx - cfg.noise_window
+    # -1 marks empty table rows: the slice kernel skips their DMA+rotate
+    # (real blocks fill a fraction of the fixed capacity K)
+    base = jnp.where(valid,
+                     chan0 + cfg.left_halo + safe_idx - cfg.noise_window,
+                     -1)
     ri = xi8.reshape(batch * stride_rows, 128)
     rq = xq8.reshape(batch * stride_rows, 128)
     w2 = slice_windows_planar(ri, rq, base.reshape(-1), cfg,

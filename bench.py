@@ -220,6 +220,23 @@ def main():
     stream_dt = time.time() - t0
     stream_msps = iters * C * cfg.block_size / stream_dt / 1e6
 
+    # relay-ceiling proof: the SAME loop with no demod at all — ship each
+    # int8 batch host->device and fetch an 8-lane touch. If this matches
+    # the streaming figure, the transport (dev-harness relay), not the
+    # demod design, is the streaming ceiling.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def touch(a, b):
+        return (a[0, :8].astype(jnp.int32).sum()
+                + b[0, :8].astype(jnp.int32).sum())
+
+    np.asarray(touch(xi, xq))
+    t0 = time.time()
+    for _ in range(4):
+        np.asarray(touch(xi, xq))
+    h2d_msps = 4 * C * cfg.block_size / (time.time() - t0) / 1e6
+
     # primary metric: device-resident input, fetch-synced per call.
     # The dev relay charges ~24 ms fixed per fetch; C_dev=256 blocks per
     # dispatch (the capture tiled 16x — identical per-copy detections)
@@ -256,6 +273,7 @@ def main():
         "batch_blocks": reps * C,
         "spurious": spurious,
         "e2e_modes_rx_msps": round(e2e_msps, 2),
+        "h2d_only_msps": round(h2d_msps, 2),
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} kernel={kernel} "
