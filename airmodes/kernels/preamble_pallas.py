@@ -541,6 +541,73 @@ def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
     return keep, ref[1: 1 + trows]
 
 
+def _prescreen_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
+    """Stage-A candidate prescreen: local peak + all-pulse threshold and
+    tolerance + the EARLY quiet chips {1, 3..6} — a strict superset of
+    _detect_keep_2d's accept set at ~10 _shift2d passes instead of ~16+NMS.
+    The dropped tests (late quiet chips {8, 10..15}, NMS) move to an XLA
+    stage-B rescan over the O(K) gathered candidate windows
+    (demod_batch_planar prescreen=True), which applies the FULL rule with
+    the oracle's fold orders. The early quiet subset is what bounds the
+    candidate count: pulses-only passes fire on ~6% of offsets inside a
+    frame's own data body (4 probed chips all '1'), which at production
+    traffic density would inflate K2 and the per-candidate slice DMA work
+    past the detect itself; five quiet chips cut that ~30x. The
+    noise-floor threshold carries a 1e-5 relative slack so summation-
+    order jitter between the in-kernel window sum (possibly MXU) and
+    stage B's doubling fold can never drop a candidate the full rule
+    would keep (ref/pulse/quiet terms share exact fold orders with
+    stage B, so only nf needs it)."""
+    sps = cfg.sps
+    trows = tile // 128
+    m = xi * xi + xq * xq
+
+    mraw = m
+    if cfg.mxu_window_sum:
+        t_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        c_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        a_up = (t_i >= c_i).astype(jnp.float32)
+        a_lo = (t_i < c_i).astype(jnp.float32)
+        nr = m.shape[0] - 1
+        hi = jax.lax.Precision.HIGHEST
+        ws = (jax.lax.dot(m[:nr], a_up, precision=hi) +
+              jax.lax.dot(m[1:nr + 1], a_lo, precision=hi))
+    else:
+        ws = m
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            nr = ws.shape[0] - 1
+            ws = ws[:nr] + _shift2d(ws, s, 0, nr)
+
+    if sps > 1:
+        nr_ce = mraw.shape[0] - 1
+        m = sum(_shift2d(mraw, s, 0, nr_ce)
+                for s in range(sps)) * (1.0 / sps)
+
+    nrows = trows + 2
+    pulses = [_shift2d(m, c * sps, 1, nrows) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+    nf = ws[0:nrows] * (1.0 / 128.0)
+    slack = jnp.float32(1.0 - 1e-5)
+    thresh = jnp.float32(cfg.threshold) * slack
+    ptol = jnp.float32(cfg.pulse_tolerance)
+
+    ok = pulses[0] >= _shift2d(m, -1, 1, nrows)
+    ok &= pulses[0] > _shift2d(m, 1, 1, nrows)
+    pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
+                       jnp.minimum(pulses[2], pulses[3]))
+    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # early quiet chips {1} and {3,4,5,6} (q2/q4 doubled maxes — exact)
+    qtol = jnp.float32(cfg.quiet_tolerance)
+    nq2 = m.shape[0] - 1
+    q2 = jnp.maximum(m[:nq2], _shift2d(m, sps, 0, nq2))
+    nq4 = nq2 - 1
+    q4 = jnp.maximum(q2[:nq4], _shift2d(q2, 2 * sps, 0, nq4))
+    quiet = jnp.maximum(_shift2d(m, 1 * sps, 1, nrows),
+                        _shift2d(q4, 3 * sps, 1, nrows))
+    ok &= quiet < ref * qtol
+    return ok[1: 1 + trows]
+
+
 def preamble_detect_pallas_2d_batch(iq, cfg: DspConfig, tile: int = 16384,
                                     interpret: bool = False):
     """Batched 2D-layout detector: (C, L+N+R, 2) -> ((C, N) mask, (C, N) ref).
@@ -776,8 +843,10 @@ def _planar_geometry(cfg: DspConfig, tile: int):
     tiles = cfg.block_size // tile
     # + dma margin: the slice kernel DMAs a 32-row-aligned slab per
     # detection; a detection at the block's right edge must not run the
-    # slab past the (last channel's) end of the planar array
-    needed_rows = (tiles - 1) * trows + rows_w + _slice_geometry(cfg)[3]
+    # slab past the (last channel's) end of the planar array. Sized for
+    # the widest (prescreen stage-B) window so both paths fit.
+    needed_rows = (tiles - 1) * trows + rows_w + \
+        _slice_geometry(cfg, cfg.nms_chips * cfg.sps)[3]
     stride_rows = -(-needed_rows // 32) * 32
     return trows, rows_w, tiles, stride_rows
 
@@ -890,7 +959,7 @@ def _extract_cands(keep, trows: int, per_tile: int = CAND_PER_TILE,
 def _detect_kernel_cands_i8(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
                             cfg: DspConfig, tile: int, stride_rows: int,
                             per_tile: int, per_lane: int,
-                            ordered: bool = True):
+                            ordered: bool = True, prescreen: bool = False):
     trows, rows_w, tiles, _ = _planar_geometry(cfg, tile)
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -906,7 +975,10 @@ def _detect_kernel_cands_i8(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
     scale = jnp.float32(1.0 / 127.0)
     xi = win_i[:].astype(jnp.float32) * scale
     xq = win_q[:].astype(jnp.float32) * scale
-    keep, _ = _detect_keep_2d(xi, xq, cfg=cfg, tile=tile)
+    if prescreen:
+        keep = _prescreen_keep_2d(xi, xq, cfg=cfg, tile=tile)
+    else:
+        keep, _ = _detect_keep_2d(xi, xq, cfg=cfg, tile=tile)
     out_ref[:] = (_extract_cands(keep, trows, per_tile, per_lane) if ordered
                   else _extract_cands_unordered(keep, trows, per_lane))
 
@@ -915,7 +987,7 @@ def _detect_kernel_cands_i8_db(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
                                cfg: DspConfig, tile: int, stride_rows: int,
                                nsteps: int, nbuf: int,
                                per_tile: int, per_lane: int,
-                               ordered: bool = True):
+                               ordered: bool = True, prescreen: bool = False):
     """Prefetching variant: grid is flat (batch*tiles,); each step starts
     the window DMA for step g+nbuf-1 into a rotating VMEM slot before
     waiting on its own, keeping nbuf-1 input DMAs in flight — this hides
@@ -957,7 +1029,10 @@ def _detect_kernel_cands_i8_db(i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
     for s in range(1, nbuf):
         xi = jnp.where(slot == s, win_i[s].astype(jnp.float32), xi)
         xq = jnp.where(slot == s, win_q[s].astype(jnp.float32), xq)
-    keep, _ = _detect_keep_2d(xi * scale, xq * scale, cfg=cfg, tile=tile)
+    if prescreen:
+        keep = _prescreen_keep_2d(xi * scale, xq * scale, cfg=cfg, tile=tile)
+    else:
+        keep, _ = _detect_keep_2d(xi * scale, xq * scale, cfg=cfg, tile=tile)
     out_ref[:] = (_extract_cands(keep, trows, per_tile, per_lane) if ordered
                   else _extract_cands_unordered(keep, trows, per_lane))
 
@@ -967,7 +1042,8 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
                                  double_buffer: bool = False,
                                  nbuf: int = DEFAULT_NBUF,
                                  per_tile: int = None, per_lane: int = None,
-                                 ordered: bool = True):
+                                 ordered: bool = True,
+                                 prescreen: bool = False):
     """(C, P) int8 planar I/Q (P = planar_length(cfg, tile)) ->
     (C, tiles, 8, 128) int32 candidate blocks.
 
@@ -999,7 +1075,8 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
         kern = functools.partial(
             _detect_kernel_cands_i8_db, cfg=cfg, tile=tile,
             stride_rows=stride_rows, nsteps=batch * tiles, nbuf=nbuf,
-            per_tile=per_tile, per_lane=per_lane, ordered=ordered)
+            per_tile=per_tile, per_lane=per_lane, ordered=ordered,
+            prescreen=prescreen)
         grid = (batch * tiles,)
         out_spec = pl.BlockSpec((CAND_ROWS, 128), lambda g: (g, 0),
                                 memory_space=pltpu.VMEM)
@@ -1010,7 +1087,7 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
         kern = functools.partial(_detect_kernel_cands_i8, cfg=cfg, tile=tile,
                                  stride_rows=stride_rows,
                                  per_tile=per_tile, per_lane=per_lane,
-                                 ordered=ordered)
+                                 ordered=ordered, prescreen=prescreen)
         grid = (batch, tiles)
         out_spec = pl.BlockSpec((CAND_ROWS, 128),
                                 lambda c, i: (c * tiles + i, 0),
@@ -1168,14 +1245,16 @@ def compact_candidates_unordered(cands, cfg: DspConfig, tile: int,
     return det_idx, slot_valid, n_det, overflow
 
 
-def _slice_geometry(cfg: DspConfig):
+def _slice_geometry(cfg: DspConfig, extra: int = 0):
     """(W, out_rows, pad_rows, dma_rows) for the per-detection slice kernel.
 
-    W = noise window + full event; out_rows covers W in 128-lane rows;
-    pad_rows rounds to the f32 (8, 128) output block; dma_rows is the
-    32-row-aligned int8 slab large enough that any 32-row-aligned origin
-    plus the window (+1 borrow row) fits."""
-    W = cfg.noise_window + 242 * cfg.sps
+    W = noise window + full event (+ 2*extra for the prescreen stage-B
+    windows, which also evaluate the full preamble rule at the NMS
+    neighbor offsets +-extra around the candidate); out_rows covers W in
+    128-lane rows; pad_rows rounds to the f32 (8, 128) output block;
+    dma_rows is the 32-row-aligned int8 slab large enough that any
+    32-row-aligned origin plus the window (+1 borrow row) fits."""
+    W = cfg.noise_window + 242 * cfg.sps + 2 * extra
     out_rows = -(-W // 128)
     pad_rows = -(-out_rows // 8) * 8
     dma_rows = 32 * (-(-(32 + out_rows + 1) // 32))
@@ -1262,12 +1341,14 @@ def _slice_kernel(dets_smem, i_hbm, q_hbm, out_ref, win_i, win_q, sems, *,
 
 
 def slice_windows_planar(ri, rq, base_global, cfg: DspConfig, *,
-                         nbuf: int = 4, interpret: bool = False):
+                         nbuf: int = 4, interpret: bool = False,
+                         extra: int = 0):
     """(B_rows, 128) int8 planar streams + (n,) int32 window starts (flat
     sample coords) -> (n, pad_rows*128) f32 power windows, window sample j
     at [:, j]. Starts must be >= 0 with dma_rows of margin below the array
-    end (the planar geometry's stride includes that margin)."""
-    _, out_rows, pad_rows, dma_rows = _slice_geometry(cfg)
+    end (the planar geometry's stride includes that margin). extra widens
+    the window by 2*extra samples (prescreen stage-B neighbors)."""
+    _, out_rows, pad_rows, dma_rows = _slice_geometry(cfg, extra)
     n = base_global.shape[0]
     kern = functools.partial(_slice_kernel, nsteps=n, nbuf=nbuf,
                              dma_rows=dma_rows, out_rows=out_rows,
@@ -1289,15 +1370,22 @@ def slice_windows_planar(ri, rq, base_global, cfg: DspConfig, *,
     return out.reshape(n, pad_rows * 128)
 
 
-def _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg: DspConfig):
-    """K-sized decode tail on (K, >=W) f32 power windows (window sample j
-    at [:, j]): noise floor, ref level, PPM bits + confidence, CRC/ECC."""
+def _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg: DspConfig,
+                     event_off: int = None):
+    """K-sized decode tail on (K, >=W) f32 power windows: noise floor,
+    ref level, PPM bits + confidence, CRC/ECC. The detection's preamble
+    start sits at window position `event_off` (default: noise_window,
+    the standard slice layout; the prescreen stage-B windows carry an
+    extra nms half-window before it)."""
     from ..dsp import pipeline as P
 
     sps = cfg.sps
     nw = cfg.noise_window
+    if event_off is None:
+        event_off = nw
 
-    noise_at = jnp.mean(w2[:, :nw], axis=1)
+    noise_at = jnp.mean(
+        jax.lax.slice_in_dim(w2, event_off - nw, event_off, axis=1), axis=1)
 
     # chip energies over the whole window, same fold order as the kernel
     if sps == 1:
@@ -1308,12 +1396,12 @@ def _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg: DspConfig):
                  for s in range(sps)) * (1.0 / sps)
 
     # reference level: mean of the 4 preamble pulse chip energies
-    p = [ce[:, nw + c * sps] for c in PREAMBLE_PULSE_CHIPS]
+    p = [ce[:, event_off + c * sps] for c in PREAMBLE_PULSE_CHIPS]
     ref_level = (p[0] + p[1] + p[2] + p[3]) * 0.25
 
     # data chips 16..240 of the event
     n_chips = 224
-    chip0 = nw + 16 * sps
+    chip0 = event_off + 16 * sps
     energies = jax.lax.slice_in_dim(ce, chip0, chip0 + n_chips * sps,
                                     axis=1)[:, ::sps]
     e0 = energies[:, 0::2]
@@ -1326,6 +1414,73 @@ def _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg: DspConfig):
         bits, confidence, cfg)
     return P.finalize_table(valid, det_idx, out_bits, df, nbits, synd,
                             status, ref_level, noise_at, n_det, overflow)
+
+
+def _stageb_full_check(w2, cfg: DspConfig):
+    """Stage-B rescan for the prescreen path: evaluate the FULL detection
+    rule (threshold + tolerance + quiet chips) at the candidate and at
+    every NMS-neighbor offset within +-half from the candidate's own
+    gathered window, then apply the sequential NMS rule (strictly greater
+    than every qualifying hit before, >= every one after).
+
+    w2: (K2, >= nw + 242*sps + 2*half) power windows with the candidate's
+    preamble start at position nw + half. Returns the surviving-candidate
+    bool mask (K2,). Fold orders match the oracle/XLA tail exactly; max
+    folds are order-independent."""
+    sps = cfg.sps
+    nw = cfg.noise_window
+    half = cfg.nms_chips * sps
+    D = 2 * half + 1
+    pos0 = nw + half
+
+    # trailing 128-window sums at every position (log-doubling fold — the
+    # same pairwise structure as the kernel's shifted-add window sum)
+    assert nw == 128, "stage-B rescan fixes noise_window=128"
+    ns = w2
+    length = w2.shape[1]
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        length -= s
+        ns = (jax.lax.slice_in_dim(ns, 0, length, axis=1) +
+              jax.lax.slice_in_dim(ns, s, s + length, axis=1))
+
+    # chip energies, same fold as the tails
+    if sps == 1:
+        ce = w2
+    else:
+        ce_len = w2.shape[1] - (sps - 1)
+        ce = sum(jax.lax.slice_in_dim(w2, s, s + ce_len, axis=1)
+                 for s in range(sps)) * (1.0 / sps)
+
+    def at(sample_off):
+        """(K2, D): ce at candidate+o+sample_off for o in [-half, half]."""
+        s = pos0 - half + sample_off
+        return jax.lax.slice_in_dim(ce, s, s + D, axis=1)
+
+    pulses = [at(c * sps) for c in PREAMBLE_PULSE_CHIPS]
+    ref = (pulses[0] + pulses[1] + pulses[2] + pulses[3]) * 0.25
+    # ns[p] = sum w2[p : p+128]; neighbor o's trailing floor ends at its
+    # own preamble start: ns[pos0 + o - 128]
+    nf = jax.lax.slice_in_dim(ns, pos0 - half - nw, pos0 - half - nw + D,
+                              axis=1) * (1.0 / 128.0)
+    thresh = jnp.float32(cfg.threshold)
+    ptol = jnp.float32(cfg.pulse_tolerance)
+    qtol = jnp.float32(cfg.quiet_tolerance)
+
+    ok = pulses[0] >= at(-1)
+    ok &= pulses[0] > at(1)
+    pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
+                       jnp.minimum(pulses[2], pulses[3]))
+    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    quiet = at(PREAMBLE_QUIET_CHIPS[0] * sps)
+    for q in PREAMBLE_QUIET_CHIPS[1:]:
+        quiet = jnp.maximum(quiet, at(q * sps))
+    ok &= quiet < ref * qtol
+
+    score = jnp.where(ok, ref, 0.0)                     # (K2, D)
+    center = score[:, half]
+    left_max = jnp.max(score[:, :half], axis=1)
+    right_max = jnp.max(score[:, half + 1:], axis=1)
+    return ok[:, half] & (center > left_max) & (center >= right_max)
 
 
 def gather_tail_planar(xi8, xq8, det_idx, valid, n_det, overflow,
@@ -1356,14 +1511,22 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
                        interpret: bool = False, double_buffer: bool = False,
                        nbuf: int = DEFAULT_NBUF,
                        per_tile: int = None, per_lane: int = None,
-                       ordered: bool = False, xla_gather: bool = False):
+                       ordered: bool = False, xla_gather: bool = False,
+                       prescreen: bool = False, k2: int = None):
     """Planar-int8 batched demod: (C, P) x2 -> DetectionTable (leading C).
 
     ordered=False (default) uses the unordered kernel emission + XLA-side
     ranking (compact_candidates_unordered). xla_gather=False (default)
     slices each detection's window with the Pallas slice kernel (explicit
     DMA); True falls back to the vmapped dynamic_slice gather, which XLA
-    lowers to a sequential per-slice loop on TPU (~2.5 us each)."""
+    lowers to a sequential per-slice loop on TPU (~2.5 us each).
+
+    prescreen=True runs the two-stage detect: the kernel evaluates only
+    the peak + pulse-threshold subset of the rule (~1/3 the VPU passes),
+    emitting up to k2 (default 2*max_detections) candidates per block;
+    the quiet-chip + NMS remainder of the rule is applied XLA-side on the
+    gathered candidate windows (_stageb_full_check) — decision-identical
+    to the one-stage kernel, cheaper per sample."""
     if tile is None:
         tile = default_tile(cfg)
     if per_tile is None:
@@ -1372,6 +1535,10 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
         per_lane = cand_capacity(tile)[1]
     if not ordered:
         per_lane = min(per_lane, _COUNT_ROW)
+    if prescreen:
+        return _demod_batch_planar_prescreen(
+            xi8, xq8, cfg, tile=tile, interpret=interpret, nbuf=nbuf,
+            per_lane=per_lane, k2=k2)
     cands = preamble_detect_cands_planar(xi8, xq8, cfg, tile=tile,
                                          interpret=interpret,
                                          double_buffer=double_buffer,
@@ -1411,10 +1578,67 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
     )(w2, det_idx, valid, n_det, ovf)
 
 
+def _demod_batch_planar_prescreen(xi8, xq8, cfg: DspConfig, *, tile: int,
+                                  interpret: bool, nbuf: int,
+                                  per_lane: int, k2: int = None):
+    """Two-stage planar demod: prescreen kernel -> K2 candidate windows ->
+    full-rule XLA rescan (_stageb_full_check) -> earliest-K winners ->
+    standard decode tail. See demod_batch_planar(prescreen=True)."""
+    import dataclasses as _dc
+
+    K = cfg.max_detections
+    K2 = k2 if k2 is not None else 2 * K
+    cfg2 = _dc.replace(cfg, max_detections=K2)
+    half = cfg.nms_chips * cfg.sps
+    nw = cfg.noise_window
+
+    cands = preamble_detect_cands_planar(
+        xi8, xq8, cfg, tile=tile, interpret=interpret, nbuf=nbuf,
+        per_lane=per_lane, ordered=False, prescreen=True)
+    det2, valid2, _n_pre, ovf2 = jax.vmap(
+        lambda cc: compact_candidates_unordered(cc, cfg2, tile,
+                                                per_lane=per_lane))(cands)
+
+    _, _, _, stride_rows = _planar_geometry(cfg, tile)
+    batch = det2.shape[0]
+    safe2 = jnp.where(valid2, det2, 0)
+    chan0 = jnp.arange(batch, dtype=jnp.int32)[:, None] * (stride_rows * 128)
+    base = jnp.where(valid2,
+                     chan0 + cfg.left_halo + safe2 - nw - half, -1)
+    ri = xi8.reshape(batch * stride_rows, 128)
+    rq = xq8.reshape(batch * stride_rows, 128)
+    w2 = slice_windows_planar(ri, rq, base.reshape(-1), cfg,
+                              interpret=interpret, extra=half)
+    w2 = w2.reshape(batch, K2, -1)
+
+    win = jax.vmap(lambda w: _stageb_full_check(w, cfg))(w2) & valid2
+
+    def pick(winb, det2b, w2b, ovfb):
+        # earliest-K winners; onehot-dot row selection (a (K,)-indexed
+        # gather lowers to a sequential loop on TPU)
+        score = jnp.where(winb, jnp.int32(1 << 30) - det2b, 0)
+        vals, sel = jax.lax.top_k(score, K)
+        kvalid = vals > 0
+        hi = jax.lax.Precision.HIGHEST
+        oh = ((jnp.arange(K2, dtype=jnp.int32)[None, :] == sel[:, None])
+              & kvalid[:, None]).astype(jnp.float32)
+        wsel = jnp.matmul(oh, w2b, precision=hi)
+        idx_sel = jnp.round(
+            jnp.matmul(oh, det2b.astype(jnp.float32), precision=hi)
+        ).astype(jnp.int32)
+        n_win = jnp.sum(winb.astype(jnp.int32))
+        overflow = ovfb + jnp.maximum(n_win - K, 0)
+        return _tail_from_power(wsel, idx_sel, kvalid, n_win, overflow,
+                                cfg, event_off=nw + half)
+
+    return jax.vmap(pick)(win, det2, w2, ovf2)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret",
                                               "double_buffer", "nbuf",
                                               "per_tile", "per_lane",
-                                              "ordered", "xla_gather"))
+                                              "ordered", "xla_gather",
+                                              "prescreen", "k2"))
 def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
                                   tile: int = None,
                                   interpret: bool = False,
@@ -1423,11 +1647,14 @@ def demod_batch_packed_planar_jit(xi8, xq8, cfg: DspConfig,
                                   per_tile: int = None,
                                   per_lane: int = None,
                                   ordered: bool = False,
-                                  xla_gather: bool = False):
+                                  xla_gather: bool = False,
+                                  prescreen: bool = False,
+                                  k2: int = None):
     """Planar path + pack_table: (C, P) int8 x2 -> (C, K+1, 9) int32."""
     from ..dsp.pipeline import pack_table
     table = demod_batch_planar(xi8, xq8, cfg, tile=tile, interpret=interpret,
                                double_buffer=double_buffer, nbuf=nbuf,
                                per_tile=per_tile, per_lane=per_lane,
-                               ordered=ordered, xla_gather=xla_gather)
+                               ordered=ordered, xla_gather=xla_gather,
+                               prescreen=prescreen, k2=k2)
     return jax.vmap(pack_table)(table)

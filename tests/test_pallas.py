@@ -158,6 +158,37 @@ def test_planar_path_matches_fast():
             np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_planar_prescreen_matches_standard():
+    """The two-stage prescreen path (peak+pulse subset in kernel, full
+    rule rescanned XLA-side on candidate windows) produces the identical
+    DetectionTable to the one-stage planar path — including at marginal
+    SNR where edge decisions bite, and with DF11 short frames mixed in."""
+    from airmodes.kernels.preamble_pallas import (
+        demod_batch_planar, to_planar_i8)
+    frames = encoder.random_df17_frames(16, seed=93)
+    frames += [(encoder.df11_frame(0x500000 + i), 56) for i in range(4)]
+    iq, truth = encoder.make_capture(frames, snr_db=9.0, spacing=1300,
+                                     seed=93)
+    blocks = []
+    for block, _ in sources.frame_blocks(iq, CFG):
+        x = P.iq_to_device_layout(block)
+        peak = float(np.max(np.abs(x))) or 1.0
+        blocks.append(np.clip(np.round(x * (120.0 / peak)), -127, 127)
+                      .astype(np.int8))
+    batch = np.stack(blocks)
+    xi, xq = to_planar_i8(batch, CFG, tile=4096)
+    t1 = demod_batch_planar(xi, xq, CFG, tile=4096, interpret=True)
+    t2 = demod_batch_planar(xi, xq, CFG, tile=4096, interpret=True,
+                            prescreen=True)
+    for name, a, b in zip(t1._fields, t1, t2):
+        a, b = np.asarray(a), np.asarray(b)
+        if name in ("ref_level", "noise"):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-9,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_planar_decodes_ground_truth():
     from airmodes.dsp.host import table_to_messages
     from airmodes.kernels.preamble_pallas import (
