@@ -1,0 +1,125 @@
+"""Standard vs prescreen planar path on TPU: throughput + decode parity.
+
+One chip claim measures (fetch-synced, device-resident, 2 in flight):
+  det_std : one-stage cands kernel + compact
+  det_pre : prescreen cands kernel + compact (stage A alone)
+  std     : full one-stage packed path (with sparse-slice skip)
+  pre     : full two-stage packed path
+and asserts std/pre decode identical message sets on the bench capture
+(the k2 overflow check at production traffic density).
+"""
+import os
+import sys
+import threading
+import time
+
+DEADLINE_S = 2400
+t0_wall = time.time()
+
+
+def _die():
+    print(f"INTERNAL DEADLINE after {time.time() - t0_wall:.0f}s",
+          flush=True)
+    os._exit(3)
+
+
+_t = threading.Timer(DEADLINE_S, _die)
+_t.daemon = True
+_t.start()
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+print("devices:", jax.devices(), flush=True)
+
+import functools
+import dataclasses
+import jax.numpy as jnp
+import airmodes
+from airmodes.dsp import host
+from airmodes.dsp.pipeline import unpack_table
+from airmodes.kernels.preamble_pallas import (
+    _COUNT_ROW, cand_capacity, compact_candidates_unordered, default_tile,
+    demod_batch_packed_planar_jit, preamble_detect_cands_planar)
+
+sys.path.insert(0, "/root/repo")
+from bench import build_capture  # noqa: E402
+
+cfg = airmodes.DspConfig(block_size=1 << 22, max_detections=256)
+C = 16
+xi, xq, truth = build_capture(cfg, C)
+tile = default_tile(cfg)
+per_lane = min(cand_capacity(tile)[1], _COUNT_ROW)
+
+
+def make_detect(prescreen):
+    kcfg = dataclasses.replace(cfg, max_detections=512) if prescreen else cfg
+
+    @functools.partial(jax.jit, static_argnames=("c",))
+    def step(a, b, c=None):
+        cands = preamble_detect_cands_planar(a, b, cfg, tile=tile,
+                                             per_lane=per_lane,
+                                             ordered=False,
+                                             prescreen=prescreen)
+        det_idx, *_ = jax.vmap(
+            lambda cc: compact_candidates_unordered(
+                cc, kcfg, tile, per_lane=per_lane))(cands)
+        return det_idx
+    return lambda a, b, c: step(a, b)
+
+
+def timeit(name, step, reps=16, iters=6):
+    di = jax.device_put(np.tile(xi, (reps, 1)))
+    dq = jax.device_put(np.tile(xq, (reps, 1)))
+    jax.block_until_ready((di, dq))
+    t0 = time.time()
+    np.asarray(step(di, dq, cfg))
+    comp = time.time() - t0
+    inflight = []
+    t0 = time.time()
+    for _ in range(iters):
+        inflight.append(step(di, dq, cfg))
+        if len(inflight) > 1:
+            np.asarray(inflight.pop(0))
+    for o in inflight:
+        np.asarray(o)
+    dt = time.time() - t0
+    n = iters * reps * C * cfg.block_size
+    print(f"{name:8s} compile+1st={comp:6.1f}s  {n / dt / 1e9:6.2f} Gsps  "
+          f"({dt / iters * 1e3:6.1f} ms/dispatch)", flush=True)
+    return n / dt
+
+
+def decode(step, **kw):
+    arr = np.asarray(step(xi, xq, cfg, **kw))
+    msgs = []
+    for i in range(C):
+        msgs.extend(host.table_to_messages(unpack_table(arr[i]),
+                                           i * cfg.block_size,
+                                           cfg.channel_rate))
+    return {(m.split()[1], m.split()[5]) for m in msgs}
+
+
+def pre_step(a, b, c):
+    return demod_batch_packed_planar_jit(a, b, c, prescreen=True)
+
+
+# NOTE: no detect-only surrogate steps here — tpu_sparse_slice_probe
+# showed a returned-det_idx jit compiles for ~18 min and measures 2.6x
+# SLOWER than the full path (XLA layout pathology), so only the two real
+# full paths are compared.
+r_std = timeit("std", demod_batch_packed_planar_jit)
+r_pre = timeit("pre", pre_step)
+
+m_std = decode(demod_batch_packed_planar_jit)
+m_pre = decode(demod_batch_packed_planar_jit, prescreen=True)
+want = {t.hex for t in truth}
+print(f"decode parity: std={len(m_std)} pre={len(m_pre)} "
+      f"std^pre={len(m_std ^ m_pre)} "
+      f"missing_std={len(want - {h for h, _ in m_std})} "
+      f"missing_pre={len(want - {h for h, _ in m_pre})}", flush=True)
+print(f"speedup full path: {r_pre / r_std:.2f}x", flush=True)
+_t.cancel()
+os._exit(0)

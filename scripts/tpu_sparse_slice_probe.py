@@ -1,5 +1,13 @@
 """Measure the sparse-slice skip: stage split + full-path throughput.
 
+RESULT (2026-08-20, TPU v5 lite, 256x4M blocks/dispatch):
+  detect  compile+1st=1074s  3.54 Gsps   <- returned-det_idx jit is a BAD
+          surrogate: 18-min compile and 2.6x slower than the full path
+          (XLA layout/fusion pathology when det_idx is an output)
+  full    compile+1st=63s    9.23 Gsps   <- vs r01 baseline 9.32: the
+          sparse-slice skip is NEUTRAL; the slice kernel's DMA was already
+          hidden by its nbuf prefetch pipeline. Detect dominates.
+
 The slice kernel now skips empty table rows (base < 0). On a real-traffic
 capture ~50 of K=256 rows per block are valid, so ~80% of slice grid steps
 skip their DMA+rotate. This probe measures (fetch-synced, device-resident
