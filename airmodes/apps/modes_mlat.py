@@ -1,0 +1,111 @@
+"""Multilateration server: N remote modes_rx feeds -> aircraft positions.
+
+The reference collected mlat-grade observations by running modes_rx with
+PPS timestamps at several sites and correlating offline (python/mlat.py
+self-test shows the math; python/zmq_socket.py the tcp:// transport).
+This app closes the loop online: each remote site runs
+
+    modes_rx -s <sdr/file> --pub tcp://0.0.0.0:PORT
+
+and modes_mlat subscribes to every site, correlates identical frames by
+hex within the light-travel window (decode/mlat_net.py), and prints (or
+re-publishes) TDOA positions.
+
+    modes_mlat -S 47.0,8.0,500@tcp://siteA:5555 \
+               -S 47.2,8.1,420@tcp://siteB:5555 \
+               -S 46.9,8.3,610@tcp://siteC:5555
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import time
+from typing import List, Optional
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="modes_mlat",
+        description="TDOA multilateration over remote modes_rx feeds")
+    p.add_argument("-S", "--station", action="append", required=True,
+                   metavar="LAT,LON,ALT@ZMQADDR",
+                   help="station position (deg, deg, meters MSL) and its "
+                   "modes_rx --pub address; repeat >= 3 times")
+    p.add_argument("--min-stations", type=int, default=3)
+    p.add_argument("--window", type=float, default=0.010,
+                   help="frame correlation window, seconds [0.010]")
+    p.add_argument("--alt-datum", choices=["msl", "ellipsoid"],
+                   default="msl")
+    p.add_argument("--pub", default=None, metavar="ADDR",
+                   help="re-publish solutions on a zmq PUB socket "
+                   "(topic 'mlat')")
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="exit after this long (testing)")
+    return p
+
+
+def parse_station(s: str):
+    pos, _, addr = s.partition("@")
+    lat, lon, alt = (float(x) for x in pos.split(","))
+    return (lat, lon, alt), addr
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_argparser().parse_args(argv)
+    from ..decode.mlat_net import mlat_correlator
+    from ..io.relay import zmq_pubsub_iface
+
+    stations, addrs = [], []
+    for s in args.station:
+        pos, addr = parse_station(s)
+        stations.append(pos)
+        addrs.append(addr)
+    if len(stations) < args.min_stations:
+        print(f"need >= {args.min_stations} stations", file=sys.stderr)
+        return 2
+
+    corr = mlat_correlator(stations, min_stations=args.min_stations,
+                           window_s=args.window, alt_datum=args.alt_datum)
+    inbox: "queue.Queue" = queue.Queue()
+    relays = []
+    for i, addr in enumerate(addrs):
+        r = zmq_pubsub_iface(subaddr=addr)
+        r.subscribe("dl_data", lambda m, i=i: inbox.put((i, m)))
+        relays.append(r)
+    pub = zmq_pubsub_iface(pubaddr=args.pub) if args.pub else None
+
+    n_solved = 0
+    t_start = time.time()
+    try:
+        while True:
+            if args.max_seconds and time.time() - t_start > args.max_seconds:
+                break
+            try:
+                station, msg = inbox.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            for sol in corr.feed(station, msg):
+                n_solved += 1
+                line = (f"mlat {sol.hexframe} "
+                        f"{'' if sol.icao is None else f'{sol.icao:06x}'} "
+                        f"({sol.lat:.5f}, {sol.lon:.5f}) alt {sol.alt_m:.0f} m"
+                        f" from {sol.n_stations} stations "
+                        f"[{sol.timestamp:.6f}]")
+                print(line, flush=True)
+                if pub:
+                    pub.publish("mlat", line)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for r in relays:
+            r.close()
+        if pub:
+            pub.close()
+    print(f"# modes_mlat: {n_solved} positions solved", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

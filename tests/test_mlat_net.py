@@ -1,0 +1,112 @@
+"""Online mlat correlator + modes_mlat app (SURVEY.md §3.5 closed loop)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from airmodes.decode import mlat as M
+from airmodes.decode.mlat_net import mlat_correlator
+from airmodes.testing import encoder
+
+C_LIGHT = 299792458.0
+
+STATIONS = [(47.00, 8.00, 500.0), (47.25, 8.05, 420.0),
+            (46.95, 8.40, 610.0), (47.15, 8.30, 800.0)]
+AIRCRAFT = (47.10, 8.20, 10000.0)
+
+
+def _arrivals(aircraft, stations, t_emit=100.0):
+    ac = M.llh2ecef(aircraft)
+    return [t_emit + float(np.linalg.norm(ac - M.llh2ecef(s))) / C_LIGHT
+            for s in stations]
+
+
+def _wire(frame, nbits, ts):
+    df = frame >> (nbits - 5)
+    return f"{df} {frame:0{nbits // 4}x} 000000 0 -20.0 {ts:.9f}"
+
+
+def test_correlator_solves_4_station_frame():
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("MLAT01"))
+    ts = _arrivals(AIRCRAFT, STATIONS)
+    sols = []
+    for i in range(4):
+        sols += corr.feed(i, _wire(frame, 112, ts[i]))
+    assert sols == []                       # window not aged yet
+    sols = corr.flush(now=ts[0] + 1.0)
+    assert len(sols) == 1
+    s = sols[0]
+    assert s.n_stations == 4 and s.icao == 0x4840D6
+    assert abs(s.lat - AIRCRAFT[0]) < 0.01
+    assert abs(s.lon - AIRCRAFT[1]) < 0.01
+    assert abs(s.alt_m - AIRCRAFT[2]) < 300.0
+    assert corr.flush(now=ts[0] + 2.0) == []   # cleared
+
+
+def test_correlator_3_station_altitude_constraint():
+    from airmodes.decode.altitude import encode_alt_q
+    alt_ft = AIRCRAFT[2] / 0.3048
+    frame = encoder.df4_frame(0xABCDEF, encode_alt_q(alt_ft))
+    corr = mlat_correlator(STATIONS[:3], alt_datum="ellipsoid")
+    ts = _arrivals(AIRCRAFT, STATIONS[:3])
+    for i in range(3):
+        corr.feed(i, _wire(frame, 56, ts[i]))
+    sols = corr.flush(now=ts[0] + 1.0)
+    assert len(sols) == 1
+    s = sols[0]
+    assert s.icao is None                   # AP-overlaid frame
+    assert abs(s.lat - AIRCRAFT[0]) < 0.02
+    assert abs(s.lon - AIRCRAFT[1]) < 0.02
+
+
+def test_correlator_keeps_earliest_arrival_and_needs_min():
+    corr = mlat_correlator(STATIONS, min_stations=3,
+                           alt_datum="ellipsoid")
+    frame = encoder.df17_frame(0x111111, encoder.me_identification("X"))
+    ts = _arrivals(AIRCRAFT, STATIONS)
+    corr.feed(0, _wire(frame, 112, ts[0]))
+    corr.feed(0, _wire(frame, 112, ts[0] + 2e-6))  # multipath copy: later
+    corr.feed(1, _wire(frame, 112, ts[1]))
+    # only 2 stations: aged entry is dropped without a solution
+    assert corr.flush(now=ts[0] + 1.0) == []
+    # fresh cycle with 3 stations solves
+    for i in range(3):
+        corr.feed(i, _wire(frame, 112, ts[i]))
+    assert len(corr.flush(now=ts[0] + 1.0)) == 1
+
+
+def test_modes_mlat_app_over_zmq(capsys):
+    """Three zmq publishers -> modes_mlat main -> printed solution."""
+    zmq = pytest.importorskip("zmq")
+    from airmodes.io.relay import zmq_pubsub_iface
+    from airmodes.apps import modes_mlat
+
+    pubs, addrs = [], []
+    for _ in range(3):
+        p = zmq_pubsub_iface(pubaddr="tcp://127.0.0.1:*")
+        pubs.append(p)
+        addrs.append(p._pub.getsockopt(zmq.LAST_ENDPOINT).decode())
+
+    argv = [f"-S{STATIONS[i][0]},{STATIONS[i][1]},{STATIONS[i][2]}"
+            f"@{addrs[i]}" for i in range(3)]
+    argv += ["--alt-datum", "ellipsoid", "--max-seconds", "6"]
+    th = threading.Thread(target=modes_mlat.main, args=(argv,), daemon=True)
+    th.start()
+    time.sleep(1.0)                         # let SUB sockets connect
+
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("NET1"))
+    ts = _arrivals(AIRCRAFT, STATIONS[:3])
+    for i in range(3):
+        pubs[i].publish("dl_data", _wire(frame, 112, ts[i]))
+    time.sleep(0.3)
+    # a later unrelated message ages the window out
+    other = encoder.df17_frame(0x222222, encoder.me_identification("AGE"))
+    pubs[0].publish("dl_data", _wire(other, 112, ts[0] + 1.0))
+    th.join(timeout=10)
+    for p in pubs:
+        p.close()
+    out = capsys.readouterr().out
+    assert "mlat " in out and "4840d6" in out, out
