@@ -1,5 +1,16 @@
 """Standard vs prescreen planar path on TPU: throughput + decode parity.
 
+RESULT (2026-08-20, TPU v5 lite, 256x4M blocks/dispatch):
+  std  8.60 Gsps (124.8 ms/dispatch)   pre  7.63 Gsps (140.7 ms/dispatch)
+  decode parity: 3375 == 3375 messages, symmetric diff 0 -> the two-stage
+  rule split is exactly decision-equivalent at production density, but
+  0.89x on throughput: the stage-A VPU saving (~10 vs ~16+NMS shift
+  passes) is eaten by the K2=512 candidate compaction (double top-k/sort
+  work) and the half-window-wider stage-B slices. Prescreen stays an
+  opt-in (demod_batch_planar(prescreen=True)); the one-stage kernel
+  remains the production default. std's 8.60 vs the 9.2-9.3 measured
+  earlier the same day is run-to-run relay/chip variance (CLAUDE.md).
+
 One chip claim measures (fetch-synced, device-resident, 2 in flight):
   det_std : one-stage cands kernel + compact
   det_pre : prescreen cands kernel + compact (stage A alone)
