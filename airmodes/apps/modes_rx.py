@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
     out.add_argument("-d", "--db", default=None, metavar="FILE",
                      help="SQLite database file")
     out.add_argument("-w", "--raw", type=int, default=None, metavar="PORT")
+    out.add_argument("-j", "--json", default=None, metavar="FILE",
+                     help="write a dump1090-style aircraft.json snapshot "
+                     "every second of stream time")
     out.add_argument("-m", "--flightgear", default=None, metavar="HOST:PORT")
     out.add_argument("-n", "--no-print", action="store_true")
     out.add_argument("-l", "--location", default=None, metavar="LAT,LON[,ALT]")
@@ -217,6 +220,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.raw:
         from ..outputs.raw_server import output_raw
         plug = output_raw(args.raw)
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.json:
+        from ..outputs.json_out import output_json
+        plug = output_json(args.json, parse_cls(my_pos))
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.flightgear:

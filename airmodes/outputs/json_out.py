@@ -1,0 +1,77 @@
+"""Periodic JSON snapshot of the live aircraft state (beyond reference).
+
+Writes a dump1090-style `aircraft.json` every `interval_s` of stream
+time — the format web map frontends and feeder networks consume. Rides
+the same dashboard model the GUI uses; written atomically (tmp + rename)
+so a reader never sees a torn file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from ..decode.parse import parse
+from ..exceptions import ADSBError
+from .gui_model import dashboard
+
+
+class output_json:
+    """Plugin: call output(msg) per raw wire message."""
+
+    def __init__(self, path: str, parser: Optional[parse] = None,
+                 interval_s: float = 1.0, stale_s: float = 60.0):
+        self.path = path
+        self._parser = parser or parse()
+        self._dash = dashboard(stale_s=stale_s)
+        self.interval_s = interval_s
+        self._last_write = None
+        self.n_writes = 0
+
+    def output(self, msg: str) -> None:
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        self._dash.update(rep)
+        now = rep.timestamp
+        if self._last_write is None or \
+                now - self._last_write >= self.interval_s:
+            self._write(now)
+
+    def _write(self, now: float) -> None:
+        self._dash.prune(now)
+        doc = {
+            "now": now,
+            "aircraft": [
+                {k: v for k, v in {
+                    "hex": f"{st.icao:06x}",
+                    "flight": st.ident,
+                    "squawk": None if st.squawk is None
+                    else f"{st.squawk:04d}",
+                    "alt_baro": st.altitude_ft,
+                    "gs": st.speed_kt,
+                    "track": st.heading_deg,
+                    "baro_rate": st.vertical_rate_fpm,
+                    "lat": st.lat,
+                    "lon": st.lon,
+                    "rssi": st.rssi_dbfs,
+                    "emergency": st.emergency,
+                    "messages": st.n_messages,
+                    "seen": round(now - st.last_seen, 3),
+                }.items() if v is not None}
+                for st in sorted(self._dash.aircraft.values(),
+                                 key=lambda s: s.icao)
+            ],
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self.path)
+        self._last_write = now
+        self.n_writes += 1
+
+    def close(self) -> None:
+        if self._dash._latest:
+            self._write(self._dash._latest)

@@ -286,6 +286,51 @@ def test_sbs1_df5_emergency_squawk_sets_alert():
         assert cols[18] == alert and cols[19] == alert
 
 
+def test_output_json_snapshot(tmp_path):
+    """aircraft.json snapshot: atomic writes, field mapping, staleness."""
+    import json
+    from airmodes.outputs.json_out import output_json
+    from airmodes.testing import encoder
+    path = str(tmp_path / "aircraft.json")
+    out = output_json(path, interval_s=1.0, stale_s=30.0)
+    me = encoder.me_identification("JSON01")
+    f1 = encoder.df17_frame(0xABC001, me)
+    out.output(f"17 {f1:028x} 000000 0 -21.5 1.0")
+    me2 = encoder.me_velocity(310.0, 90.0, -640.0)
+    f2 = encoder.df17_frame(0xABC001, me2)
+    out.output(f"17 {f2:028x} 000000 0 -20.0 5.0")   # interval passed
+    doc = json.load(open(path))
+    assert doc["now"] == 5.0
+    (ac,) = doc["aircraft"]
+    assert ac["hex"] == "abc001" and ac["flight"] == "JSON01"
+    assert abs(ac["gs"] - 310.0) < 2.0 and ac["messages"] == 2
+    assert "lat" not in ac                       # no position yet: omitted
+    # a second aircraft appears; the first goes stale and is pruned
+    f3 = encoder.df17_frame(0xABC002, me)
+    out.output(f"17 {f3:028x} 000000 0 -20.0 50.0")
+    out.close()
+    doc = json.load(open(path))
+    hexes = [a["hex"] for a in doc["aircraft"]]
+    assert hexes == ["abc002"]
+
+
+def test_cli_json_flag(tmp_path):
+    import json
+    from airmodes.apps.modes_rx import main
+    from airmodes.testing import encoder
+    iq, truth = encoder.make_capture(
+        encoder.random_df17_frames(5, seed=77), snr_db=22.0, spacing=8000,
+        seed=77, total_samples=1 << 17)
+    cap = str(tmp_path / "c.c64")
+    iq.tofile(cap)
+    jpath = str(tmp_path / "aircraft.json")
+    rc = main(["-s", cap, "--block-size", "65536", "-n", "-j", jpath,
+               "--stats-interval", "0"])
+    assert rc == 0
+    doc = json.load(open(jpath))
+    assert len(doc["aircraft"]) >= 4
+
+
 def test_dashboard_tracks_emergency():
     from airmodes.outputs.gui_model import dashboard
     from airmodes.decode.parse import parse
