@@ -111,9 +111,13 @@ def pick_step(cfg, xi, xq):
     candidates.append(("xla", xla_step))
     for name, step in candidates:
         try:
-            out = np.asarray(step(xi[:1], xq[:1], cfg))
-            assert out.shape[0] == 1
-            return name, step
+            # probe with the FULL (C, P) batch: a (1, P)-shaped trial is a
+            # separate XLA compile (measured up to ~20 min uncached) that
+            # nothing else reuses; the full-shape output doubles as the
+            # correctness-gate decode input
+            out = np.asarray(step(xi, xq, cfg))
+            assert out.shape[0] == xi.shape[0]
+            return name, step, out
         except Exception as e:
             print(f"# {name} unavailable ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -204,7 +208,7 @@ def main():
     xi, xq, truth = build_capture(cfg, C)
 
     t0 = time.time()
-    kernel, step = pick_step(cfg, xi, xq)
+    kernel, step, arr0 = pick_step(cfg, xi, xq)
     compile_s = time.time() - t0
 
     # correctness gate: the bench capture must decode its injected traffic.
@@ -214,7 +218,7 @@ def main():
     # decoded that were never injected (noise or ECC minting a valid-CRC
     # frame from a marginal one) must stay under 1% of the injected count
     # — a false-positive regression fails the bench, not just a miss.
-    arr = np.asarray(step(xi, xq, cfg))
+    arr = arr0
     msgs = []
     for i in range(C):
         t = unpack_table(arr[i])
