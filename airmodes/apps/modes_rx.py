@@ -27,11 +27,14 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="modes_rx", description="TPU-native Mode S / ADS-B receiver")
     src = p.add_argument_group("source")
     src.add_argument("-s", "--source", action="append", default=None,
-                     help="file path, 'udp', or 'synthetic' "
+                     help="file path, 'udp', 'synthetic', or a remote "
+                     "receiver 'beast://host:port' / 'avr://host:port' "
                      "[synthetic]. Repeat for multi-channel operation: "
                      "every -s becomes one channel of a single batched "
                      "device call per step; messages publish on 'dl_data' "
-                     "(merged) and 'dl_data/ch<N>' (per channel)")
+                     "(merged) and 'dl_data/ch<N>' (per channel). Network "
+                     "sources skip the DSP entirely (aggregator mode) and "
+                     "may not be mixed with sample sources")
     src.add_argument("-r", "--rate", type=float, default=2e6,
                      help="source sample rate [2e6]")
     src.add_argument("--file-format", default="complex64",
@@ -74,6 +77,9 @@ def build_argparser() -> argparse.ArgumentParser:
     out.add_argument("-d", "--db", default=None, metavar="FILE",
                      help="SQLite database file")
     out.add_argument("-w", "--raw", type=int, default=None, metavar="PORT")
+    out.add_argument("-B", "--beast", type=int, default=None, metavar="PORT",
+                     help="serve Mode-S Beast binary frames on TCP port "
+                     "(30005; what readsb/VRS feed clients consume)")
     out.add_argument("-j", "--json", default=None, metavar="FILE",
                      help="write a dump1090-style aircraft.json snapshot "
                      "every second of stream time")
@@ -84,6 +90,8 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="print per-interval pipeline stats (0 = off)")
     out.add_argument("--max-blocks", type=int, default=None,
                      help="stop after N blocks (testing)")
+    out.add_argument("--max-messages", type=int, default=None,
+                     help="aggregator mode: stop after N messages (testing)")
     out.add_argument("--pub", default=None, metavar="ADDR",
                      help="also publish raw messages on a zmq PUB socket")
     out.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -164,6 +172,58 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     return 0
 
 
+def _run_aggregator(args, net_urls, bus, closers) -> int:
+    """Aggregator mode (beyond reference): subscribe remote receivers over
+    Beast binary / AVR TCP and fan their frames through the same decode
+    stack and output plugins as locally demodulated ones. Channel c's
+    messages also publish on 'dl_data/ch<c>' like multi-channel DSP mode."""
+    import threading
+    from ..io.netclient import net_client, parse_net_url
+
+    n_emitted = [0]
+    done = threading.Event()
+    lock = threading.Lock()
+
+    def make_cb(chan: int):
+        def cb(wire: str) -> None:
+            with lock:  # plugins are not thread-safe across client threads
+                bus.publish("dl_data", wire)
+                bus.publish(f"dl_data/ch{chan}", wire)
+                n_emitted[0] += 1
+                if args.max_messages and n_emitted[0] >= args.max_messages:
+                    done.set()
+        return cb
+
+    clients = []
+    for c, url in enumerate(net_urls):
+        fmt, host, port = parse_net_url(url)
+        cli = net_client(host, port, make_cb(c), fmt=fmt).start()
+        clients.append(cli)
+        closers.append(cli.close)
+    t_stats = time.time()
+    try:
+        while not done.is_set():
+            done.wait(0.5)
+            if args.stats_interval and \
+                    time.time() - t_stats > args.stats_interval:
+                frames = sum(c.n_frames for c in clients)
+                dropped = sum(c.n_dropped for c in clients)
+                print(f"# aggregating {len(clients)} feeds | frames {frames} "
+                      f"| crc-dropped {dropped}", file=sys.stderr)
+                t_stats = time.time()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for c in closers:
+            try:
+                c()
+            except Exception:
+                pass
+    print(f"# done: {n_emitted[0]} messages from {len(clients)} feeds",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
 
@@ -222,6 +282,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         plug = output_raw(args.raw)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
+    if args.beast:
+        from ..outputs.beast import output_beast
+        plug = output_beast(args.beast)
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
     if args.json:
         from ..outputs.json_out import output_json
         plug = output_json(args.json, parse_cls(my_pos))
@@ -241,6 +306,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # --- source ----------------------------------------------------------
     srcs = args.source or ["synthetic"]
+    n_net = sum(1 for s in srcs
+                if s.startswith(("beast://", "avr://")))
+    if n_net:
+        if n_net != len(srcs):
+            print("network sources (beast://, avr://) may not be mixed "
+                  "with sample sources", file=sys.stderr)
+            return 2
+        return _run_aggregator(args, srcs, bus, closers)
     if len(srcs) > 1:
         return _run_multichannel(args, srcs, cfg, bus, closers)
     args.source = srcs[0]

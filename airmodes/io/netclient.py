@@ -1,0 +1,282 @@
+"""Network frame ingestion: Beast / AVR TCP clients feeding the decode stack.
+
+Beyond the reference (which can only demodulate IQ itself): `modes_rx` can
+subscribe to remote receivers speaking the standard 1090 MHz wire protocols
+— Beast binary (dump1090/readsb `--net-bo-port 30005`) or AVR ASCII
+(`*<hex>;`, the reference's own raw_server output, python/raw_server.py) —
+turning it into an aggregator. Received frames are re-validated with the
+same CRC acceptance rules the slicer applies (lib/slicer_impl.cc semantics:
+DF11 accepts syndromes with zero high-17 bits, DF17/18 must be parity
+clean, AP-overlaid DFs carry the address in the syndrome) and re-emitted as
+this framework's wire strings, so every output plugin and the mlat
+correlator work identically on local and remote frames.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from typing import Callable, List, Optional, Tuple
+
+from .. import crc
+from ..constants import (AP_ADDRESS_DFS, STATUS_ADDR, STATUS_CRC_OK,
+                         frame_bits_for_df)
+from ..outputs.beast import ESC, MLAT_HZ, TYPE_LONG, TYPE_SHORT, signal_dbfs
+
+_BODY_LEN = {TYPE_SHORT: 6 + 1 + 7, TYPE_LONG: 6 + 1 + 14,
+             0x31: 6 + 1 + 2}  # Mode A/C frames are parsed but not decoded
+
+
+def frame_to_wire(hexframe: str, ref_dbfs: float = 0.0,
+                  timestamp: Optional[float] = None) -> Optional[str]:
+    """Validate a received Mode S frame and build the slicer wire string.
+
+    Returns None for frames this framework cannot accept: wrong length,
+    non-hex, unknown DF length mismatch, or a parity failure under the
+    slicer's per-DF acceptance rule (we have no chip confidence for remote
+    frames, so no brute-force correction is attempted).
+    """
+    hexframe = hexframe.lower()
+    nbits = len(hexframe) * 4
+    if nbits not in (56, 112):
+        return None
+    try:
+        data = int(hexframe, 16)
+    except ValueError:
+        return None
+    df5 = data >> (nbits - 5)
+    df = 24 if df5 >> 3 == 3 else df5
+    # a frame whose DF implies the other length is garbled
+    if frame_bits_for_df(df) != nbits:
+        return None
+    syndrome = crc.crc24(data, nbits)
+    if df in (17, 18) and syndrome != 0:
+        return None
+    if df == 11 and (syndrome >> 7) != 0:
+        return None
+    status = STATUS_ADDR if df in AP_ADDRESS_DFS else STATUS_CRC_OK
+    if timestamp is None:
+        timestamp = time.time()
+    return (f"{df} {hexframe} {syndrome:06x} {status} "
+            f"{ref_dbfs:.2f} {timestamp:.9f}")
+
+
+class beast_parser:
+    """Incremental Beast binary de-framer.
+
+    push(bytes) -> list of (type, mlat_counter, signal_byte, payload bytes).
+    Handles ESC doubling, partial frames across reads, and resynchronizes
+    on garbage (drop-and-continue).
+    """
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+
+    def push(self, data: bytes) -> List[Tuple[int, int, int, bytes]]:
+        self._buf.extend(data)
+        out: List[Tuple[int, int, int, bytes]] = []
+        while True:
+            frame = self._next_frame()
+            if frame is None:
+                return out
+            out.append(frame)
+
+    def _next_frame(self):
+        while True:
+            buf = self._buf
+            # resync: find an ESC followed by a known type byte
+            start = 0
+            while True:
+                i = buf.find(ESC, start)
+                if i < 0:
+                    del buf[:]
+                    return None
+                if i + 1 >= len(buf):
+                    del buf[:i]
+                    return None
+                if buf[i + 1] in _BODY_LEN:
+                    break
+                # not a frame start here — advance one byte; an ESC ESC
+                # pair may be garbage followed by a REAL frame-start ESC,
+                # so the second ESC must itself be tried as a start
+                start = i + 1
+            mtype = buf[i + 1]
+            need = _BODY_LEN[mtype]
+            body = bytearray()
+            j = i + 2
+            truncated = False
+            while len(body) < need:
+                if j >= len(buf):
+                    del buf[:i]
+                    return None  # incomplete; wait for more bytes
+                b = buf[j]
+                if b == ESC:
+                    if j + 1 >= len(buf):
+                        del buf[:i]
+                        return None
+                    if buf[j + 1] == ESC:
+                        body.append(ESC)
+                        j += 2
+                        continue
+                    # unescaped ESC mid-body: truncated frame — drop it
+                    # and restart parsing at the new frame boundary
+                    del buf[:j]
+                    truncated = True
+                    break
+                body.append(b)
+                j += 1
+            if truncated:
+                continue
+            # plausibility: a candidate whose Mode S payload length
+            # contradicts its DF is a false sync (e.g. we started inside
+            # the body of a frame a truncated predecessor swallowed) —
+            # rescan one byte past this ESC without consuming anything
+            if mtype in (TYPE_SHORT, TYPE_LONG):
+                df5 = body[7] >> 3
+                df = 24 if df5 >= 24 else df5
+                expect = 14 if df >= 16 else 7
+                if need - 7 != expect:
+                    del buf[:i + 1]
+                    continue
+            del buf[:j]
+            mlat = int.from_bytes(body[:6], "big")
+            return mtype, mlat, body[6], bytes(body[7:])
+
+
+def avr_to_hex(record: str) -> Optional[Tuple[str, Optional[int]]]:
+    """One AVR record -> (hexframe, mlat_counter or None).
+
+    `*<hex>` is a plain frame; `@<12-hex mlat><hex>` carries the Beast-style
+    12 MHz counter (readsb/dump1090 --net-ro AVR-MLAT format).
+    """
+    record = record.strip()
+    if record.startswith("*"):
+        return record[1:].strip(), None
+    if record.startswith("@") and len(record) >= 13:
+        try:
+            return record[13:].strip(), int(record[1:13], 16)
+        except ValueError:
+            return None
+    return None
+
+
+class net_client:
+    """TCP client pulling frames from a remote receiver into a callback.
+
+    format: "beast" | "avr" | "auto" (sniff the first byte: 0x1A = beast).
+    Each accepted frame is converted with frame_to_wire and handed to
+    `callback(wire_message)`. Timestamps are host arrival time unless
+    `mlat_time=True`, which uses the remote 12 MHz counter (relative to the
+    remote receiver's epoch — only meaningful to a consumer correlating
+    counters, e.g. the mlat server).
+    """
+
+    def __init__(self, host: str, port: int, callback: Callable[[str], None],
+                 fmt: str = "auto", mlat_time: bool = False,
+                 reconnect_s: float = 2.0):
+        self.host, self.port = host, port
+        self.callback = callback
+        self.fmt = fmt
+        self.mlat_time = mlat_time
+        self.reconnect_s = reconnect_s
+        self.n_frames = 0
+        self.n_dropped = 0
+        self._stop = threading.Event()
+        self._sock: Optional[socket.socket] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "net_client":
+        self._thread.start()
+        return self
+
+    # --- internals -------------------------------------------------------
+
+    def _emit(self, hexframe: str, signal: Optional[int],
+              mlat: Optional[int]) -> None:
+        dbfs = signal_dbfs(signal) if signal is not None else 0.0
+        ts = None
+        if self.mlat_time and mlat is not None:
+            ts = mlat / MLAT_HZ
+        wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts)
+        if wire is None:
+            self.n_dropped += 1
+            return
+        self.n_frames += 1
+        self.callback(wire)
+
+    def _pump(self, sock: socket.socket) -> None:
+        sock.settimeout(0.5)
+        fmt = self.fmt
+        beast = beast_parser()
+        avr_buf = b""
+        while not self._stop.is_set():
+            try:
+                chunk = sock.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            if not chunk:
+                return  # remote closed
+            if fmt == "auto":
+                fmt = "beast" if chunk[:1] == b"\x1a" else "avr"
+            if fmt == "beast":
+                for mtype, mlat, sig, payload in beast.push(chunk):
+                    if mtype in (TYPE_SHORT, TYPE_LONG):
+                        self._emit(payload.hex(), sig, mlat)
+            else:
+                avr_buf += chunk
+                while True:
+                    i = avr_buf.find(b";")
+                    if i < 0:
+                        break
+                    rec = avr_buf[:i].strip().decode("ascii", "replace")
+                    avr_buf = avr_buf[i + 1:]
+                    got = avr_to_hex(rec)
+                    if got is not None:
+                        self._emit(got[0], None, got[1])
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                sock = socket.create_connection(
+                    (self.host, self.port), timeout=5.0)
+            except OSError:
+                if self._stop.wait(self.reconnect_s):
+                    return
+                continue
+            self._sock = sock
+            try:
+                self._pump(sock)
+            finally:
+                self._sock = None
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+            self._stop.wait(self.reconnect_s)
+
+    def close(self) -> None:
+        self._stop.set()
+        sock = self._sock
+        if sock is not None:
+            try:
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+        self._thread.join(timeout=5.0)
+
+
+def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
+    """'beast://host:port' | 'avr://host:port' -> (fmt, host, port)."""
+    for scheme in ("beast", "avr"):
+        prefix = scheme + "://"
+        if url.startswith(prefix):
+            hostport = url[len(prefix):]
+            host, _, port = hostport.rpartition(":")
+            if not host or not port.isdigit():
+                raise ValueError(f"bad network source {url!r} "
+                                 "(want scheme://host:port)")
+            return scheme, host, int(port)
+    return None

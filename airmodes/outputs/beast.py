@@ -1,0 +1,82 @@
+"""Mode-S Beast binary output server (beyond reference).
+
+The Beast binary protocol is the lingua franca of the 1090 MHz feeder
+ecosystem (dump1090/readsb `--net-bo-port 30005`, Virtual Radar Server,
+FlightAware/adsbexchange feed clients all speak it). Serving it makes this
+framework a drop-in upstream for any of those consumers; the matching
+client-side parser lives in `airmodes/io/netclient.py`.
+
+Frame layout (one message):
+
+    0x1A <type> <6-byte MLAT counter> <1-byte signal> <payload>
+
+  type    0x32 = Mode S short (7-byte payload, 56 bits)
+          0x33 = Mode S long (14-byte payload, 112 bits)
+  MLAT    big-endian 48-bit counter of a 12 MHz clock at the preamble start
+  signal  amplitude byte; dump1090 convention sig = 255 * 10^(dBFS/20)
+
+Every body byte equal to 0x1A (ESC) is doubled on the wire; the type byte
+is never escaped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .tcpserver import broadcast_server
+
+ESC = 0x1A
+TYPE_MODEAC = 0x31
+TYPE_SHORT = 0x32
+TYPE_LONG = 0x33
+MLAT_HZ = 12_000_000
+_MLAT_MASK = (1 << 48) - 1
+
+
+def signal_byte(ref_dbfs: float) -> int:
+    """dBFS reference level -> Beast amplitude byte (dump1090 convention)."""
+    sig = round(255.0 * 10.0 ** (ref_dbfs / 20.0))
+    return max(0, min(255, sig))
+
+
+def signal_dbfs(byte: int) -> float:
+    """Inverse of signal_byte (floor at the 1-count quantization level)."""
+    import math
+    return 20.0 * math.log10(max(byte, 1) / 255.0)
+
+
+def beast_encode(hexframe: str, ref_dbfs: float,
+                 timestamp: float) -> Optional[bytes]:
+    """One Mode S frame -> escaped Beast wire bytes (None if not 56/112-bit)."""
+    try:
+        payload = bytes.fromhex(hexframe)
+    except ValueError:
+        return None
+    if len(payload) == 7:
+        mtype = TYPE_SHORT
+    elif len(payload) == 14:
+        mtype = TYPE_LONG
+    else:
+        return None
+    mlat = int(timestamp * MLAT_HZ) & _MLAT_MASK
+    body = mlat.to_bytes(6, "big") + bytes([signal_byte(ref_dbfs)]) + payload
+    return bytes([ESC, mtype]) + body.replace(b"\x1a", b"\x1a\x1a")
+
+
+class output_beast:
+    """Plugin: TCP server re-emitting each wire message as a Beast frame."""
+
+    def __init__(self, port: int = 30005, host: str = "0.0.0.0"):
+        self._srv = broadcast_server(port, host)
+        self.port = self._srv.port
+
+    def output(self, msg: str) -> None:
+        parts = msg.split()
+        if len(parts) != 6:
+            return
+        data = beast_encode(parts[1], float(parts[4]), float(parts[5]))
+        if data is not None:
+            self._srv.broadcast(data)
+
+    def close(self) -> None:
+        self._srv.close()

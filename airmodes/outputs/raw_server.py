@@ -8,38 +8,17 @@ string on request.
 
 from __future__ import annotations
 
-import socket
-import threading
-from typing import List
+from .tcpserver import broadcast_server
 
 
 class output_raw:
     def __init__(self, port: int = 9988, host: str = "0.0.0.0",
                  avr_format: bool = True):
         self._avr = avr_format
-        self._clients: List[socket.socket] = []
-        self._lock = threading.Lock()
-        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind((host, port))
-        self._srv.listen(5)
-        self._srv.setblocking(False)
-        self.port = self._srv.getsockname()[1]
-
-    def _accept(self):
-        while True:
-            try:
-                c, _ = self._srv.accept()
-            except (BlockingIOError, OSError):
-                return
-            # bounded send so one stalled client cannot block the decode
-            # loop; on timeout the client is dropped (drop-and-continue)
-            c.settimeout(1.0)
-            with self._lock:
-                self._clients.append(c)
+        self._srv = broadcast_server(port, host)
+        self.port = self._srv.port
 
     def output(self, msg: str) -> None:
-        self._accept()
         if self._avr:
             parts = msg.split()
             if len(parts) < 2:
@@ -47,27 +26,7 @@ class output_raw:
             line = f"*{parts[1]};\n"
         else:
             line = msg + "\n"
-        data = line.encode()
-        with self._lock:
-            dead = []
-            for c in self._clients:
-                try:
-                    c.sendall(data)
-                except OSError:
-                    dead.append(c)
-            for c in dead:
-                self._clients.remove(c)
-                try:
-                    c.close()
-                except OSError:
-                    pass
+        self._srv.broadcast(line.encode())
 
     def close(self) -> None:
-        with self._lock:
-            for c in self._clients:
-                try:
-                    c.close()
-                except OSError:
-                    pass
-            self._clients.clear()
         self._srv.close()

@@ -10,12 +10,11 @@ Nonblocking accept; a dead client socket just gets dropped (drop-and-continue).
 from __future__ import annotations
 
 import datetime
-import socket
-import threading
-from typing import List, Optional
+from typing import Optional
 
 from ..decode.parse import AircraftReport, parse
 from ..exceptions import ADSBError
+from .tcpserver import broadcast_server
 
 
 def _sbs_time(ts: float):
@@ -86,30 +85,10 @@ class output_sbs1:
     def __init__(self, port: int = 30003, parser: Optional[parse] = None,
                  host: str = "0.0.0.0"):
         self._parser = parser or parse()
-        self._clients: List[socket.socket] = []
-        self._lock = threading.Lock()
-        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind((host, port))
-        self._srv.listen(5)
-        self._srv.setblocking(False)
-        self.port = self._srv.getsockname()[1]
-
-    def _accept(self):
-        while True:
-            try:
-                c, _ = self._srv.accept()
-            except (BlockingIOError, OSError):
-                return
-            # bounded send: a client that stops reading must not stall the
-            # decode loop (output() runs synchronously per message) — on
-            # timeout the client is dropped, honoring drop-and-continue
-            c.settimeout(1.0)
-            with self._lock:
-                self._clients.append(c)
+        self._srv = broadcast_server(port, host)
+        self.port = self._srv.port
 
     def output(self, msg: str) -> None:
-        self._accept()
         try:
             rep = self._parser.parse(msg)
         except ADSBError:
@@ -120,27 +99,7 @@ class output_sbs1:
         self.send_line(lin)
 
     def send_line(self, lin: str) -> None:
-        data = (lin + "\r\n").encode()
-        with self._lock:
-            dead = []
-            for c in self._clients:
-                try:
-                    c.sendall(data)
-                except (socket.timeout, OSError):
-                    dead.append(c)
-            for c in dead:
-                self._clients.remove(c)
-                try:
-                    c.close()
-                except OSError:
-                    pass
+        self._srv.broadcast((lin + "\r\n").encode())
 
     def close(self) -> None:
-        with self._lock:
-            for c in self._clients:
-                try:
-                    c.close()
-                except OSError:
-                    pass
-            self._clients.clear()
         self._srv.close()

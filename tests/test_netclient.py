@@ -1,0 +1,252 @@
+"""Beast/AVR network interop: binary framing round trips, CRC acceptance
+rules for remote frames, the TCP client, and aggregator-mode modes_rx."""
+
+import socket
+import threading
+import time
+
+import pytest
+
+from airmodes import crc
+from airmodes.decode.parse import parse
+from airmodes.io.netclient import (avr_to_hex, beast_parser, frame_to_wire,
+                                   net_client, parse_net_url)
+from airmodes.outputs.beast import (ESC, MLAT_HZ, beast_encode, output_beast,
+                                    signal_byte, signal_dbfs)
+from airmodes.testing import encoder
+
+ICAO = 0x4840D6
+DF17 = encoder.df17_frame(ICAO, encoder.me_identification("KLM1023", tc=4))
+DF17_HEX = f"{DF17:028x}"
+DF4 = encoder.df4_frame(ICAO, 0x1234)
+DF4_HEX = f"{DF4:014x}"
+DF11 = encoder.df11_frame(ICAO)
+DF11_HEX = f"{DF11:014x}"
+
+
+# --- Beast binary encode/decode ------------------------------------------
+
+def test_beast_roundtrip_long_and_short():
+    p = beast_parser()
+    ts = 1700000000.123456
+    frames = p.push(beast_encode(DF17_HEX, -20.0, ts) +
+                    beast_encode(DF4_HEX, -3.5, ts + 1.0))
+    assert len(frames) == 2
+    (t0, mlat0, sig0, pay0), (t1, mlat1, sig1, pay1) = frames
+    assert t0 == 0x33 and pay0.hex() == DF17_HEX
+    assert t1 == 0x32 and pay1.hex() == DF4_HEX
+    # 12 MHz counter round-trips to sub-us precision (mod 2^48)
+    assert mlat0 == int(ts * MLAT_HZ) & ((1 << 48) - 1)
+    assert (mlat1 - mlat0) == pytest.approx(1.0 * MLAT_HZ, abs=1)
+    # signal byte inverts within quantization error
+    assert signal_dbfs(sig0) == pytest.approx(-20.0, abs=0.2)
+    assert signal_dbfs(sig1) == pytest.approx(-3.5, abs=0.2)
+
+
+def test_beast_escape_doubling():
+    # force ESC bytes into every body field: a timestamp and signal of 0x1A
+    ts = (0x1A1A1A1A1A1A) / MLAT_HZ
+    dbfs = signal_dbfs(0x1A)
+    wire = beast_encode(DF17_HEX, dbfs, ts)
+    # every 0x1A after the type byte must be doubled
+    body = wire[2:]
+    i = 0
+    while i < len(body):
+        if body[i] == ESC:
+            assert body[i + 1] == ESC
+            i += 2
+        else:
+            i += 1
+    ((mtype, mlat, sig, payload),) = beast_parser().push(wire)
+    assert mlat == 0x1A1A1A1A1A1A and sig == 0x1A
+    assert payload.hex() == DF17_HEX
+
+
+def test_beast_parser_resync_and_partial():
+    p = beast_parser()
+    whole = beast_encode(DF17_HEX, -20.0, 1.0)
+    # garbage + a truncated frame + a whole frame, fed one byte at a time
+    stream = b"\x00garbage\x1a" + whole[:9] + whole
+    got = []
+    for i in range(len(stream)):
+        got += p.push(stream[i:i + 1])
+    assert len(got) == 1
+    assert got[0][3].hex() == DF17_HEX
+
+
+def test_beast_encode_rejects_bad_input():
+    assert beast_encode("zz", -10.0, 0.0) is None
+    assert beast_encode("0011", -10.0, 0.0) is None  # 2 bytes: not Mode S
+    assert signal_byte(0.0) == 255 and signal_byte(-200.0) == 0
+
+
+# --- AVR records ----------------------------------------------------------
+
+def test_avr_to_hex():
+    assert avr_to_hex(f"*{DF17_HEX}") == (DF17_HEX, None)
+    mlat = 0x123456789ABC
+    rec = f"@{mlat:012x}{DF4_HEX}"
+    assert avr_to_hex(rec) == (DF4_HEX, mlat)
+    assert avr_to_hex("garbage") is None
+    assert avr_to_hex("") is None
+
+
+# --- frame_to_wire acceptance rules --------------------------------------
+
+def test_frame_to_wire_df17_parses():
+    w = frame_to_wire(DF17_HEX, ref_dbfs=-20.0, timestamp=1700000000.0)
+    rep = parse().parse(w)
+    assert rep.df == 17 and rep.icao == ICAO and rep.callsign == "KLM1023"
+
+
+def test_frame_to_wire_ap_overlay_recovers_icao():
+    w = frame_to_wire(DF4_HEX, timestamp=1700000000.0)
+    rep = parse().parse(w)
+    assert rep.df == 4 and rep.icao == ICAO
+
+
+def test_frame_to_wire_rejects_corrupt_df17():
+    bad = f"{DF17 ^ 1:028x}"  # flip one bit -> parity fails
+    assert frame_to_wire(bad) is None
+
+
+def test_frame_to_wire_df11_acceptance():
+    # clean DF11 (syndrome 0) accepted; interrogator II in low 7 bits too
+    assert frame_to_wire(DF11_HEX, timestamp=1.0) is not None
+    ii = encoder.df11_frame(ICAO, interrogator=5)
+    assert frame_to_wire(f"{ii:014x}", timestamp=1.0) is not None
+    # corrupting a bit makes the high-17 syndrome bits nonzero -> rejected
+    assert frame_to_wire(f"{DF11 ^ (1 << 40):014x}") is None
+
+
+def test_frame_to_wire_rejects_bad_lengths():
+    assert frame_to_wire("00") is None
+    assert frame_to_wire("xx" * 7) is None
+    # DF17 bits in a 56-bit frame: DF/length mismatch
+    short_df17 = (17 << 51) >> 56 if False else (17 << (56 - 5))
+    assert frame_to_wire(f"{short_df17:014x}") is None
+
+
+def test_frame_to_wire_df24():
+    f24 = encoder.df24_frame(ICAO, nd=1, md=0xAB)
+    w = frame_to_wire(f"{f24:028x}", timestamp=1.0)
+    assert w is not None and w.split()[0] == "24"
+    rep = parse().parse(w)
+    assert rep.df == 24 and rep.icao == ICAO
+
+
+def test_parse_net_url():
+    assert parse_net_url("beast://rx1:30005") == ("beast", "rx1", 30005)
+    assert parse_net_url("avr://10.0.0.2:30002") == ("avr", "10.0.0.2", 30002)
+    assert parse_net_url("capture.c64") is None
+    with pytest.raises(ValueError):
+        parse_net_url("beast://noport")
+
+
+# --- end-to-end over loopback TCP ----------------------------------------
+
+def _wire(frame, nbits, ts=1700000000.0):
+    synd = crc.crc24(frame, nbits)
+    return (f"{frame >> (nbits - 5)} {frame:0{nbits // 4}x} {synd:06x} "
+            f"0 -20.00 {ts:.9f}")
+
+
+def test_beast_server_to_client_roundtrip():
+    """output_beast server -> net_client: frames survive the full wire."""
+    srv = output_beast(port=0, host="127.0.0.1")
+    got, done = [], threading.Event()
+
+    def cb(w):
+        got.append(w)
+        if len(got) >= 3:
+            done.set()
+
+    cli = net_client("127.0.0.1", srv.port, cb, fmt="beast").start()
+    msgs = [_wire(DF17, 112), _wire(DF4, 56), _wire(DF11, 56)]
+    deadline = time.time() + 10
+    while time.time() < deadline and not done.is_set():
+        for m in msgs:  # resend until the client connects (accept is lazy)
+            srv.output(m)
+        done.wait(0.1)
+    cli.close()
+    srv.close()
+    assert done.is_set(), f"only {len(got)} frames arrived"
+    hexes = {w.split()[1] for w in got}
+    assert hexes == {DF17_HEX, DF4_HEX, DF11_HEX}
+    p = parse()
+    assert {p.parse(w).icao for w in got} == {ICAO}
+
+
+def test_avr_server_to_client_roundtrip():
+    """output_raw (the reference's AVR feed) -> net_client in avr mode."""
+    from airmodes.outputs.raw_server import output_raw
+    srv = output_raw(port=0, host="127.0.0.1")
+    got, done = [], threading.Event()
+
+    def cb(w):
+        got.append(w)
+        done.set()
+
+    cli = net_client("127.0.0.1", srv.port, cb, fmt="auto").start()
+    deadline = time.time() + 10
+    while time.time() < deadline and not done.is_set():
+        srv.output(_wire(DF17, 112))
+        done.wait(0.1)
+    cli.close()
+    srv.close()
+    assert done.is_set()
+    assert got[0].split()[1] == DF17_HEX
+
+
+def test_net_client_reconnects():
+    """Client survives the server going away and coming back on a new
+    accept (reconnect loop)."""
+    lsock = socket.socket()
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    got, done = [], threading.Event()
+    cli = net_client("127.0.0.1", port, lambda w: (got.append(w), done.set()),
+                     fmt="avr", reconnect_s=0.1).start()
+    # first connection: close immediately (simulates server restart)
+    c1, _ = lsock.accept()
+    c1.close()
+    # second connection: deliver a frame
+    lsock.settimeout(10)
+    c2, _ = lsock.accept()
+    c2.sendall(f"*{DF17_HEX};\n".encode())
+    assert done.wait(10)
+    c2.close()
+    cli.close()
+    lsock.close()
+    assert got[0].split()[1] == DF17_HEX
+
+
+def test_modes_rx_aggregator_cli():
+    """modes_rx -s beast://... consumes a remote feed end to end."""
+    from airmodes.apps.modes_rx import main
+    srv = output_beast(port=0, host="127.0.0.1")
+    feeding = threading.Event()
+
+    def feeder():
+        while not feeding.is_set():
+            srv.output(_wire(DF17, 112))
+            time.sleep(0.05)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        rc = main(["-s", f"beast://127.0.0.1:{srv.port}", "-n",
+                   "--max-messages", "3", "--stats-interval", "0"])
+    finally:
+        feeding.set()
+        t.join()
+        srv.close()
+    assert rc == 0
+
+
+def test_modes_rx_rejects_mixed_sources(capsys):
+    from airmodes.apps.modes_rx import main
+    rc = main(["-s", "beast://h:1", "-s", "synthetic", "-n"])
+    assert rc == 2
