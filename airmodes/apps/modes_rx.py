@@ -84,6 +84,9 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="write a dump1090-style aircraft.json snapshot "
                      "every second of stream time")
     out.add_argument("-m", "--flightgear", default=None, metavar="HOST:PORT")
+    out.add_argument("--http", type=int, default=None, metavar="PORT",
+                     help="serve a live web map + dump1090-style "
+                     "/data/aircraft.json API on this port")
     out.add_argument("-n", "--no-print", action="store_true")
     out.add_argument("-l", "--location", default=None, metavar="LAT,LON[,ALT]")
     out.add_argument("--stats-interval", type=float, default=10.0,
@@ -290,6 +293,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.json:
         from ..outputs.json_out import output_json
         plug = output_json(args.json, parse_cls(my_pos))
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.http:
+        from ..outputs.httpd import output_http
+        plug = output_http(args.http, parse_cls(my_pos), my_position=my_pos)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.flightgear:

@@ -1,0 +1,173 @@
+"""Embedded HTTP server: live map + aircraft.json endpoint (beyond reference).
+
+`modes_rx --http PORT` serves a dump1090-compatible data API plus a
+self-contained web UI (no external tile servers — a plan-position canvas
+with range rings centered on the receiver, like the reference's az_map
+coverage plot, plus a live aircraft table):
+
+    /                       single-file HTML/JS map + table, 1 s refresh
+    /data/aircraft.json     dump1090-style snapshot (same doc as -j)
+    /data/receiver.json     receiver metadata (lat/lon/refresh interval)
+
+State updates ride the plugin's synchronous output() path; HTTP requests
+are served from a pre-serialized snapshot under a lock, so slow/many web
+clients never block the decode loop.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+from typing import Optional, Tuple
+
+from ..decode.parse import parse
+from ..exceptions import ADSBError
+from .gui_model import dashboard
+from .json_out import build_doc
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>airmodes</title><style>
+ body{margin:0;font:13px/1.4 system-ui,sans-serif;background:#14181d;color:#d5dae0;display:flex;height:100vh}
+ #map{flex:1 1 60%;min-width:300px}
+ #side{flex:1 1 40%;overflow:auto;border-left:1px solid #2a313a;padding:8px}
+ table{border-collapse:collapse;width:100%}
+ th,td{padding:2px 6px;text-align:right;border-bottom:1px solid #222a33}
+ th{color:#8fa3b8;text-transform:uppercase;font-size:11px;position:sticky;top:0;background:#14181d}
+ td:first-child,th:first-child{text-align:left}
+ .emerg{color:#ff5c5c;font-weight:bold}
+ #hdr{color:#8fa3b8;margin:0 0 6px}
+</style></head><body>
+<canvas id="map"></canvas>
+<div id="side"><p id="hdr"></p><table><thead><tr>
+<th>hex</th><th>flight</th><th>squawk</th><th>alt ft</th><th>gs kt</th>
+<th>trk</th><th>vr fpm</th><th>rssi</th><th>msgs</th><th>seen</th>
+</tr></thead><tbody id="rows"></tbody></table></div>
+<script>
+const cv=document.getElementById('map'),cx=cv.getContext('2d');
+let rx=null, ringNm=50;
+function resize(){cv.width=cv.clientWidth;cv.height=cv.clientHeight}
+window.addEventListener('resize',resize);
+function project(lat,lon){ // local equirectangular around the receiver
+  const R=60*ringNm*4; // view spans 4 range rings
+  const dx=(lon-rx.lon)*60*Math.cos(rx.lat*Math.PI/180);
+  const dy=(lat-rx.lat)*60; // NM north
+  const s=Math.min(cv.width,cv.height)/2/(ringNm*4);
+  return [cv.width/2+dx*s, cv.height/2-dy*s];
+}
+function draw(ac){
+  resize();cx.clearRect(0,0,cv.width,cv.height);
+  cx.strokeStyle='#2a313a';cx.fillStyle='#8fa3b8';cx.font='10px sans-serif';
+  if(rx){
+    const s=Math.min(cv.width,cv.height)/2/(ringNm*4);
+    for(let r=ringNm;r<=ringNm*4;r+=ringNm){
+      cx.beginPath();cx.arc(cv.width/2,cv.height/2,r*s,0,7);cx.stroke();
+      cx.fillText(r+' NM',cv.width/2+3,cv.height/2-r*s-3);
+    }
+    cx.beginPath();cx.arc(cv.width/2,cv.height/2,3,0,7);cx.fill();
+  }
+  for(const a of ac){
+    if(a.lat===undefined||!rx)continue;
+    const[x,y]=project(a.lat,a.lon);
+    cx.save();cx.translate(x,y);
+    cx.fillStyle=a.emergency&&a.emergency!=='none'?'#ff5c5c':'#58b0f0';
+    cx.rotate((a.track||0)*Math.PI/180);
+    cx.beginPath();cx.moveTo(0,-6);cx.lineTo(4,6);cx.lineTo(-4,6);cx.closePath();cx.fill();
+    cx.rotate(-(a.track||0)*Math.PI/180);
+    cx.fillStyle='#d5dae0';cx.fillText(a.flight||a.hex,6,3);cx.restore();
+  }
+}
+async function tick(){
+  try{
+    if(!rx){const r=await fetch('data/receiver.json');rx=await r.json();}
+    const r=await fetch('data/aircraft.json');const d=await r.json();
+    document.getElementById('hdr').textContent=
+      d.aircraft.length+' aircraft — updated '+new Date(d.now*1000).toLocaleTimeString();
+    const tb=document.getElementById('rows');tb.innerHTML='';
+    for(const a of d.aircraft){
+      const tr=document.createElement('tr');
+      if(a.emergency&&a.emergency!=='none')tr.className='emerg';
+      for(const v of [a.hex,a.flight,a.squawk,a.alt_baro,a.gs&&a.gs.toFixed(0),
+                      a.track&&a.track.toFixed(0),a.baro_rate,a.rssi,
+                      a.messages,a.seen]){
+        const td=document.createElement('td');td.textContent=v===undefined?'':v;tr.appendChild(td);
+      }
+      tb.appendChild(tr);
+    }
+    draw(d.aircraft);
+  }catch(e){}
+  setTimeout(tick,1000);
+}
+tick();
+</script></body></html>
+"""
+
+
+class output_http:
+    """Plugin: call output(msg) per raw wire message; serves HTTP forever."""
+
+    def __init__(self, port: int = 8080, parser: Optional[parse] = None,
+                 my_position: Optional[Tuple[float, float]] = None,
+                 host: str = "0.0.0.0", stale_s: float = 60.0):
+        self._parser = parser or parse()
+        self._dash = dashboard(stale_s=stale_s)
+        self._lock = threading.Lock()
+        self._snapshot = json.dumps({"now": 0, "aircraft": []}).encode()
+        rx = {"lat": my_position[0], "lon": my_position[1],
+              "refresh": 1000, "version": "airmodes"} if my_position else \
+             {"refresh": 1000, "version": "airmodes"}
+        self._receiver = json.dumps(rx).encode()
+
+        plugin = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (http.server API)
+                path = self.path.split("?", 1)[0]
+                if path in ("/", "/index.html"):
+                    body, ctype = _PAGE.encode(), "text/html; charset=utf-8"
+                elif path == "/data/aircraft.json":
+                    with plugin._lock:
+                        body = plugin._snapshot
+                    ctype = "application/json"
+                elif path == "/data/receiver.json":
+                    body, ctype = plugin._receiver, "application/json"
+                else:
+                    self.send_error(404)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet: stdout belongs to msprint
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        self._last_snap: Optional[float] = None
+
+    def output(self, msg: str) -> None:
+        try:
+            rep = self._parser.parse(msg)
+        except ADSBError:
+            return
+        self._dash.update(rep)
+        now = rep.timestamp
+        # re-serialize at most once per second of stream time; requests
+        # only ever read the cached bytes
+        if self._last_snap is None or now - self._last_snap >= 1.0:
+            doc = json.dumps(build_doc(self._dash, now)).encode()
+            with self._lock:
+                self._snapshot = doc
+            self._last_snap = now
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=5.0)

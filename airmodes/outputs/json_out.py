@@ -17,6 +17,36 @@ from ..exceptions import ADSBError
 from .gui_model import dashboard
 
 
+def build_doc(dash: dashboard, now: float) -> dict:
+    """dump1090 aircraft.json document from the live dashboard state.
+
+    Prunes stale aircraft first; shared by the file writer here and the
+    embedded HTTP server (outputs/httpd.py)."""
+    dash.prune(now)
+    return {
+        "now": now,
+        "aircraft": [
+            {k: v for k, v in {
+                "hex": f"{st.icao:06x}",
+                "flight": st.ident,
+                "squawk": None if st.squawk is None
+                else f"{st.squawk:04d}",
+                "alt_baro": st.altitude_ft,
+                "gs": st.speed_kt,
+                "track": st.heading_deg,
+                "baro_rate": st.vertical_rate_fpm,
+                "lat": st.lat,
+                "lon": st.lon,
+                "rssi": st.rssi_dbfs,
+                "emergency": st.emergency,
+                "messages": st.n_messages,
+                "seen": round(now - st.last_seen, 3),
+            }.items() if v is not None}
+            for st in sorted(dash.aircraft.values(), key=lambda s: s.icao)
+        ],
+    }
+
+
 class output_json:
     """Plugin: call output(msg) per raw wire message."""
 
@@ -41,30 +71,7 @@ class output_json:
             self._write(now)
 
     def _write(self, now: float) -> None:
-        self._dash.prune(now)
-        doc = {
-            "now": now,
-            "aircraft": [
-                {k: v for k, v in {
-                    "hex": f"{st.icao:06x}",
-                    "flight": st.ident,
-                    "squawk": None if st.squawk is None
-                    else f"{st.squawk:04d}",
-                    "alt_baro": st.altitude_ft,
-                    "gs": st.speed_kt,
-                    "track": st.heading_deg,
-                    "baro_rate": st.vertical_rate_fpm,
-                    "lat": st.lat,
-                    "lon": st.lon,
-                    "rssi": st.rssi_dbfs,
-                    "emergency": st.emergency,
-                    "messages": st.n_messages,
-                    "seen": round(now - st.last_seen, 3),
-                }.items() if v is not None}
-                for st in sorted(self._dash.aircraft.values(),
-                                 key=lambda s: s.icao)
-            ],
-        }
+        doc = build_doc(self._dash, now)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f)

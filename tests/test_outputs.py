@@ -345,3 +345,47 @@ def test_dashboard_tracks_emergency():
     frame = encoder.df17_frame(0xABC123, me)
     st = d.update(parse().parse(f"17 {frame:028x} 000000 0 -20.0 2.0"))
     assert st.emergency is None and st.squawk == 1200
+
+
+def test_output_http_serves_map_and_json():
+    import json as _json
+    import urllib.request
+    from airmodes.outputs.httpd import output_http
+    plug = output_http(port=0, host="127.0.0.1", my_position=(47.0, 8.0))
+    try:
+        base = f"http://127.0.0.1:{plug.port}"
+        for m in (IDENT, VEL, POS_E, POS_O):
+            plug.output(m)
+        plug.output("garbage")  # must not raise
+        page = urllib.request.urlopen(base + "/", timeout=5).read().decode()
+        assert "aircraft.json" in page and "<canvas" in page
+        rx = _json.load(urllib.request.urlopen(
+            base + "/data/receiver.json", timeout=5))
+        assert rx["lat"] == 47.0 and rx["lon"] == 8.0
+        doc = _json.load(urllib.request.urlopen(
+            base + "/data/aircraft.json", timeout=5))
+        (ac,) = doc["aircraft"]
+        assert ac["hex"] == "4840d6" and ac["flight"] == "KLM1023"
+        assert abs(ac["lat"] - 47.3) < 0.01
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/nope", timeout=5)
+    finally:
+        plug.close()
+
+
+def test_output_http_snapshot_updates_with_stream_time():
+    import json as _json
+    import urllib.request
+    from airmodes.outputs.httpd import output_http
+    plug = output_http(port=0, host="127.0.0.1")
+    try:
+        plug.output(IDENT)
+        plug.output(wire(encoder.df17_frame(
+            0x111111, encoder.me_identification("LATER", tc=4)), 112,
+            ts=1700000005.0))  # > 1 s of stream time -> snapshot refresh
+        doc = _json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{plug.port}/data/aircraft.json", timeout=5))
+        hexes = {a["hex"] for a in doc["aircraft"]}
+        assert hexes == {"4840d6", "111111"}
+    finally:
+        plug.close()
