@@ -1,9 +1,9 @@
 """SBS-1 / BaseStation TCP server (ref: gr-air-modes python/sbs1.py).
 
-TCP server on port 30003 emitting CSV "MSG,{1|3|4|5|6}" lines compatible with
-BaseStation / Virtual Radar Server:
-  MSG,1: callsign   MSG,3: position+altitude   MSG,4: velocity
-  MSG,5: altitude-only surveillance            MSG,6: squawk
+TCP server on port 30003 emitting CSV "MSG,{1|2|3|4|5|6}" lines compatible
+with BaseStation / Virtual Radar Server:
+  MSG,1: callsign   MSG,2: surface position    MSG,3: airborne position
+  MSG,4: velocity   MSG,5: altitude-only surveillance   MSG,6: squawk
 Nonblocking accept; a dead client socket just gets dropped (drop-and-continue).
 """
 
@@ -49,6 +49,13 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
             f[4] = f"{rep.lat:.5f}"
             f[5] = f"{rep.lon:.5f}"
             f[11] = "-1" if rep.on_surface else "0"
+            if rep.on_surface:
+                # MSG,2 = surface position; BDS0,6 also carries movement
+                if rep.speed_kt is not None:
+                    f[2] = f"{rep.speed_kt:.0f}"
+                if rep.heading_deg is not None:
+                    f[3] = f"{rep.heading_deg:.0f}"
+                return line(2, f)
             return line(3, f)
         if rep.speed_kt is not None:
             f[2] = f"{rep.speed_kt:.0f}"

@@ -148,6 +148,22 @@ def me_airborne_position(alt_ft: Optional[float], lat: float, lon: float,
     return me
 
 
+def me_surface_position(lat: float, lon: float, odd: bool, tc: int = 7,
+                        mov: int = 0, track_deg: Optional[float] = None) -> int:
+    """BDS0,6 surface position ME: [ftc:5][mov:7][gts:1][gtk:7][t:1][f:1][lat:17][lon:17].
+
+    `mov` is the DO-260 movement code (see parse._surface_speed bands);
+    track is valid (gts=1) only when track_deg is given.
+    """
+    from ..decode.cpr import cpr_encode
+    yz, xz = cpr_encode(lat, lon, odd=odd, surface=True)
+    gts = 0 if track_deg is None else 1
+    gtk = 0 if track_deg is None else round(track_deg % 360.0 * 128.0 / 360.0) & 0x7F
+    me = (tc & 0x1F) << 51 | (mov & 0x7F) << 44 | gts << 43 | gtk << 36
+    me |= (1 if odd else 0) << 34 | (yz & 0x1FFFF) << 17 | (xz & 0x1FFFF)
+    return me
+
+
 def me_velocity(gs_kt: float, track_deg: float, vrate_fpm: float,
                 supersonic: bool = False) -> int:
     """BDS0,9 subtype 1/2 ground-velocity ME."""

@@ -389,3 +389,22 @@ def test_output_http_snapshot_updates_with_stream_time():
         assert hexes == {"4840d6", "111111"}
     finally:
         plug.close()
+
+
+def test_sbs1_msg2_surface_position():
+    from airmodes.outputs.sbs1 import format_sbs1
+    p = parse((47.0, 8.0))  # surface decode needs a receiver reference
+    me_e = encoder.me_surface_position(47.01, 8.02, odd=False, mov=50,
+                                       track_deg=90.0)
+    me_o = encoder.me_surface_position(47.01, 8.02, odd=True, mov=50,
+                                       track_deg=90.0)
+    rep = None
+    for me, ts in ((me_e, 1700000001.0), (me_o, 1700000002.0)):
+        rep = p.parse(wire(encoder.df17_frame(0x4840D6, me), 112, ts=ts))
+    assert rep.on_surface and rep.lat is not None
+    lin = format_sbs1(rep)
+    cols = lin.split(",")
+    assert cols[1] == "2"                       # MSG,2 = surface position
+    assert abs(float(cols[14]) - 47.01) < 0.01  # lat
+    assert cols[12] != "" and cols[13] != ""    # gs + track carried
+    assert cols[21] == "-1"                     # onground flag
