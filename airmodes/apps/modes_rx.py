@@ -38,7 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     src.add_argument("-r", "--rate", type=float, default=2e6,
                      help="source sample rate [2e6]")
     src.add_argument("--file-format", default="complex64",
-                     choices=["complex64", "sc16", "uc8"])
+                     choices=["complex64", "sc16", "uc8", "beast", "avr"],
+                     help="IQ sample format, or a demodulated frame "
+                     "recording ('beast' binary / 'avr' ASCII, e.g. from "
+                     "dump1090/readsb or this framework's -B/-w servers) "
+                     "replayed through the decode stack without DSP")
     src.add_argument("-f", "--freq", type=float, default=1090e6)
     src.add_argument("-g", "--gain", type=float, default=None)
     src.add_argument("-e", "--error", type=float, default=0.0,
@@ -227,6 +231,37 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
     return 0
 
 
+def _run_frame_replay(args, path, bus, closers) -> int:
+    """Replay a recorded Beast/AVR frame capture (e.g. a dump1090/readsb
+    recording, or this framework's own -B/-w output) through the decode
+    stack — no DSP. --throttle paces by the recording's 12 MHz MLAT
+    counters."""
+    from ..io.netclient import replay_file
+
+    n = 0
+    t0 = time.time()
+    try:
+        for wire_msg, off in replay_file(path, fmt=args.file_format):
+            if args.throttle:
+                ahead = off - (time.time() - t0)
+                if ahead > 0:
+                    time.sleep(ahead)
+            bus.publish("dl_data", wire_msg)
+            n += 1
+            if args.max_messages and n >= args.max_messages:
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for c in closers:
+            try:
+                c()
+            except Exception:
+                pass
+    print(f"# done: replayed {n} frames from {path}", file=sys.stderr)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_argparser().parse_args(argv)
 
@@ -314,6 +349,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # --- source ----------------------------------------------------------
     srcs = args.source or ["synthetic"]
+    if args.file_format in ("beast", "avr"):
+        if len(srcs) != 1 or srcs[0] in ("udp", "synthetic", "uhd",
+                                         "osmocom"):
+            print("frame-recording replay takes exactly one file source",
+                  file=sys.stderr)
+            return 2
+        return _run_frame_replay(args, srcs[0], bus, closers)
     n_net = sum(1 for s in srcs
                 if s.startswith(("beast://", "avr://")))
     if n_net:

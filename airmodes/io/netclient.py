@@ -268,6 +268,53 @@ class net_client:
         self._thread.join(timeout=5.0)
 
 
+def replay_file(path: str, fmt: str = "auto",
+                epoch: Optional[float] = None):
+    """Replay a recorded Beast-binary or AVR capture as wire messages.
+
+    Yields (wire_message, stream_offset_s). Remote 12 MHz MLAT counters
+    (Beast always; AVR `@` records) are mapped onto `epoch` relative to the
+    first frame's counter, preserving inter-frame spacing for throttled
+    replay and CPR pairing windows; counter-less AVR records replay at the
+    epoch. Frames failing the CRC acceptance rules are skipped.
+    """
+    if epoch is None:
+        epoch = time.time()
+    with open(path, "rb") as f:
+        data = f.read()
+    if fmt == "auto":
+        fmt = "beast" if data[:1] == b"\x1a" else "avr"
+    mlat0: Optional[int] = None
+
+    def ts_of(mlat: Optional[int]) -> Tuple[float, float]:
+        nonlocal mlat0
+        if mlat is None:
+            return epoch, 0.0
+        if mlat0 is None:
+            mlat0 = mlat
+        off = (mlat - mlat0) / MLAT_HZ
+        return epoch + off, off
+
+    if fmt == "beast":
+        for mtype, mlat, sig, payload in beast_parser().push(data):
+            if mtype not in (TYPE_SHORT, TYPE_LONG):
+                continue
+            ts, off = ts_of(mlat)
+            w = frame_to_wire(payload.hex(), ref_dbfs=signal_dbfs(sig),
+                              timestamp=ts)
+            if w is not None:
+                yield w, off
+    else:
+        for rec in data.split(b";"):
+            got = avr_to_hex(rec.strip().decode("ascii", "replace"))
+            if got is None:
+                continue
+            ts, off = ts_of(got[1])
+            w = frame_to_wire(got[0], timestamp=ts)
+            if w is not None:
+                yield w, off
+
+
 def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
     """'beast://host:port' | 'avr://host:port' -> (fmt, host, port)."""
     for scheme in ("beast", "avr"):

@@ -250,3 +250,45 @@ def test_modes_rx_rejects_mixed_sources(capsys):
     from airmodes.apps.modes_rx import main
     rc = main(["-s", "beast://h:1", "-s", "synthetic", "-n"])
     assert rc == 2
+
+
+def test_replay_beast_file(tmp_path):
+    from airmodes.io.netclient import replay_file
+    from airmodes.outputs.beast import beast_encode
+    path = tmp_path / "rec.beast"
+    blob = b"".join(beast_encode(h, -15.0, 100.0 + i * 0.25)
+                    for i, h in enumerate([DF17_HEX, DF4_HEX, DF11_HEX]))
+    path.write_bytes(blob)
+    got = list(replay_file(str(path), epoch=5000.0))
+    assert [w.split()[1] for w, _ in got] == [DF17_HEX, DF4_HEX, DF11_HEX]
+    offs = [off for _, off in got]
+    assert offs == pytest.approx([0.0, 0.25, 0.5], abs=1e-6)
+    # wire timestamps ride the epoch + counter offset
+    assert float(got[1][0].split()[5]) == pytest.approx(5000.25, abs=1e-6)
+
+
+def test_replay_avr_file(tmp_path):
+    from airmodes.io.netclient import replay_file
+    path = tmp_path / "rec.avr"
+    mlat = 24_000_000  # 2.0 s on the 12 MHz counter
+    path.write_text(f"*{DF17_HEX};\n@{mlat:012x}{DF4_HEX};\njunk;\n")
+    got = list(replay_file(str(path), fmt="avr", epoch=1.0))
+    assert [w.split()[1] for w, _ in got] == [DF17_HEX, DF4_HEX]
+
+
+def test_modes_rx_frame_replay_cli(tmp_path, capsys):
+    from airmodes.apps.modes_rx import main
+    from airmodes.outputs.beast import beast_encode
+    rec = tmp_path / "rec.beast"
+    rec.write_bytes(beast_encode(DF17_HEX, -15.0, 1.0) * 2 +
+                    beast_encode(DF4_HEX, -15.0, 2.0))
+    db = tmp_path / "out.db"
+    rc = main(["-s", str(rec), "--file-format", "beast", "-n",
+               "-d", str(db), "--stats-interval", "0"])
+    assert rc == 0
+    import sqlite3
+    con = sqlite3.connect(str(db))
+    ident = con.execute("SELECT ident FROM aircraft").fetchone()[0]
+    assert ident == "KLM1023"
+    rc = main(["-s", "synthetic", "--file-format", "beast", "-n"])
+    assert rc == 2
