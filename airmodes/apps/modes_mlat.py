@@ -30,9 +30,13 @@ def build_argparser() -> argparse.ArgumentParser:
         prog="modes_mlat",
         description="TDOA multilateration over remote modes_rx feeds")
     p.add_argument("-S", "--station", action="append", required=True,
-                   metavar="LAT,LON,ALT@ZMQADDR",
+                   metavar="LAT,LON,ALT@ADDR",
                    help="station position (deg, deg, meters MSL) and its "
-                   "modes_rx --pub address; repeat >= 3 times")
+                   "feed address; repeat >= 3 times. ADDR is a modes_rx "
+                   "--pub zmq address (tcp://host:port), or a standard "
+                   "receiver feed: beastgps://host:port (radarcape-style "
+                   "GPS-disciplined timestamps — what cross-station TDOA "
+                   "needs), beast://host:port, avr://host:port")
     p.add_argument("--min-stations", type=int, default=3)
     p.add_argument("--window", type=float, default=0.010,
                    help="frame correlation window, seconds [0.010]")
@@ -71,6 +75,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     inbox: "queue.Queue" = queue.Queue()
     relays = []
     for i, addr in enumerate(addrs):
+        from ..io.netclient import client_for_url
+        cli = client_for_url(addr, lambda m, i=i: inbox.put((i, m)))
+        if cli is not None:  # beast/beastgps/avr receiver feed
+            relays.append(cli.start())
+            continue
         r = zmq_pubsub_iface(subaddr=addr)
         r.subscribe("dl_data", lambda m, i=i: inbox.put((i, m)))
         relays.append(r)

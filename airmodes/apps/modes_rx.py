@@ -84,6 +84,10 @@ def build_argparser() -> argparse.ArgumentParser:
     out.add_argument("-B", "--beast", type=int, default=None, metavar="PORT",
                      help="serve Mode-S Beast binary frames on TCP port "
                      "(30005; what readsb/VRS feed clients consume)")
+    out.add_argument("--beast-gps", action="store_true",
+                     help="-B serves radarcape-style GPS/UTC timestamps "
+                     "instead of the 12 MHz counter (mlat-grade feed for "
+                     "modes_mlat beastgps://)")
     out.add_argument("-j", "--json", default=None, metavar="FILE",
                      help="write a dump1090-style aircraft.json snapshot "
                      "every second of stream time")
@@ -99,6 +103,11 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="stop after N blocks (testing)")
     out.add_argument("--max-messages", type=int, default=None,
                      help="aggregator mode: stop after N messages (testing)")
+    out.add_argument("--dedup-window", type=float, default=1.0,
+                     help="aggregator mode: suppress the same frame from "
+                     "overlapping feeds on the merged topic within this "
+                     "many seconds [1.0]; per-channel topics are never "
+                     "deduplicated")
     out.add_argument("--pub", default=None, metavar="ADDR",
                      help="also publish raw messages on a zmq PUB socket")
     out.add_argument("--profile", default=None, metavar="LOGDIR",
@@ -183,19 +192,24 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
     """Aggregator mode (beyond reference): subscribe remote receivers over
     Beast binary / AVR TCP and fan their frames through the same decode
     stack and output plugins as locally demodulated ones. Channel c's
-    messages also publish on 'dl_data/ch<c>' like multi-channel DSP mode."""
+    messages also publish on 'dl_data/ch<c>' (undeduplicated); the merged
+    'dl_data' topic suppresses the same frame arriving from overlapping
+    feeds within --dedup-window."""
     import threading
-    from ..io.netclient import net_client, parse_net_url
+    from ..io.netclient import client_for_url, frame_deduper
 
     n_emitted = [0]
     done = threading.Event()
     lock = threading.Lock()
+    dedup = frame_deduper(window_s=args.dedup_window)
 
     def make_cb(chan: int):
         def cb(wire: str) -> None:
             with lock:  # plugins are not thread-safe across client threads
-                bus.publish("dl_data", wire)
                 bus.publish(f"dl_data/ch{chan}", wire)
+                if not dedup.accept(wire.split()[1]):
+                    return
+                bus.publish("dl_data", wire)
                 n_emitted[0] += 1
                 if args.max_messages and n_emitted[0] >= args.max_messages:
                     done.set()
@@ -203,8 +217,7 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
 
     clients = []
     for c, url in enumerate(net_urls):
-        fmt, host, port = parse_net_url(url)
-        cli = net_client(host, port, make_cb(c), fmt=fmt).start()
+        cli = client_for_url(url, make_cb(c)).start()
         clients.append(cli)
         closers.append(cli.close)
     t_stats = time.time()
@@ -322,7 +335,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         closers.append(plug.close)
     if args.beast:
         from ..outputs.beast import output_beast
-        plug = output_beast(args.beast)
+        plug = output_beast(args.beast, gps_time=args.beast_gps)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.json:
@@ -357,11 +370,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         return _run_frame_replay(args, srcs[0], bus, closers)
     n_net = sum(1 for s in srcs
-                if s.startswith(("beast://", "avr://")))
+                if s.startswith(("beast://", "beastgps://", "avr://")))
     if n_net:
         if n_net != len(srcs):
-            print("network sources (beast://, avr://) may not be mixed "
-                  "with sample sources", file=sys.stderr)
+            print("network sources (beast://, beastgps://, avr://) may "
+                  "not be mixed with sample sources", file=sys.stderr)
             return 2
         return _run_aggregator(args, srcs, bus, closers)
     if len(srcs) > 1:

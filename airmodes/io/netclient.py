@@ -161,24 +161,46 @@ def avr_to_hex(record: str) -> Optional[Tuple[str, Optional[int]]]:
     return None
 
 
+def gps_counter_to_utc(counter: int, host_now: float) -> float:
+    """Radarcape/GPS Beast timestamp -> absolute UTC seconds.
+
+    GPS-disciplined Beast receivers replace the free-running 12 MHz counter
+    with [seconds-of-UTC-day:18][nanoseconds:30]. The day epoch comes from
+    the host clock, corrected so the result lands within half a day of
+    arrival (handles UTC-midnight rollover between emission and receipt).
+    """
+    secs = (counter >> 30) + (counter & ((1 << 30) - 1)) * 1e-9
+    day_epoch = host_now - (host_now % 86400.0)
+    ts = day_epoch + secs
+    if ts - host_now > 43200.0:
+        ts -= 86400.0
+    elif host_now - ts > 43200.0:
+        ts += 86400.0
+    return ts
+
+
 class net_client:
     """TCP client pulling frames from a remote receiver into a callback.
 
     format: "beast" | "avr" | "auto" (sniff the first byte: 0x1A = beast).
     Each accepted frame is converted with frame_to_wire and handed to
-    `callback(wire_message)`. Timestamps are host arrival time unless
-    `mlat_time=True`, which uses the remote 12 MHz counter (relative to the
-    remote receiver's epoch — only meaningful to a consumer correlating
-    counters, e.g. the mlat server).
+    `callback(wire_message)`. Timestamp handling (`timestamps=`):
+
+      "host"  arrival time at this host (default; fine for live maps)
+      "mlat"  the remote 12 MHz counter verbatim (relative to the remote
+              receiver's boot — only meaningful to a consumer correlating
+              raw counters)
+      "gps"   radarcape-style GPS-disciplined counter ([sec-of-day:18]
+              [ns:30]) -> absolute UTC; what mlat across stations needs
     """
 
     def __init__(self, host: str, port: int, callback: Callable[[str], None],
                  fmt: str = "auto", mlat_time: bool = False,
-                 reconnect_s: float = 2.0):
+                 timestamps: str = "host", reconnect_s: float = 2.0):
         self.host, self.port = host, port
         self.callback = callback
         self.fmt = fmt
-        self.mlat_time = mlat_time
+        self.timestamps = "mlat" if mlat_time else timestamps
         self.reconnect_s = reconnect_s
         self.n_frames = 0
         self.n_dropped = 0
@@ -196,8 +218,11 @@ class net_client:
               mlat: Optional[int]) -> None:
         dbfs = signal_dbfs(signal) if signal is not None else 0.0
         ts = None
-        if self.mlat_time and mlat is not None:
-            ts = mlat / MLAT_HZ
+        if mlat is not None:
+            if self.timestamps == "mlat":
+                ts = mlat / MLAT_HZ
+            elif self.timestamps == "gps":
+                ts = gps_counter_to_utc(mlat, time.time())
         wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts)
         if wire is None:
             self.n_dropped += 1
@@ -268,6 +293,31 @@ class net_client:
         self._thread.join(timeout=5.0)
 
 
+class frame_deduper:
+    """Suppress repeats of the same frame within a time window.
+
+    Overlapping receiver feeds all deliver the same transmission; an
+    aggregator's merged output should carry it once (per-feed topics stay
+    undeduplicated so mlat correlation still sees every copy)."""
+
+    def __init__(self, window_s: float = 1.0, max_entries: int = 4096):
+        self.window_s = window_s
+        self.max_entries = max_entries
+        self._last: dict = {}  # hexframe -> last accepted arrival time
+
+    def accept(self, hexframe: str, now: Optional[float] = None) -> bool:
+        if now is None:
+            now = time.time()
+        prev = self._last.get(hexframe)
+        if prev is not None and now - prev < self.window_s:
+            return False
+        if len(self._last) > self.max_entries:  # bound memory on busy feeds
+            cutoff = now - self.window_s
+            self._last = {k: t for k, t in self._last.items() if t >= cutoff}
+        self._last[hexframe] = now
+        return True
+
+
 def replay_file(path: str, fmt: str = "auto",
                 epoch: Optional[float] = None):
     """Replay a recorded Beast-binary or AVR capture as wire messages.
@@ -316,8 +366,10 @@ def replay_file(path: str, fmt: str = "auto",
 
 
 def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
-    """'beast://host:port' | 'avr://host:port' -> (fmt, host, port)."""
-    for scheme in ("beast", "avr"):
+    """'beast://host:port' | 'beastgps://...' | 'avr://...' ->
+    (scheme, host, port). 'beastgps' is Beast framing with GPS-disciplined
+    (radarcape) timestamps."""
+    for scheme in ("beastgps", "beast", "avr"):
         prefix = scheme + "://"
         if url.startswith(prefix):
             hostport = url[len(prefix):]
@@ -327,3 +379,18 @@ def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
                                  "(want scheme://host:port)")
             return scheme, host, int(port)
     return None
+
+
+def client_for_url(url: str, callback: Callable[[str], None],
+                   timestamps: Optional[str] = None,
+                   reconnect_s: float = 2.0) -> Optional[net_client]:
+    """Build (unstarted) net_client for a beast/beastgps/avr URL, else None."""
+    got = parse_net_url(url)
+    if got is None:
+        return None
+    scheme, host, port = got
+    fmt = "beast" if scheme == "beastgps" else scheme
+    if timestamps is None:
+        timestamps = "gps" if scheme == "beastgps" else "host"
+    return net_client(host, port, callback, fmt=fmt, timestamps=timestamps,
+                      reconnect_s=reconnect_s)

@@ -45,9 +45,25 @@ def signal_dbfs(byte: int) -> float:
     return 20.0 * math.log10(max(byte, 1) / 255.0)
 
 
-def beast_encode(hexframe: str, ref_dbfs: float,
-                 timestamp: float) -> Optional[bytes]:
-    """One Mode S frame -> escaped Beast wire bytes (None if not 56/112-bit)."""
+def gps_counter(timestamp: float) -> int:
+    """UTC seconds -> radarcape GPS-disciplined counter layout
+    ([seconds-of-UTC-day:18][nanoseconds:30])."""
+    sod = timestamp % 86400.0
+    secs = int(sod)
+    ns = int(round((sod - secs) * 1e9))
+    if ns >= 1_000_000_000:  # float rounding at a second boundary
+        secs, ns = (secs + 1) % 86400, 0
+    return (secs << 30) | ns
+
+
+def beast_encode(hexframe: str, ref_dbfs: float, timestamp: float,
+                 gps_time: bool = False) -> Optional[bytes]:
+    """One Mode S frame -> escaped Beast wire bytes (None if not 56/112-bit).
+
+    gps_time selects the radarcape GPS counter layout (absolute UTC,
+    ~1 ns quantization) instead of the classic free-running 12 MHz counter
+    (~83 ns) — the format mlat across stations needs.
+    """
     try:
         payload = bytes.fromhex(hexframe)
     except ValueError:
@@ -58,23 +74,31 @@ def beast_encode(hexframe: str, ref_dbfs: float,
         mtype = TYPE_LONG
     else:
         return None
-    mlat = int(timestamp * MLAT_HZ) & _MLAT_MASK
+    mlat = (gps_counter(timestamp) if gps_time
+            else int(timestamp * MLAT_HZ)) & _MLAT_MASK
     body = mlat.to_bytes(6, "big") + bytes([signal_byte(ref_dbfs)]) + payload
     return bytes([ESC, mtype]) + body.replace(b"\x1a", b"\x1a\x1a")
 
 
 class output_beast:
-    """Plugin: TCP server re-emitting each wire message as a Beast frame."""
+    """Plugin: TCP server re-emitting each wire message as a Beast frame.
 
-    def __init__(self, port: int = 30005, host: str = "0.0.0.0"):
+    gps_time emits radarcape-layout absolute-UTC counters (this demod's
+    timestamps are absolute sample-counter time, so its Beast feed can be
+    mlat-grade for a downstream correlator, e.g. modes_mlat beastgps://)."""
+
+    def __init__(self, port: int = 30005, host: str = "0.0.0.0",
+                 gps_time: bool = False):
         self._srv = broadcast_server(port, host)
         self.port = self._srv.port
+        self.gps_time = gps_time
 
     def output(self, msg: str) -> None:
         parts = msg.split()
         if len(parts) != 6:
             return
-        data = beast_encode(parts[1], float(parts[4]), float(parts[5]))
+        data = beast_encode(parts[1], float(parts[4]), float(parts[5]),
+                            gps_time=self.gps_time)
         if data is not None:
             self._srv.broadcast(data)
 

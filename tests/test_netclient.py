@@ -292,3 +292,135 @@ def test_modes_rx_frame_replay_cli(tmp_path, capsys):
     assert ident == "KLM1023"
     rc = main(["-s", "synthetic", "--file-format", "beast", "-n"])
     assert rc == 2
+
+
+# --- GPS-disciplined timestamps & dedup ----------------------------------
+
+def test_gps_counter_roundtrip():
+    from airmodes.io.netclient import gps_counter_to_utc
+    from airmodes.outputs.beast import gps_counter
+    ts = 1_700_000_000.123456789
+    back = gps_counter_to_utc(gps_counter(ts), host_now=ts + 0.5)
+    assert back == pytest.approx(ts, abs=1e-6)
+    # rollover: frame stamped just before UTC midnight, received just after
+    day = ts - (ts % 86400.0)
+    before = day + 86399.9
+    back = gps_counter_to_utc(gps_counter(before), host_now=day + 86400.1)
+    assert back == pytest.approx(before, abs=1e-6)
+    # and the reverse skew (receiver clock slightly behind)
+    after = day + 0.1
+    back = gps_counter_to_utc(gps_counter(after), host_now=day - 0.1 + 86400)
+    assert back == pytest.approx(after + 86400, abs=1e-6) or \
+        back == pytest.approx(after, abs=1e-6)
+
+
+def test_client_for_url_schemes():
+    from airmodes.io.netclient import client_for_url
+    cb = lambda w: None
+    c = client_for_url("beastgps://h:30005", cb)
+    assert c.fmt == "beast" and c.timestamps == "gps"
+    c = client_for_url("beast://h:30005", cb)
+    assert c.fmt == "beast" and c.timestamps == "host"
+    assert client_for_url("capture.c64", cb) is None
+
+
+def test_frame_deduper():
+    from airmodes.io.netclient import frame_deduper
+    d = frame_deduper(window_s=1.0)
+    assert d.accept("aa", now=10.0)
+    assert not d.accept("aa", now=10.5)      # duplicate within window
+    assert d.accept("bb", now=10.5)          # different frame
+    assert d.accept("aa", now=11.5)          # same frame, legit repeat
+    # memory bound: entries beyond the cap are purged once stale
+    d2 = frame_deduper(window_s=0.1, max_entries=10)
+    for i in range(20):
+        d2.accept(f"{i:02x}", now=100.0)
+    d2.accept("ff", now=101.0)
+    assert len(d2._last) <= 12
+
+
+def test_aggregator_dedups_overlapping_feeds():
+    """Two feeds delivering the same frame -> one merged emit."""
+    from airmodes.apps.modes_rx import main
+    srvs = [output_beast(port=0, host="127.0.0.1") for _ in range(2)]
+    feeding = threading.Event()
+
+    def feeder():
+        while not feeding.is_set():
+            for s in srvs:  # same frame on BOTH feeds
+                s.output(_wire(DF17, 112))
+            time.sleep(0.05)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        # --max-messages counts MERGED emits; dedup window far longer than
+        # the run, so every accepted merged emit must be a unique frame —
+        # with only one distinct frame the run can only finish via the
+        # window expiring... use 2 messages with window 0.5 s instead:
+        rc = main(["-s", f"beast://127.0.0.1:{srvs[0].port}",
+                   "-s", f"beast://127.0.0.1:{srvs[1].port}", "-n",
+                   "--max-messages", "3", "--dedup-window", "0.5",
+                   "--stats-interval", "0"])
+    finally:
+        feeding.set()
+        t.join()
+        for s in srvs:
+            s.close()
+    assert rc == 0
+
+
+def test_mlat_over_beastgps_feeds():
+    """Full loop: 4 GPS-disciplined Beast stations -> modes_mlat solves the
+    aircraft position from TDOA (SURVEY.md §3.5, online)."""
+    import numpy as np
+    from airmodes.apps.modes_mlat import main as mlat_main
+    from airmodes.decode import mlat as M
+
+    C_LIGHT = 299792458.0
+    stations = [(47.00, 8.00, 500.0), (47.25, 8.05, 420.0),
+                (46.95, 8.40, 610.0), (47.15, 8.30, 800.0)]
+    aircraft = (47.10, 8.20, 10000.0)
+    ac = M.llh2ecef(aircraft)
+    t_emit = time.time()
+    arrivals = [t_emit + float(np.linalg.norm(ac - M.llh2ecef(s))) / C_LIGHT
+                for s in stations]
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("MLAT01"))
+    flushf = encoder.df17_frame(0x111111, encoder.me_identification("FLUSH"))
+
+    srvs = [output_beast(port=0, host="127.0.0.1", gps_time=True)
+            for _ in stations]
+    feeding = threading.Event()
+
+    def feeder():
+        while not feeding.is_set():
+            for i, s in enumerate(srvs):
+                s.output(_wire(frame, 112, ts=arrivals[i]))
+                # a later unrelated frame ages the correlation window out
+                s.output(_wire(flushf, 112, ts=arrivals[i] + 1.0))
+            time.sleep(0.05)
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    try:
+        argv = []
+        for (lat, lon, alt), s in zip(stations, srvs):
+            argv += ["-S", f"{lat},{lon},{alt}@beastgps://127.0.0.1:{s.port}"]
+        argv += ["--alt-datum", "ellipsoid", "--max-seconds", "15"]
+        with redirect_stdout(buf):
+            rc = mlat_main(argv)
+    finally:
+        feeding.set()
+        th.join()
+        for s in srvs:
+            s.close()
+    assert rc == 0
+    sols = [ln for ln in buf.getvalue().splitlines()
+            if ln.startswith("mlat") and "4840d6" in ln]
+    assert sols, f"no mlat solution: {buf.getvalue()!r}"
+    lat = float(sols[0].split("(")[1].split(",")[0])
+    lon = float(sols[0].split(",")[1].split(")")[0])
+    assert abs(lat - aircraft[0]) < 0.02 and abs(lon - aircraft[1]) < 0.02
