@@ -197,7 +197,25 @@ def main(argv=None) -> int:
     dash_plugin = output_dashboard(parser=shared)
     az_plugin = output_az_map(parser=shared, my_position=my_pos)
 
+    # the GUI drives one channel; -s may be repeated only in modes_rx
+    srcs = args.source or ["synthetic"]
+    if len(srcs) > 1:
+        print("modes_gui takes a single source", file=sys.stderr)
+        return 2
+    source = srcs[0]
+
+    def emit(m: str) -> None:
+        dash_plugin.output(m)
+        az_plugin.output(m)
+
     def feed():
+        from ..io.netclient import client_for_url
+        cli = client_for_url(source, emit)
+        if cli is not None:  # remote receiver feed: no DSP in this process
+            cli.start()
+            # the client delivers from its own thread; this feed thread
+            # just stays alive for the UI session (daemon — dies with it)
+            threading.Event().wait()
         from ..config import DspConfig
         from ..dsp import host
         from ..dsp.pipeline import demod_block_packed_jit, iq_to_device_layout, unpack_table
@@ -206,12 +224,12 @@ def main(argv=None) -> int:
                         threshold_db=args.threshold,
                         block_size=args.block_size,
                         max_detections=args.max_detections)
-        if args.source == "synthetic":
+        if source == "synthetic":
             blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 64)
-        elif args.source == "udp":
+        elif source == "udp":
             blocks = src_mod.udp_source(cfg, port=args.udp_port)
         else:
-            blocks = src_mod.file_source(args.source, cfg,
+            blocks = src_mod.file_source(source, cfg,
                                          dtype=args.file_format)
         epoch = time.time()
         for block, start in blocks:
@@ -219,8 +237,7 @@ def main(argv=None) -> int:
                 demod_block_packed_jit(iq_to_device_layout(block), cfg))
             for m in host.table_to_messages(table, start, cfg.channel_rate,
                                             epoch=epoch):
-                dash_plugin.output(m)
-                az_plugin.output(m)
+                emit(m)
             if args.throttle:
                 time.sleep(cfg.block_size / cfg.channel_rate)
 

@@ -179,3 +179,56 @@ def test_udp_source_decodes_and_flushes():
                                                cfg.channel_rate))
     got = {m.split()[1] for m in msgs}
     assert {t.hex for t in truth} <= got
+
+
+def test_gui_default_synthetic_source(capsys):
+    """Regression: -s became repeatable (a list) for multi-channel modes_rx;
+    the GUI must still run with no -s at all (feed thread used to crash)."""
+    from airmodes.apps.modes_gui import main as gui_main
+    rc = gui_main(["--backend", "curses", "--duration", "2.0",
+                   "--block-size", str(1 << 16), "--max-blocks", "2"])
+    assert rc == 0
+    out = capsys.readouterr()
+    # headless fallback prints one row per decoded aircraft (icao first)
+    import re
+    assert re.search(r"^[0-9a-f]{6} ", out.out, re.M), out.out[:500]
+
+
+def test_gui_rejects_multiple_sources(capture):
+    from airmodes.apps.modes_gui import main as gui_main
+    path, _, _ = capture
+    rc = gui_main(["-s", path, "-s", path, "--backend", "curses",
+                   "--duration", "1.0"])
+    assert rc == 2
+
+
+def test_gui_network_source(capsys):
+    """The GUI dashboard can ride a remote beast:// feed (no local DSP)."""
+    import time as _time
+    from airmodes.apps.modes_gui import main as gui_main
+    from airmodes.outputs.beast import output_beast
+    from airmodes import crc
+
+    frame = encoder.df17_frame(0xABC123, encoder.me_identification("GUINET"))
+    synd = crc.crc24(frame, 112)
+    srv = output_beast(port=0, host="127.0.0.1")
+    stop = threading.Event()
+
+    def feeder():
+        while not stop.is_set():
+            srv.output(f"17 {frame:028x} {synd:06x} 0 -20.00 "
+                       f"{_time.time():.9f}")
+            stop.wait(0.05)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        rc = gui_main(["-s", f"beast://127.0.0.1:{srv.port}",
+                       "--backend", "curses", "--duration", "3.0"])
+    finally:
+        stop.set()
+        t.join()
+        srv.close()
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "GUINET" in out.out + out.err
