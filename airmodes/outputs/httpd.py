@@ -6,8 +6,11 @@ with range rings centered on the receiver, like the reference's az_map
 coverage plot, plus a live aircraft table):
 
     /                       single-file HTML/JS map + table, 1 s refresh
+                            (position trails accumulate client-side)
     /data/aircraft.json     dump1090-style snapshot (same doc as -j)
     /data/receiver.json     receiver metadata (lat/lon/refresh interval)
+    /data/stats.json        receive statistics: per-DF counts, corrected/
+                            total, message rate, unique aircraft
 
 State updates ride the plugin's synchronous output() path; HTTP requests
 are served from a pre-serialized snapshot under a lock, so slow/many web
@@ -21,6 +24,7 @@ import json
 import threading
 from typing import Optional, Tuple
 
+from ..constants import STATUS_CORRECTED_1, STATUS_CORRECTED_2
 from ..decode.parse import parse
 from ..exceptions import ADSBError
 from .gui_model import dashboard
@@ -46,6 +50,15 @@ _PAGE = """<!DOCTYPE html>
 <script>
 const cv=document.getElementById('map'),cx=cv.getContext('2d');
 let rx=null, ringNm=50;
+const trails=new Map(); // hex -> [[lat,lon],...], capped
+function noteTrail(a){
+  if(a.lat===undefined)return;
+  let t=trails.get(a.hex);
+  if(!t)trails.set(a.hex,t=[]);
+  const last=t[t.length-1];
+  if(!last||last[0]!==a.lat||last[1]!==a.lon)t.push([a.lat,a.lon]);
+  if(t.length>300)t.shift();
+}
 function resize(){cv.width=cv.clientWidth;cv.height=cv.clientHeight}
 window.addEventListener('resize',resize);
 function project(lat,lon){ // local equirectangular around the receiver
@@ -68,6 +81,13 @@ function draw(ac){
   }
   for(const a of ac){
     if(a.lat===undefined||!rx)continue;
+    const tr=trails.get(a.hex)||[];
+    if(tr.length>1){ // position trail accumulated client-side
+      cx.strokeStyle='#2f6a94';cx.beginPath();
+      tr.forEach((p,i)=>{const[tx,ty]=project(p[0],p[1]);
+        i?cx.lineTo(tx,ty):cx.moveTo(tx,ty)});
+      cx.stroke();
+    }
     const[x,y]=project(a.lat,a.lon);
     cx.save();cx.translate(x,y);
     cx.fillStyle=a.emergency&&a.emergency!=='none'?'#ff5c5c':'#58b0f0';
@@ -84,6 +104,7 @@ async function tick(){
     document.getElementById('hdr').textContent=
       d.aircraft.length+' aircraft — updated '+new Date(d.now*1000).toLocaleTimeString();
     const tb=document.getElementById('rows');tb.innerHTML='';
+    for(const a of d.aircraft)noteTrail(a);
     for(const a of d.aircraft){
       const tr=document.createElement('tr');
       if(a.emergency&&a.emergency!=='none')tr.className='emerg';
@@ -117,6 +138,14 @@ class output_http:
               "refresh": 1000, "version": "airmodes"} if my_position else \
              {"refresh": 1000, "version": "airmodes"}
         self._receiver = json.dumps(rx).encode()
+        self._n_messages = 0
+        self._n_bad = 0
+        self._n_corrected = 0
+        self._n_positions = 0
+        self._df_counts: dict = {}
+        self._seen_icaos: set = set()
+        self._t_first = None
+        self._t_latest = None
 
         plugin = self
 
@@ -131,6 +160,9 @@ class output_http:
                     ctype = "application/json"
                 elif path == "/data/receiver.json":
                     body, ctype = plugin._receiver, "application/json"
+                elif path == "/data/stats.json":
+                    body = json.dumps(plugin.stats_doc()).encode()
+                    ctype = "application/json"
                 else:
                     self.send_error(404)
                     return
@@ -152,11 +184,44 @@ class output_http:
         self._thread.start()
         self._last_snap: Optional[float] = None
 
+    def stats_doc(self) -> dict:
+        with self._lock:
+            counts = dict(self._df_counts)
+            doc = {
+                "messages": self._n_messages,
+                "undecodable": self._n_bad,
+                "corrected": self._n_corrected,
+                "positions": self._n_positions,
+                "by_df": counts,
+                "unique_aircraft": len(self._seen_icaos),
+                "start": self._t_first,
+                "latest": self._t_latest,
+            }
+        span = (doc["latest"] or 0) - (doc["start"] or 0)
+        doc["rate_msg_s"] = round(doc["messages"] / span, 2) if span > 0 \
+            else None
+        return doc
+
     def output(self, msg: str) -> None:
         try:
             rep = self._parser.parse(msg)
         except ADSBError:
+            with self._lock:
+                self._n_bad += 1
             return
+        with self._lock:
+            self._n_messages += 1
+            self._df_counts[str(rep.df)] = \
+                self._df_counts.get(str(rep.df), 0) + 1
+            if rep.status in (STATUS_CORRECTED_1, STATUS_CORRECTED_2):
+                self._n_corrected += 1
+            if rep.lat is not None:
+                self._n_positions += 1
+            if rep.icao is not None:
+                self._seen_icaos.add(rep.icao)
+            if self._t_first is None:
+                self._t_first = rep.timestamp
+            self._t_latest = rep.timestamp
         self._dash.update(rep)
         now = rep.timestamp
         # re-serialize at most once per second of stream time; requests

@@ -408,3 +408,23 @@ def test_sbs1_msg2_surface_position():
     assert abs(float(cols[14]) - 47.01) < 0.01  # lat
     assert cols[12] != "" and cols[13] != ""    # gs + track carried
     assert cols[21] == "-1"                     # onground flag
+
+
+def test_output_http_stats_endpoint():
+    import json as _json
+    import urllib.request
+    from airmodes.outputs.httpd import output_http
+    plug = output_http(port=0, host="127.0.0.1")
+    try:
+        for m in (IDENT, VEL, POS_E, POS_O):
+            plug.output(m)
+        plug.output("garbage")      # counted as undecodable, not fatal
+        st = _json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{plug.port}/data/stats.json", timeout=5))
+        assert st["messages"] == 4 and st["undecodable"] == 1
+        assert st["by_df"] == {"17": 4}
+        assert st["unique_aircraft"] == 1
+        assert st["positions"] >= 1 and st["corrected"] == 0
+        assert st["rate_msg_s"] is not None
+    finally:
+        plug.close()
