@@ -62,6 +62,7 @@ class AircraftReport:
     elm_nd: Optional[int] = None         # DF24 segment number
     elm_md: Optional[int] = None         # DF24 80-bit MD payload (raw int)
     elm_data: Optional[bytes] = None     # reassembled Comm-D ELM (decode/elm)
+    elm_flushed: Optional[list] = None   # [(icao, bytes)] idle-completed ELMs
 
     @property
     def icao_hex(self) -> Optional[str]:
@@ -75,6 +76,7 @@ class parse:
         self.my_position = my_position
         self.cpr = cpr_decoder(my_position)
         self.elm = elm.elm_reassembler()
+        self._elm_flush_t: Optional[float] = None
 
     # --- wire format ----------------------------------------------------------
 
@@ -120,6 +122,16 @@ class parse:
         if handler is None:
             raise NoHandlerError(df)
         handler(reply, report)
+        # ELM cycles that ended by going idle (no restart segment will ever
+        # emit them) surface on whatever message arrives next — the message
+        # stream is the parser's only clock
+        if self._elm_flush_t is None:
+            self._elm_flush_t = timestamp
+        elif timestamp - self._elm_flush_t >= 1.0:
+            flushed = self.elm.flush(timestamp)
+            if flushed:
+                report.elm_flushed = flushed
+            self._elm_flush_t = timestamp
         return report
 
     # --- per-DF handlers (ref: parse.py parse0/4/5/11/16/17/20/21) ------------

@@ -32,6 +32,8 @@ class output_print:
         line = self.format_report(rep)
         if line:
             self._cb(line)
+        for ln in self._flushed_lines(rep):
+            self._cb(ln)
 
     @staticmethod
     def _commb_summary(rep: AircraftReport) -> str:
@@ -142,3 +144,11 @@ class output_print:
                             f"{rep.elm_data.hex()}"
             return f"Type 24 (Comm-D {what}) from {icao} " + tail
         return f"Type {rep.df} from {icao} " + tail
+
+    @staticmethod
+    def _flushed_lines(rep) -> list:
+        """Idle-completed ELMs piggybacked on this report (decode/elm)."""
+        if not rep.elm_flushed:
+            return []
+        return [f"Comm-D ELM complete (idle) from {i:06x}: "
+                f"{len(d)}B {d.hex()}" for i, d in rep.elm_flushed]

@@ -95,3 +95,30 @@ def test_elm_eviction_bounds_memory():
     assert len(e._buf) <= 4
     # the freshest aircraft survived
     assert 0x100009 in e._buf
+
+
+def test_idle_elm_surfaces_via_parse_clock():
+    """A cycle that ends without a restart segment must still emit: the
+    parser flushes idle ELMs on later messages (its only clock)."""
+    from airmodes.decode.parse import parse
+    from airmodes.outputs.msprint import output_print
+    from airmodes.testing import encoder
+    from airmodes import crc
+
+    def wire(frame, nbits, ts):
+        s = crc.crc24(frame, nbits)
+        return (f"{frame >> (nbits - 5)} {frame:0{nbits // 4}x} {s:06x} "
+                f"0 -20.00 {ts:.9f}")
+
+    p = parse()
+    lines = []
+    plug = output_print(parser=p, callback=lines.append)
+    payload = bytes(range(30))
+    for i, f in enumerate(encoder.df24_segments(0xAABBCC, payload)):
+        plug.output(wire(f, 112, 1000.0 + 0.1 * i))
+    # no restart; an unrelated message 10 s later drives the flush
+    other = encoder.df11_frame(0x123456)
+    plug.output(wire(other, 56, 1011.0))
+    done = [ln for ln in lines if "ELM complete (idle)" in ln]
+    assert len(done) == 1
+    assert payload.hex() in done[0] and "aabbcc" in done[0]
