@@ -13,6 +13,8 @@ Registers (layouts per ICAO Annex 10 Vol III / Doc 9871):
 - BDS2,0  aircraft identification (callsign)
 - BDS4,0  selected vertical intention (MCP/FMS altitude, baro setting)
 - BDS4,4  meteorological routine air report (wind, temp, pressure, humidity)
+- BDS4,5  meteorological hazard report (turbulence/wind shear/microburst/
+          icing/wake vortex levels, SAT, static pressure, radio height)
 - BDS5,0  track and turn report (roll, track, GS, track rate, TAS)
 - BDS6,0  heading and speed report (heading, IAS, Mach, vertical rates)
 
@@ -55,6 +57,19 @@ BDS60 = [("hdg_status", 1), ("hdg_sign", 1), ("hdg", 10),
          ("mach_status", 1), ("mach", 10),
          ("vrb_status", 1), ("vrb_sign", 1), ("vrb", 9),
          ("vri_status", 1), ("vri_sign", 1), ("vri", 9)]
+
+HAZARD_LEVELS = ("nil", "light", "moderate", "severe")
+
+# BDS4,5: five 2-bit hazard reports, SAT, static pressure, radio height
+BDS45 = [("turb_status", 1), ("turb", 2),
+         ("ws_status", 1), ("ws", 2),
+         ("mb_status", 1), ("mb", 2),
+         ("ice_status", 1), ("ice", 2),
+         ("wake_status", 1), ("wake", 2),
+         ("temp_status", 1), ("temp_sign", 1), ("temp", 9),
+         ("press_status", 1), ("press", 11),
+         ("rh_status", 1), ("rh", 12),
+         ("r1", 5)]
 
 BDS44 = [("fom", 4),
          ("wind_status", 1), ("wind_speed", 9), ("wind_dir", 9),
@@ -173,6 +188,36 @@ def is_bds44(mb: int) -> bool:
     return True
 
 
+def is_bds45(mb: int) -> bool:
+    r = _f(mb, BDS45)
+    if r["r1"]:
+        return False
+    if not (_status_ok(r, "turb_status", "turb")
+            and _status_ok(r, "ws_status", "ws")
+            and _status_ok(r, "mb_status", "mb")
+            and _status_ok(r, "ice_status", "ice")
+            and _status_ok(r, "wake_status", "wake")
+            and _status_ok(r, "temp_status", "temp_sign", "temp")
+            and _status_ok(r, "press_status", "press")
+            and _status_ok(r, "rh_status", "rh")):
+        return False
+    if not r["temp_status"]:
+        return False                    # MHR without SAT is not in use
+    # require pressure or radio height too: a BDS1,7 capability set with
+    # "5,0" advertised (very common) mimics SAT+hazards with its low 32
+    # bits zero, which would make every such 1,7 ambiguous; real MHR
+    # carries at least one of these alongside SAT
+    if not (r["press_status"] or r["rh_status"]):
+        return False
+    temp = _signed(r["temp_sign"], r["temp"], 9) * 0.25
+    if not (-80.0 <= temp <= 60.0):
+        return False
+    # static pressure at altitude runs ~150 hPa (FL450) to ~1050 at sea level
+    if r["press_status"] and not (100 <= r["press"] <= 1100):
+        return False
+    return True
+
+
 def is_bds60(mb: int) -> bool:
     r = _f(mb, BDS60)
     if not (_status_ok(r, "hdg_status", "hdg_sign", "hdg")
@@ -269,6 +314,24 @@ def decode_bds44(mb: int) -> Dict:
     return out
 
 
+def decode_bds45(mb: int) -> Dict:
+    r = _f(mb, BDS45)
+    out: Dict = {"bds": "4,5"}
+    for st, v, key in (("turb_status", "turb", "turbulence"),
+                       ("ws_status", "ws", "wind_shear"),
+                       ("mb_status", "mb", "microburst"),
+                       ("ice_status", "ice", "icing"),
+                       ("wake_status", "wake", "wake_vortex")):
+        if r[st]:
+            out[key] = HAZARD_LEVELS[r[v]]
+    out["temperature_c"] = _signed(r["temp_sign"], r["temp"], 9) * 0.25
+    if r["press_status"]:
+        out["pressure_hpa"] = float(r["press"])
+    if r["rh_status"]:
+        out["radio_height_ft"] = r["rh"] * 16.0
+    return out
+
+
 def decode_bds60(mb: int) -> Dict:
     r = _f(mb, BDS60)
     out: Dict = {"bds": "6,0"}
@@ -294,6 +357,7 @@ _REGISTERS: Tuple[Tuple[str, object, object], ...] = (
     ("BDS2,0", is_bds20, decode_bds20),
     ("BDS4,0", is_bds40, decode_bds40),
     ("BDS4,4", is_bds44, decode_bds44),
+    ("BDS4,5", is_bds45, decode_bds45),
     ("BDS5,0", is_bds50, decode_bds50),
     ("BDS6,0", is_bds60, decode_bds60),
 )

@@ -62,7 +62,13 @@ class output_print:
                          ("wind_dir_deg", "from {:.0f}"),
                          ("temperature_c", "SAT {:+.1f} C"),
                          ("pressure_hpa", "{:.0f} hPa"),
-                         ("humidity_pct", "RH {:.0f}%")):
+                         ("humidity_pct", "RH {:.0f}%"),
+                         ("turbulence", "turb {}"),
+                         ("wind_shear", "shear {}"),
+                         ("microburst", "microburst {}"),
+                         ("icing", "icing {}"),
+                         ("wake_vortex", "wake {}"),
+                         ("radio_height_ft", "RA {:.0f} ft")):
             if key in f:
                 bits.append(fmt.format(f[key]))
         if "gicb_services" in f:

@@ -227,3 +227,65 @@ def test_bds44_rejects():
     assert not commb.is_bds44(mb_bds44(wind=(50, 90.0), temp_c=100.0))
     # implausible wind speed
     assert not commb.is_bds44(mb_bds44(wind=(400, 90.0), temp_c=-50.0))
+
+
+def mb_bds45(hazards=None, temp_c=0.0, press=None, rh_ft=None):
+    """hazards: dict of {turb,ws,mb,ice,wake} -> 0..3 levels."""
+    hz = hazards or {}
+    t_raw = int(round(temp_c / 0.25))
+    t_s, t_v = signed_field(t_raw, 9)
+    fields = []
+    for key in ("turb", "ws", "mb", "ice", "wake"):
+        fields += [(1 if key in hz else 0, 1), (hz.get(key, 0), 2)]
+    fields += [(1, 1), (t_s, 1), (t_v, 9),
+               (1 if press is not None else 0, 1), (press or 0, 11),
+               (1 if rh_ft is not None else 0, 1),
+               (int((rh_ft or 0) / 16), 12),
+               (0, 5)]
+    return pack(*fields)
+
+
+def test_bds45_decode():
+    mb = mb_bds45(hazards={"turb": 2, "ice": 1}, temp_c=-51.25,
+                  press=220, rh_ft=2400)
+    out = commb.decode_bds45(mb)
+    assert out["turbulence"] == "moderate"
+    assert out["icing"] == "light"
+    assert "wind_shear" not in out          # status 0: not reported
+    assert out["temperature_c"] == -51.25
+    assert out["pressure_hpa"] == 220.0
+    assert out["radio_height_ft"] == 2400.0
+    assert "BDS4,5" in commb.infer(mb)
+
+
+def test_bds45_rejects():
+    # status-0 hazard with nonzero level bits (ws level high bit, no status)
+    mb = mb_bds45(hazards={"turb": 2}, temp_c=-50.0, rh_ft=800)
+    assert commb.is_bds45(mb)
+    assert not commb.is_bds45(mb | (1 << 51))
+    # implausible SAT
+    assert not commb.is_bds45(
+        mb_bds45(hazards={"turb": 1}, temp_c=80.0, rh_ft=800))
+    # reserved bits must be zero
+    assert not commb.is_bds45(
+        mb_bds45(hazards={"turb": 1}, temp_c=-10.0, rh_ft=800) | 1)
+    # implausible static pressure
+    assert not commb.is_bds45(mb_bds45(hazards={"turb": 1}, press=50))
+    # SAT+hazards alone (no pressure, no radio height) is indistinguishable
+    # from a common BDS1,7 capability set -> rejected to keep 1,7 unique
+    assert not commb.is_bds45(mb_bds45(hazards={"turb": 1}, temp_c=-10.0))
+
+
+def test_bds45_unique_inference_end_to_end():
+    from airmodes.decode.parse import parse as parse_cls
+    from airmodes.testing import encoder
+    from airmodes import crc
+    mb = mb_bds45(hazards={"turb": 3, "ws": 2}, temp_c=-40.0, rh_ft=1600)
+    if commb.decode(mb) is None:
+        pytest.skip("payload not uniquely inferable (acceptable)")
+    frame = encoder.df20_frame(0x4840D6, 0x1234, mb=mb)
+    synd = crc.crc24(frame, 112)
+    w = f"20 {frame:028x} {synd:06x} 3 -20.00 1700000000.0"
+    rep = parse_cls().parse(w)
+    assert rep.bds == "BDS4,5"
+    assert rep.commb["turbulence"] == "severe"
