@@ -131,11 +131,26 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     from ..dsp import host
     from ..io import sources as src_mod
     from ..io.stream import run_channels
+    from ..resample.polyphase import rational_rate, streaming_resampler
 
-    if abs(args.rate - cfg.channel_rate) > 1e-3:
-        print("multi-channel mode does not resample; provide captures at "
-              "the channel rate", file=sys.stderr)
-        return 2
+    needs_resample = abs(args.rate - cfg.channel_rate) > 1e-3
+
+    def resampled_channel(path):
+        # per-channel streaming resampler, mirroring the single-channel
+        # path (each channel owns its filter state and framer)
+        p_up, q_dn = rational_rate(args.rate, cfg.channel_rate)
+        rs = streaming_resampler(p_up, q_dn)
+        in_skip = (args.start_sample * q_dn) // p_up
+
+        def blocks():
+            framer = src_mod.buffered_framer(cfg, args.start_sample)
+            for chunk in src_mod.raw_file_chunks(
+                    path, dtype=args.file_format, offset_samples=in_skip):
+                yield from framer.push(rs.push(chunk))
+            yield from framer.push(rs.flush())
+            yield from framer.flush()
+        return blocks()
+
     chans = []
     for s in srcs:
         if s in ("uhd", "osmocom", "udp"):
@@ -143,8 +158,14 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
                   f"not {s!r}", file=sys.stderr)
             return 2
         if s == "synthetic":
+            if needs_resample:
+                print("resampling is only wired for file sources",
+                      file=sys.stderr)
+                return 2
             chans.append(src_mod.synthetic_source(
                 cfg, n_blocks=args.max_blocks or 4))
+        elif needs_resample:
+            chans.append(resampled_channel(s))
         else:
             chans.append(src_mod.file_source(
                 s, cfg, dtype=args.file_format,

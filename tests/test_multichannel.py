@@ -63,3 +63,42 @@ def test_cli_multichannel_two_files(tmp_path, capsys):
     want = {f"{(t.frame >> 80) & 0xFFFFFF:06x}"
             for t in list(truth_a) + list(truth_b)}
     assert want <= icaos, want - icaos
+
+
+def test_multichannel_resampled_files(tmp_path):
+    """Two 4 Msps captures resample per channel and decode in one batched
+    call per step; each channel's topic carries its own messages."""
+    from airmodes.apps.modes_rx import main
+    from airmodes.testing import encoder
+
+    paths, wants = [], []
+    for ch, seed in enumerate((91, 92)):
+        frames = encoder.random_df17_frames(5, seed=seed)
+        iq, truth = encoder.make_capture(frames, rate=4e6, snr_db=25.0,
+                                         spacing=16000, seed=seed)
+        p = str(tmp_path / f"cap{ch}.c64")
+        iq.tofile(p)
+        paths.append(p)
+        wants.append({t.hex for t in truth})
+
+    import airmodes.io.relay as relay_mod
+    got = [set(), set()]
+    real_pubsub = relay_mod.local_pubsub
+
+    class spy_bus(real_pubsub):
+        def publish(self, topic, msg):
+            for c in (0, 1):
+                if topic == f"dl_data/ch{c}":
+                    got[c].add(msg.split()[1])
+            super().publish(topic, msg)
+
+    relay_mod.local_pubsub = spy_bus
+    try:
+        rc = main(["-s", paths[0], "-s", paths[1], "-r", "4e6",
+                   "--block-size", "65536", "-n", "--stats-interval", "0"])
+    finally:
+        relay_mod.local_pubsub = real_pubsub
+    assert rc == 0
+    assert wants[0] <= got[0] and wants[1] <= got[1]
+    # channel isolation: ch0's frames don't appear on ch1's topic
+    assert not (wants[0] & got[1]) and not (wants[1] & got[0])
