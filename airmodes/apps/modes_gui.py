@@ -105,9 +105,13 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
     timer.timeout.connect(refresh)
     timer.start(1000)
 
-    t = threading.Thread(target=feed, daemon=True)
+    stop = threading.Event()
+    t = threading.Thread(target=lambda: feed(stop), daemon=True)
     t.start()
-    return app.exec_()
+    try:
+        return app.exec_()
+    finally:
+        stop.set()
 
 
 # --------------------------------------------------------------------------
@@ -158,19 +162,22 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
             dash.prune()
             time.sleep(0.5)
 
-    t = threading.Thread(target=feed, daemon=True)
+    t = threading.Thread(target=lambda: feed(stop), daemon=True)
     t.start()
     try:
         import curses
         curses.wrapper(ui)
     except curses.error as e:
         # no usable terminal (headless/dumb TERM): degrade to a plain
-        # summary instead of dying with a curses traceback
-        stop.set()
+        # summary instead of dying with a curses traceback. Let the feed
+        # run first (a net feed collects for the session duration; a DSP
+        # feed finishes its file), THEN stop it and print what arrived.
         print(f"curses UI unavailable ({e}); falling back to a plain "
               "summary — use modes_rx for full console output",
               file=sys.stderr)
         t.join(timeout=max_seconds or 60.0)
+        stop.set()
+        t.join(timeout=5.0)
         for row in dash.rows():
             print(" ".join("" if v is None else str(v) for v in row))
         return 0
@@ -203,19 +210,33 @@ def main(argv=None) -> int:
         print("modes_gui takes a single source", file=sys.stderr)
         return 2
     source = srcs[0]
+    if "://" in source:
+        from ..io.netclient import parse_net_url
+        try:  # a typo'd URL should fail here, not inside the feed thread
+            if parse_net_url(source) is None:
+                print(f"unsupported source scheme: {source!r}",
+                      file=sys.stderr)
+                return 2
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
 
     def emit(m: str) -> None:
         dash_plugin.output(m)
         az_plugin.output(m)
 
-    def feed():
+    def feed(stop: threading.Event):
         from ..io.netclient import client_for_url
         cli = client_for_url(source, emit)
         if cli is not None:  # remote receiver feed: no DSP in this process
             cli.start()
-            # the client delivers from its own thread; this feed thread
-            # just stays alive for the UI session (daemon — dies with it)
-            threading.Event().wait()
+            try:
+                # the client delivers from its own thread; this feed
+                # thread just holds the session open until the UI stops
+                stop.wait()
+            finally:
+                cli.close()
+            return
         from ..config import DspConfig
         from ..dsp import host
         from ..dsp.pipeline import demod_block_packed_jit, iq_to_device_layout, unpack_table
@@ -233,6 +254,8 @@ def main(argv=None) -> int:
                                          dtype=args.file_format)
         epoch = time.time()
         for block, start in blocks:
+            if stop.is_set():
+                return
             table = unpack_table(
                 demod_block_packed_jit(iq_to_device_layout(block), cfg))
             for m in host.table_to_messages(table, start, cfg.channel_rate,

@@ -76,7 +76,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     relays = []
     for i, addr in enumerate(addrs):
         from ..io.netclient import client_for_url
-        cli = client_for_url(addr, lambda m, i=i: inbox.put((i, m)))
+        try:
+            cli = client_for_url(addr, lambda m, i=i: inbox.put((i, m)))
+        except ValueError as e:  # typo'd URL: clean CLI error, no traceback
+            print(str(e), file=sys.stderr)
+            for r in relays:
+                r.close()
+            return 2
         if cli is not None:  # beast/beastgps/avr receiver feed
             relays.append(cli.start())
             continue

@@ -38,9 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     src.add_argument("-r", "--rate", type=float, default=2e6,
                      help="source sample rate [2e6]")
     src.add_argument("--file-format", default="complex64",
-                     choices=["complex64", "sc16", "uc8", "beast", "avr"],
+                     choices=["complex64", "sc16", "uc8", "beast",
+                              "beastgps", "avr"],
                      help="IQ sample format, or a demodulated frame "
-                     "recording ('beast' binary / 'avr' ASCII, e.g. from "
+                     "recording ('beast' binary / 'beastgps' with "
+                     "radarcape GPS counters / 'avr' ASCII, e.g. from "
                      "dump1090/readsb or this framework's -B/-w servers) "
                      "replayed through the decode stack without DSP")
     src.add_argument("-f", "--freq", type=float, default=1090e6)
@@ -272,10 +274,12 @@ def _run_frame_replay(args, path, bus, closers) -> int:
     counters."""
     from ..io.netclient import replay_file
 
+    fmt = "beast" if args.file_format == "beastgps" else args.file_format
     n = 0
     t0 = time.time()
     try:
-        for wire_msg, off in replay_file(path, fmt=args.file_format):
+        for wire_msg, off in replay_file(
+                path, fmt=fmt, gps_time=args.file_format == "beastgps"):
             if args.throttle:
                 ahead = off - (time.time() - t0)
                 if ahead > 0:
@@ -332,7 +336,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not args.no_print:
         from ..outputs.msprint import output_print
         bus.subscribe("dl_data", output_print(shared_parser).output)
-    if args.sbs1:
+    if args.sbs1 is not None:
         from ..outputs.sbs1 import output_sbs1
         plug = output_sbs1(args.sbs1, parse_cls(my_pos))
         bus.subscribe("dl_data", plug.output)
@@ -349,12 +353,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ..outputs.kml import output_kml
         plug = output_kml(args.kml, args.db, my_pos)
         closers.append(plug.close)
-    if args.raw:
+    if args.raw is not None:
         from ..outputs.raw_server import output_raw
         plug = output_raw(args.raw)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
-    if args.beast:
+    if args.beast is not None:
         from ..outputs.beast import output_beast
         plug = output_beast(args.beast, gps_time=args.beast_gps)
         bus.subscribe("dl_data", plug.output)
@@ -364,7 +368,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         plug = output_json(args.json, parse_cls(my_pos))
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
-    if args.http:
+    if args.http is not None:
         from ..outputs.httpd import output_http
         plug = output_http(args.http, parse_cls(my_pos), my_position=my_pos)
         bus.subscribe("dl_data", plug.output)
@@ -383,11 +387,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # --- source ----------------------------------------------------------
     srcs = args.source or ["synthetic"]
-    if args.file_format in ("beast", "avr"):
+    if args.file_format in ("beast", "beastgps", "avr"):
         if len(srcs) != 1 or srcs[0] in ("udp", "synthetic", "uhd",
-                                         "osmocom"):
-            print("frame-recording replay takes exactly one file source",
-                  file=sys.stderr)
+                                         "osmocom") or "://" in srcs[0]:
+            print("frame-recording replay takes exactly one file source "
+                  "(for a live network feed use -s beast://host:port "
+                  "without --file-format)", file=sys.stderr)
             return 2
         return _run_frame_replay(args, srcs[0], bus, closers)
     n_net = sum(1 for s in srcs
@@ -397,6 +402,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("network sources (beast://, beastgps://, avr://) may "
                   "not be mixed with sample sources", file=sys.stderr)
             return 2
+        from ..io.netclient import parse_net_url
+        for s in srcs:  # validate now: a typo'd URL should be a clean
+            try:        # CLI error, not a traceback (or a silent dead feed)
+                parse_net_url(s)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
         return _run_aggregator(args, srcs, bus, closers)
     if len(srcs) > 1:
         return _run_multichannel(args, srcs, cfg, bus, closers)

@@ -25,7 +25,10 @@ from ..constants import (AP_ADDRESS_DFS, STATUS_ADDR, STATUS_CRC_OK,
 from ..outputs.beast import ESC, MLAT_HZ, TYPE_LONG, TYPE_SHORT, signal_dbfs
 
 _BODY_LEN = {TYPE_SHORT: 6 + 1 + 7, TYPE_LONG: 6 + 1 + 14,
-             0x31: 6 + 1 + 2}  # Mode A/C frames are parsed but not decoded
+             0x31: 6 + 1 + 2,   # Mode A/C: parsed but not decoded
+             0x34: 6 + 1 + 14}  # radarcape status data: parsed and skipped
+                                # (resyncing through its body byte-by-byte
+                                # would inflate the crc-dropped counter)
 
 
 def frame_to_wire(hexframe: str, ref_dbfs: float = 0.0,
@@ -47,6 +50,10 @@ def frame_to_wire(hexframe: str, ref_dbfs: float = 0.0,
         return None
     df5 = data >> (nbits - 5)
     df = 24 if df5 >> 3 == 3 else df5
+    # same DF whitelist as the slicer (dsp/pipeline.py crc_check_and_correct):
+    # any other DF value is noise, not a Mode S downlink format
+    if df not in (0, 4, 5, 11, 16, 17, 18, 20, 21, 24):
+        return None
     # a frame whose DF implies the other length is garbled
     if frame_bits_for_df(df) != nbits:
         return None
@@ -314,19 +321,30 @@ class frame_deduper:
         if len(self._last) > self.max_entries:  # bound memory on busy feeds
             cutoff = now - self.window_s
             self._last = {k: t for k, t in self._last.items() if t >= cutoff}
+            if len(self._last) > self.max_entries:
+                # every entry still in-window (rate x window > cap): enforce
+                # the cap by dropping the oldest half — losing dedup state
+                # for old frames only risks a duplicate emit, never a drop.
+                # Shrinking to half also keeps this O(n log n) pass rare
+                # instead of running per accepted frame at the cap.
+                keep = sorted(self._last.items(), key=lambda kv: kv[1])
+                self._last = dict(keep[-(self.max_entries // 2):])
         self._last[hexframe] = now
         return True
 
 
 def replay_file(path: str, fmt: str = "auto",
-                epoch: Optional[float] = None):
+                epoch: Optional[float] = None, gps_time: bool = False):
     """Replay a recorded Beast-binary or AVR capture as wire messages.
 
-    Yields (wire_message, stream_offset_s). Remote 12 MHz MLAT counters
-    (Beast always; AVR `@` records) are mapped onto `epoch` relative to the
-    first frame's counter, preserving inter-frame spacing for throttled
-    replay and CPR pairing windows; counter-less AVR records replay at the
-    epoch. Frames failing the CRC acceptance rules are skipped.
+    Yields (wire_message, stream_offset_s). Remote MLAT counters (Beast
+    always; AVR `@` records) are mapped onto `epoch` relative to the first
+    frame's counter, preserving inter-frame spacing for throttled replay
+    and CPR pairing windows; counter-less AVR records replay at the epoch.
+    gps_time interprets counters in the radarcape [sec-of-day:18][ns:30]
+    layout (a recording of `-B --beast-gps` or a real radarcape) — the
+    classic interpretation would stretch 1 s of GPS spacing into 2^30/12e6
+    ≈ 89.5 s. Frames failing the CRC acceptance rules are skipped.
     """
     if epoch is None:
         epoch = time.time()
@@ -334,15 +352,23 @@ def replay_file(path: str, fmt: str = "auto",
         data = f.read()
     if fmt == "auto":
         fmt = "beast" if data[:1] == b"\x1a" else "avr"
-    mlat0: Optional[int] = None
+    t0: Optional[float] = None
+
+    def counter_s(mlat: int) -> float:
+        if gps_time:
+            return (mlat >> 30) + (mlat & ((1 << 30) - 1)) * 1e-9
+        return mlat / MLAT_HZ
 
     def ts_of(mlat: Optional[int]) -> Tuple[float, float]:
-        nonlocal mlat0
+        nonlocal t0
         if mlat is None:
             return epoch, 0.0
-        if mlat0 is None:
-            mlat0 = mlat
-        off = (mlat - mlat0) / MLAT_HZ
+        t = counter_s(mlat)
+        if t0 is None:
+            t0 = t
+        off = t - t0
+        if gps_time and off < -43200.0:
+            off += 86400.0              # recording crossed UTC midnight
         return epoch + off, off
 
     if fmt == "beast":

@@ -424,3 +424,113 @@ def test_mlat_over_beastgps_feeds():
     lat = float(sols[0].split("(")[1].split(",")[0])
     lon = float(sols[0].split(",")[1].split(")")[0])
     assert abs(lat - aircraft[0]) < 0.02 and abs(lon - aircraft[1]) < 0.02
+
+
+# --- review-finding regressions ------------------------------------------
+
+def test_frame_to_wire_rejects_undefined_dfs():
+    """Same DF whitelist as the slicer: DF1-3/6-10/12-15/19/22/23 are noise."""
+    for df in (1, 2, 3, 6, 7, 8, 9, 10, 12, 13, 14, 15):
+        body = df << 51
+        frame = (body << 24) | crc.parity(body >> 24 if False else body, 32)
+        # build a parity-clean 56-bit frame with this DF
+        payload = df << 27  # 32 message bits
+        frame = (payload << 24) | crc.parity(payload, 32)
+        assert frame_to_wire(f"{frame:014x}") is None, df
+    for df in (19, 22, 23):
+        payload = df << 83  # 88 message bits of a 112-bit frame
+        frame = (payload << 24) | crc.parity(payload, 88)
+        assert frame_to_wire(f"{frame:028x}") is None, df
+
+
+def test_replay_gps_layout_spacing(tmp_path):
+    """A -B --beast-gps recording replays with true 1 s spacing, not the
+    2^30/12e6 ~ 89.5 s a classic-counter interpretation would produce."""
+    from airmodes.io.netclient import replay_file
+    from airmodes.outputs.beast import beast_encode
+    base = 1_700_000_000.25
+    blob = b"".join(beast_encode(h, -15.0, base + i, gps_time=True)
+                    for i, h in enumerate([DF17_HEX, DF4_HEX, DF11_HEX]))
+    p = tmp_path / "rec.beastgps"
+    p.write_bytes(blob)
+    offs = [off for _, off in replay_file(str(p), fmt="beast",
+                                          gps_time=True, epoch=100.0)]
+    assert offs == pytest.approx([0.0, 1.0, 2.0], abs=1e-6)
+    # classic interpretation really would be wrong (guards the guard)
+    offs_classic = [off for _, off in replay_file(str(p), epoch=100.0)]
+    assert offs_classic[1] > 80.0
+
+
+def test_replay_gps_midnight_rollover(tmp_path):
+    from airmodes.io.netclient import replay_file
+    from airmodes.outputs.beast import beast_encode
+    day = 1_700_006_400.0 - (1_700_006_400.0 % 86400.0)
+    blob = (beast_encode(DF17_HEX, -15.0, day + 86399.5, gps_time=True) +
+            beast_encode(DF4_HEX, -15.0, day + 86400.5, gps_time=True))
+    p = tmp_path / "mid.beastgps"
+    p.write_bytes(blob)
+    offs = [off for _, off in replay_file(str(p), fmt="beast",
+                                          gps_time=True, epoch=0.0)]
+    assert offs == pytest.approx([0.0, 1.0], abs=1e-6)
+
+
+def test_frame_deduper_hard_cap():
+    from airmodes.io.netclient import frame_deduper
+    d = frame_deduper(window_s=300.0, max_entries=100)
+    for i in range(500):
+        d.accept(f"{i:06x}", now=1000.0 + i * 0.01)  # all within window
+    assert len(d._last) <= 101
+    # newest entries retained: an immediate duplicate is still suppressed
+    assert not d.accept(f"{499:06x}", now=1005.0)
+
+
+def test_beast_parser_skips_radarcape_status():
+    from airmodes.outputs.beast import beast_encode
+    status = b"\x1a\x34" + bytes(6) + b"\x00" + bytes(range(14))
+    whole = beast_encode(DF17_HEX, -20.0, 1.0)
+    frames = beast_parser().push(status + whole + status)
+    mtypes = [f[0] for f in frames]
+    assert 0x33 in mtypes
+    assert [f[3].hex() for f in frames if f[0] == 0x33] == [DF17_HEX]
+
+
+def test_modes_rx_rejects_bad_net_url(capsys):
+    from airmodes.apps.modes_rx import main
+    assert main(["-s", "beast://rx30005", "-n"]) == 2     # missing colon
+    err = capsys.readouterr().err
+    assert "beast://rx30005" in err
+
+
+def test_modes_rx_rejects_net_url_replay(capsys):
+    from airmodes.apps.modes_rx import main
+    rc = main(["-s", "beast://rx:30005", "--file-format", "beast", "-n"])
+    assert rc == 2
+
+
+def test_modes_gui_rejects_bad_net_url(capsys):
+    from airmodes.apps.modes_gui import main as gui_main
+    assert gui_main(["-s", "beast://rx30005", "--backend", "curses",
+                     "--duration", "1"]) == 2
+    assert gui_main(["-s", "ftp://rx:1", "--backend", "curses",
+                     "--duration", "1"]) == 2
+
+
+def test_modes_rx_beast_port_zero_starts_server(tmp_path):
+    """-B 0 (OS-assigned port) must start the server, not silently skip."""
+    import airmodes.outputs.beast as beast_mod
+    from airmodes.apps.modes_rx import main
+    made = []
+    real = beast_mod.output_beast
+
+    class spy(real):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            made.append(self.port)
+
+    beast_mod.output_beast = spy
+    try:
+        rc = main(["-s", "synthetic", "-n", "-B", "0", "--max-blocks", "1",
+                   "--block-size", str(1 << 16), "--stats-interval", "0"])
+    finally:
+        beast_mod.output_beast = real
+    assert rc == 0 and made and made[0] > 0
