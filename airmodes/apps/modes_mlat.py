@@ -42,6 +42,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="frame correlation window, seconds [0.010]")
     p.add_argument("--alt-datum", choices=["msl", "ellipsoid"],
                    default="msl")
+    p.add_argument("--clock-sync", action="store_true",
+                   help="estimate per-station clock offsets from ADS-B "
+                   "position frames (the mlat-server technique) so plain "
+                   "beast:// receivers with free-running counters can "
+                   "TDOA — no GPS discipline needed. Their counters are "
+                   "host-anchored per connection; DF17 positions train "
+                   "the offsets; other frames solve once converged")
     p.add_argument("--pub", default=None, metavar="ADDR",
                    help="re-publish solutions on a zmq PUB socket "
                    "(topic 'mlat')")
@@ -70,14 +77,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"need >= {args.min_stations} stations", file=sys.stderr)
         return 2
 
+    window = args.window
+    if args.clock_sync:
+        # the window must cover the coarse inter-station anchor jitter
+        # (~ms over TCP), not just light travel
+        window = max(window, 0.1)
     corr = mlat_correlator(stations, min_stations=args.min_stations,
-                           window_s=args.window, alt_datum=args.alt_datum)
+                           window_s=window, alt_datum=args.alt_datum,
+                           clock_sync_enabled=args.clock_sync)
     inbox: "queue.Queue" = queue.Queue()
     relays = []
     for i, addr in enumerate(addrs):
         from ..io.netclient import client_for_url
+        # under clock sync, non-GPS feeds must carry counter-derived
+        # (host-anchored) timestamps: host receive times have ms TCP
+        # jitter, useless for us-level TDOA
+        ts_mode = "mlat" if args.clock_sync and \
+            not addr.startswith("beastgps://") else None
         try:
-            cli = client_for_url(addr, lambda m, i=i: inbox.put((i, m)))
+            cli = client_for_url(addr, lambda m, i=i: inbox.put((i, m)),
+                                 timestamps=ts_mode)
         except ValueError as e:  # typo'd URL: clean CLI error, no traceback
             print(str(e), file=sys.stderr)
             for r in relays:

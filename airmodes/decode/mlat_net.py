@@ -52,17 +52,94 @@ def _frame_altitude_ft(hexframe: str) -> Optional[float]:
         return None
 
 
+C_LIGHT = 299792458.0
+
+
+class clock_sync:
+    """Per-station clock-offset estimation from ADS-B reference frames.
+
+    Receivers with free-running counters (classic Beast) cannot TDOA
+    directly: each station's timestamps carry an unknown offset (bounded
+    to ~ms by the netclient's per-connection host anchoring). The fix is
+    the standard mlat-server technique: an aircraft broadcasting its OWN
+    position (DF17 airborne position, CPR-decoded) is a reference
+    transmitter at a known location, so the expected inter-station arrival
+    difference is known and the measured difference exposes the relative
+    clock offset. Offsets are EWMA-tracked per station against an anchor
+    station (index 0); a station participates in solving only after
+    `min_updates` reference observations.
+    """
+
+    def __init__(self, stations: Sequence[Tuple[float, float, float]],
+                 anchor: int = 0, alpha: float = 0.3, min_updates: int = 3):
+        self._ecef = [mlat_mod.llh2ecef(s) for s in stations]
+        self.anchor = anchor
+        self.alpha = alpha
+        self.min_updates = min_updates
+        self.offset = [0.0] * len(stations)   # station clock minus truth
+        self.n_updates = [0] * len(stations)
+        self.n_updates[anchor] = 10 ** 9      # anchor defines truth
+
+    def _expected_delta(self, pos_ecef, s: int, r: int) -> float:
+        import numpy as np
+        ds = float(np.linalg.norm(pos_ecef - self._ecef[s]))
+        dr = float(np.linalg.norm(pos_ecef - self._ecef[r]))
+        return (ds - dr) / C_LIGHT
+
+    def update(self, arrivals: Dict[int, float],
+               pos_llh: Tuple[float, float, float]) -> None:
+        """Feed one reference frame: {station: raw_arrival}, known
+        transmitter position (lat, lon, alt_m)."""
+        ref = None
+        if self.anchor in arrivals:
+            ref = self.anchor
+        else:                      # relay through any converged station
+            for s in arrivals:
+                if self.n_updates[s] >= self.min_updates:
+                    ref = s
+                    break
+        if ref is None:
+            return
+        pos = mlat_mod.llh2ecef(pos_llh)
+        for s, t in arrivals.items():
+            if s == ref:
+                continue
+            residual = (t - arrivals[ref]) - self._expected_delta(pos, s, ref)
+            est = self.offset[ref] + residual
+            if self.n_updates[s] == 0:
+                self.offset[s] = est
+            else:
+                self.offset[s] += self.alpha * (est - self.offset[s])
+            self.n_updates[s] += 1
+
+    def correct(self, arrivals: Dict[int, float]) \
+            -> Optional[Dict[int, float]]:
+        """Offset-corrected arrivals, or None if any station is not yet
+        converged (an uncorrected clock would poison the solve)."""
+        if any(self.n_updates[s] < self.min_updates for s in arrivals):
+            return None
+        return {s: t - self.offset[s] for s, t in arrivals.items()}
+
+
 class mlat_correlator:
     """Group identical frames across stations; solve when ready.
 
     stations: list of (lat, lon, alt) per station index. A frame's entry
     solves once `min_stations` stations have reported it AND its window
     has aged past window_s (late stations improve geometry, so the solve
-    waits for the window, not the minimum)."""
+    waits for the window, not the minimum).
+
+    clock_sync_enabled: for stations WITHOUT GPS-disciplined timestamps.
+    DF17 airborne-position frames (decoded via the shared parser's CPR
+    state) become clock references instead of TDOA targets, and all other
+    frames solve with offset-corrected arrivals once every participating
+    station has converged. The correlation window must then cover the
+    coarse inter-station offset (~ms anchoring jitter), not just light
+    travel — pass window_s accordingly (0.1 s is a safe default)."""
 
     def __init__(self, stations: Sequence[Tuple[float, float, float]],
                  min_stations: int = 3, window_s: float = DEFAULT_WINDOW_S,
-                 alt_datum: str = "msl"):
+                 alt_datum: str = "msl", clock_sync_enabled: bool = False):
         if len(stations) < min_stations:
             raise ValueError(f"{len(stations)} stations < min_stations "
                              f"{min_stations}")
@@ -72,18 +149,46 @@ class mlat_correlator:
         self.alt_datum = alt_datum
         # hexframe -> {station_index: arrival_time}
         self._pending: Dict[str, Dict[int, float]] = {}
+        self.sync = clock_sync(self.stations) if clock_sync_enabled else None
+        self._refpos: Dict[str, Tuple[float, float, float]] = {}
+        if clock_sync_enabled:
+            from .parse import parse as parse_cls
+            self._parser = parse_cls()   # shared CPR cache across stations
 
     def feed(self, station: int, message: str) -> List[MlatSolution]:
         """One wire message ("<df> <hex> ... <timestamp>") from a station;
         returns any solutions that became ready."""
         parts = message.split()
         hexframe, t = parts[1], float(parts[5])
-        arr = self._pending.setdefault(hexframe, {})
+        out: List[MlatSolution] = []
+        arr = self._pending.get(hexframe)
+        if arr is not None and t - min(arr.values()) > self.window_s:
+            # aircraft RETRANSMIT identical frames (same DF4/DF11 bits
+            # seconds apart): an arrival newer than the window belongs to
+            # a new transmission — resolve the old group instead of mixing
+            # arrival times across transmissions
+            del self._pending[hexframe]
+            out += self._finish(hexframe, arr)
+            arr = None
+        if arr is None:
+            arr = self._pending[hexframe] = {}
         # keep the EARLIEST arrival per station (a station can see its own
         # multipath copy later)
         if station not in arr or t < arr[station]:
             arr[station] = t
-        return self.flush(now=t)
+        if self.sync is not None and hexframe not in self._refpos:
+            try:
+                rep = self._parser.parse(message)
+            except ADSBError:
+                rep = None
+            if rep is not None and rep.lat is not None \
+                    and not rep.on_surface and rep.altitude_ft is not None:
+                if len(self._refpos) > 4096:   # bound: FIFO-drop oldest
+                    for k in list(self._refpos)[:2048]:
+                        del self._refpos[k]
+                self._refpos[hexframe] = (rep.lat, rep.lon,
+                                          rep.altitude_ft * 0.3048)
+        return out + self.flush(now=t)
 
     def flush(self, now: float, force: bool = False) -> List[MlatSolution]:
         """Solve and clear entries whose window has aged out (or all,
@@ -91,24 +196,43 @@ class mlat_correlator:
         out: List[MlatSolution] = []
         for hexframe in list(self._pending):
             arr = self._pending[hexframe]
-            t0 = min(arr.values())
-            if not force and now - t0 <= self.window_s:
+            if not force and now - min(arr.values()) <= self.window_s:
                 continue
             del self._pending[hexframe]
-            if len(arr) < self.min_stations:
-                continue
-            replies = {self.stations[s]: t for s, t in arr.items()}
-            alt_ft = _frame_altitude_ft(hexframe)
-            try:
-                lat, lon, alt_m = mlat_mod.mlat(replies, alt_ft,
-                                                alt_datum=self.alt_datum)
-            except MlatNonConvergeError:
-                continue          # drop-and-continue, like the parse loop
-            nbits = len(hexframe) * 4
-            data = int(hexframe, 16)
-            df = data >> (nbits - 5)
-            icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
-                else None
-            out.append(MlatSolution(hexframe, icao, lat, lon, alt_m,
-                                    len(arr), t0))
+            out += self._finish(hexframe, arr)
         return out
+
+    def _finish(self, hexframe: str,
+                arr: Dict[int, float]) -> List[MlatSolution]:
+        """Resolve one completed arrival group: train the clock sync (if
+        it was a position-known reference frame) or TDOA-solve it."""
+        t0 = min(arr.values())
+        if self.sync is not None:
+            # leave _refpos cached: retransmissions of the same position
+            # frame keep training without a re-parse
+            refpos = self._refpos.get(hexframe)
+            if refpos is not None:
+                if len(arr) >= 2:       # reference frame: trains the sync
+                    self.sync.update(arr, refpos)
+                return []               # position already known; no TDOA
+        if len(arr) < self.min_stations:
+            return []
+        if self.sync is not None:
+            corrected = self.sync.correct(arr)
+            if corrected is None:
+                return []               # a clock is not yet converged
+            arr = corrected
+        replies = {self.stations[s]: t for s, t in arr.items()}
+        alt_ft = _frame_altitude_ft(hexframe)
+        try:
+            lat, lon, alt_m = mlat_mod.mlat(replies, alt_ft,
+                                            alt_datum=self.alt_datum)
+        except MlatNonConvergeError:
+            return []         # drop-and-continue, like the parse loop
+        nbits = len(hexframe) * 4
+        data = int(hexframe, 16)
+        df = data >> (nbits - 5)
+        icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
+            else None
+        return [MlatSolution(hexframe, icao, lat, lon, alt_m,
+                             len(arr), t0)]

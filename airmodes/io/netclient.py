@@ -194,9 +194,11 @@ class net_client:
     `callback(wire_message)`. Timestamp handling (`timestamps=`):
 
       "host"  arrival time at this host (default; fine for live maps)
-      "mlat"  the remote 12 MHz counter verbatim (relative to the remote
-              receiver's boot — only meaningful to a consumer correlating
-              raw counters)
+      "mlat"  the remote 12 MHz counter, coarse-anchored to this host's
+              clock at the first frame of each connection: preserves the
+              counter's ~83 ns relative precision while bounding the
+              inter-station offset to network latency + anchor jitter
+              (~ms) — which mlat clock sync then refines to us level
       "gps"   radarcape-style GPS-disciplined counter ([sec-of-day:18]
               [ns:30]) -> absolute UTC; what mlat across stations needs
     """
@@ -209,6 +211,7 @@ class net_client:
         self.fmt = fmt
         self.timestamps = "mlat" if mlat_time else timestamps
         self.reconnect_s = reconnect_s
+        self._anchor: Optional[Tuple[float, int]] = None
         self.n_frames = 0
         self.n_dropped = 0
         self._stop = threading.Event()
@@ -227,7 +230,13 @@ class net_client:
         ts = None
         if mlat is not None:
             if self.timestamps == "mlat":
-                ts = mlat / MLAT_HZ
+                if self._anchor is None:
+                    # counter is relative to remote boot (offsets between
+                    # stations would be unbounded); anchor it to this
+                    # host's clock once per connection
+                    self._anchor = (time.time(), mlat)
+                t0, c0 = self._anchor
+                ts = t0 + ((mlat - c0) & ((1 << 48) - 1)) / MLAT_HZ
             elif self.timestamps == "gps":
                 ts = gps_counter_to_utc(mlat, time.time())
         wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts)
@@ -239,6 +248,7 @@ class net_client:
 
     def _pump(self, sock: socket.socket) -> None:
         sock.settimeout(0.5)
+        self._anchor = None      # re-anchor counters on every connection
         fmt = self.fmt
         beast = beast_parser()
         avr_buf = b""

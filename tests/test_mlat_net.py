@@ -110,3 +110,78 @@ def test_modes_mlat_app_over_zmq(capsys):
         p.close()
     out = capsys.readouterr().out
     assert "mlat " in out and "4840d6" in out, out
+
+
+# --- clock sync: mlat without GPS-disciplined receivers -------------------
+
+def test_clock_sync_estimates_offsets():
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    true_off = [0.0, 0.004, -0.0035, 0.0012]
+    ref_ac = [(47.05, 8.10, 9000.0), (47.20, 8.25, 11000.0),
+              (46.99, 8.15, 8000.0)]
+    for pos in ref_ac:
+        t = _arrivals((pos[0], pos[1], pos[2]), STATIONS)
+        arr = {s: t[s] + true_off[s] for s in range(4)}
+        sync.update(arr, (pos[0], pos[1], pos[2]))
+    for s in range(1, 4):
+        assert sync.offset[s] == pytest.approx(true_off[s], abs=1e-7)
+    corrected = sync.correct({s: 100.0 + true_off[s] for s in range(4)})
+    assert corrected is not None
+    vals = list(corrected.values())
+    assert max(vals) - min(vals) < 1e-6
+
+
+def test_clock_sync_correlator_solves_unsynced_feeds():
+    """DF17 position frames train the offsets; a DF4 target then solves
+    with sub-km accuracy despite ms-scale clock offsets."""
+    from airmodes.decode.altitude import encode_alt_q
+    from airmodes.decode.mlat_net import mlat_correlator
+    from airmodes import crc
+
+    def wire_crc(frame, nbits, ts):
+        s = crc.crc24(frame, nbits)
+        return (f"{frame >> (nbits - 5)} {frame:0{nbits // 4}x} {s:06x} 0 "
+                f"-20.0 {ts:.9f}")
+
+    true_off = [0.0, 0.006, -0.004, 0.002]
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid", window_s=0.1,
+                           clock_sync_enabled=True)
+    ref_pos = (47.08, 8.12, 10000.0)
+    target = (47.12, 8.28, 9500.0)
+    tgt_frame = encoder.df4_frame(0xABCDEF,
+                                  encode_alt_q(target[2] / 0.3048))
+    sols = []
+    t_emit = 100.0
+    for k in range(6):
+        for odd in (False, True):
+            me = encoder.me_airborne_position(
+                ref_pos[2] / 0.3048, ref_pos[0], ref_pos[1], odd=odd)
+            f = encoder.df17_frame(0x4840D6, me)
+            ts = _arrivals(ref_pos, STATIONS, t_emit)
+            for s in range(4):
+                sols += corr.feed(s, wire_crc(f, 112, ts[s] + true_off[s]))
+            t_emit += 0.5
+        ts = _arrivals(target, STATIONS, t_emit)
+        for s in range(4):
+            sols += corr.feed(s, wire_crc(tgt_frame, 56,
+                                          ts[s] + true_off[s]))
+        t_emit += 0.5
+    sols += corr.flush(now=t_emit + 10.0, force=True)
+    tgt_sols = [s for s in sols if s.hexframe == f"{tgt_frame:014x}"]
+    assert tgt_sols, "target never solved"
+    s = tgt_sols[0]
+    assert abs(s.lat - target[0]) < 0.01
+    assert abs(s.lon - target[1]) < 0.01
+    # the reference's own frames never produce TDOA output
+    assert all(sol.icao != 0x4840D6 for sol in sols)
+
+
+def test_clock_sync_blocks_unconverged_stations():
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    # only one reference observation: stations 1-3 not converged
+    t = _arrivals((47.05, 8.10, 9000.0), STATIONS)
+    sync.update({s: t[s] for s in range(4)}, (47.05, 8.10, 9000.0))
+    assert sync.correct({0: 1.0, 1: 1.0}) is None
+    assert sync.correct({0: 1.0}) is not None  # anchor alone is converged

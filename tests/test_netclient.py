@@ -534,3 +534,74 @@ def test_modes_rx_beast_port_zero_starts_server(tmp_path):
     finally:
         beast_mod.output_beast = real
     assert rc == 0 and made and made[0] > 0
+
+
+def test_mlat_clock_sync_over_plain_beast_feeds():
+    """Flagship: TDOA over receivers with FREE-RUNNING 12 MHz counters and
+    different boot epochs (no GPS discipline) — DF17 position frames train
+    per-station clock offsets; a DF4 target then solves."""
+    import numpy as np
+    from airmodes.apps.modes_mlat import main as mlat_main
+    from airmodes.decode import mlat as M
+    from airmodes.decode.altitude import encode_alt_q
+
+    C_LIGHT = 299792458.0
+    stations = [(47.00, 8.00, 500.0), (47.25, 8.05, 420.0),
+                (46.95, 8.40, 610.0), (47.15, 8.30, 800.0)]
+    ref_pos = (47.08, 8.12, 10000.0)
+    target = (47.12, 8.28, 9500.0)
+    boot = [0.0, 1234.5, 99.25, 7.75]           # different boot epochs
+    ref_icao, tgt_icao = 0x4840D6, 0xABCDEF
+    tgt_frame = encoder.df4_frame(tgt_icao, encode_alt_q(target[2] / 0.3048))
+
+    def arrivals(pos, t_emit):
+        p = M.llh2ecef(pos)
+        return [t_emit + float(np.linalg.norm(p - M.llh2ecef(s))) / C_LIGHT
+                for s in stations]
+
+    srvs = [output_beast(port=0, host="127.0.0.1") for _ in stations]
+    stop = threading.Event()
+
+    def feeder():
+        k = 0
+        while not stop.is_set():
+            t = time.time()
+            batch = []
+            for odd in (False, True):
+                me = encoder.me_airborne_position(
+                    ref_pos[2] / 0.3048, ref_pos[0], ref_pos[1], odd=odd)
+                batch.append((encoder.df17_frame(ref_icao, me), 112, ref_pos))
+            batch.append((tgt_frame, 56, target))
+            for j, (frame, nbits, pos) in enumerate(batch):
+                ts = arrivals(pos, t + 0.02 * j)
+                for s, srv in enumerate(srvs):
+                    srv.output(_wire(frame, nbits, ts=ts[s] + boot[s]))
+            k += 1
+            stop.wait(0.2)
+
+    th = threading.Thread(target=feeder, daemon=True)
+    th.start()
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    try:
+        argv = []
+        for (lat, lon, alt), s in zip(stations, srvs):
+            argv += ["-S", f"{lat},{lon},{alt}@beast://127.0.0.1:{s.port}"]
+        argv += ["--alt-datum", "ellipsoid", "--clock-sync",
+                 "--max-seconds", "25"]
+        with redirect_stdout(buf):
+            rc = mlat_main(argv)
+    finally:
+        stop.set()
+        th.join()
+        for s in srvs:
+            s.close()
+    assert rc == 0
+    want_hex = f"{tgt_frame:014x}"
+    sols = [ln for ln in buf.getvalue().splitlines()
+            if ln.startswith("mlat") and want_hex in ln]
+    assert sols, f"target never solved: {buf.getvalue()!r}"
+    lat = float(sols[-1].split("(")[1].split(",")[0])
+    lon = float(sols[-1].split(",")[1].split(")")[0])
+    assert abs(lat - target[0]) < 0.03 and abs(lon - target[1]) < 0.03
