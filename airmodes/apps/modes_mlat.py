@@ -112,10 +112,21 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     n_solved = 0
     t_start = time.time()
+    t_stats = time.time()
     try:
         while True:
             if args.max_seconds and time.time() - t_start > args.max_seconds:
                 break
+            if corr.sync is not None and time.time() - t_stats > 10.0:
+                t_stats = time.time()
+                sy = corr.sync
+                rpt = " ".join(
+                    f"s{i}:{'anchor' if i == sy.anchor else ''}"
+                    f"{'' if i == sy.anchor else f'{sy.offset[i]*1e6:+.1f}us'}"
+                    f"{'' if i == sy.anchor or not sy.rate[i] else f'@{sy.rate[i]*1e6:+.2f}ppm'}"
+                    f"({min(sy.n_updates[i], 9999)})"
+                    for i in range(len(stations)))
+                print(f"# clock sync: {rpt}", file=sys.stderr)
             try:
                 station, msg = inbox.get(timeout=0.5)
             except queue.Empty:

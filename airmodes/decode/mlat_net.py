@@ -71,14 +71,24 @@ class clock_sync:
     """
 
     def __init__(self, stations: Sequence[Tuple[float, float, float]],
-                 anchor: int = 0, alpha: float = 0.3, min_updates: int = 3):
+                 anchor: int = 0, alpha: float = 0.3, min_updates: int = 3,
+                 drift_span_s: float = 5.0):
+        import collections
         self._ecef = [mlat_mod.llh2ecef(s) for s in stations]
         self.anchor = anchor
         self.alpha = alpha
         self.min_updates = min_updates
+        self.drift_span_s = drift_span_s
         self.offset = [0.0] * len(stations)   # station clock minus truth
+        self.rate = [0.0] * len(stations)     # d(offset)/dt (counter ppm)
+        self.offset_t = [0.0] * len(stations)  # time offset[] refers to
         self.n_updates = [0] * len(stations)
         self.n_updates[anchor] = 10 ** 9      # anchor defines truth
+        # recent (t, raw offset estimate) per station for the drift fit:
+        # free-running 12 MHz crystals drift at ppm level (us/s), which a
+        # pure offset model turns into km-scale error between references
+        self._hist = [collections.deque(maxlen=32)
+                      for _ in range(len(stations))]
 
     def _expected_delta(self, pos_ecef, s: int, r: int) -> float:
         import numpy as np
@@ -105,12 +115,35 @@ class clock_sync:
             if s == ref:
                 continue
             residual = (t - arrivals[ref]) - self._expected_delta(pos, s, ref)
-            est = self.offset[ref] + residual
+            est = self._offset_at(ref, t) + residual
             if self.n_updates[s] == 0:
                 self.offset[s] = est
             else:
-                self.offset[s] += self.alpha * (est - self.offset[s])
+                pred = self._offset_at(s, t)
+                self.offset[s] = pred + self.alpha * (est - pred)
+            self.offset_t[s] = t
             self.n_updates[s] += 1
+            self._hist[s].append((t, est))
+            self._fit_rate(s)
+
+    def _fit_rate(self, s: int) -> None:
+        """Least-squares slope of recent offset estimates -> drift rate.
+        Needs several points spanning enough time for the slope (us-level
+        estimates over ms-level spans would be noise)."""
+        h = self._hist[s]
+        if len(h) < 5 or h[-1][0] - h[0][0] < self.drift_span_s:
+            return
+        n = len(h)
+        tm = sum(t for t, _ in h) / n
+        om = sum(o for _, o in h) / n
+        num = sum((t - tm) * (o - om) for t, o in h)
+        den = sum((t - tm) ** 2 for t, _ in h)
+        if den > 0:
+            self.rate[s] = num / den
+
+    def _offset_at(self, s: int, t: float) -> float:
+        """Offset extrapolated to time t via the fitted drift rate."""
+        return self.offset[s] + self.rate[s] * (t - self.offset_t[s])
 
     def correct(self, arrivals: Dict[int, float]) \
             -> Optional[Dict[int, float]]:
@@ -118,7 +151,7 @@ class clock_sync:
         converged (an uncorrected clock would poison the solve)."""
         if any(self.n_updates[s] < self.min_updates for s in arrivals):
             return None
-        return {s: t - self.offset[s] for s, t in arrivals.items()}
+        return {s: t - self._offset_at(s, t) for s, t in arrivals.items()}
 
 
 class mlat_correlator:

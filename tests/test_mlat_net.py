@@ -185,3 +185,28 @@ def test_clock_sync_blocks_unconverged_stations():
     sync.update({s: t[s] for s in range(4)}, (47.05, 8.10, 9000.0))
     assert sync.correct({0: 1.0, 1: 1.0}) is None
     assert sync.correct({0: 1.0}) is not None  # anchor alone is converged
+
+
+def test_clock_sync_tracks_counter_drift():
+    """ppm-level crystal drift is extrapolated, so a target solved seconds
+    after the last reference still corrects to us level."""
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    rates = [0.0, 5e-6, -3e-6, 8e-6]          # 3-8 ppm drift
+    base = [0.0, 0.002, -0.001, 0.0005]
+
+    def off(s, t):
+        return base[s] + rates[s] * (t - 100.0)
+
+    for k in range(20):                        # references 1 s apart
+        pos = (47.05 + 0.001 * k, 8.10, 9000.0)
+        ts = _arrivals(pos, STATIONS, 100.0 + k)
+        sync.update({s: ts[s] + off(s, ts[s]) for s in range(4)}, pos)
+    for s in range(1, 4):
+        assert sync.rate[s] == pytest.approx(rates[s], abs=5e-7)
+    # 10 s after the last reference: a constant-offset model would be off
+    # by up to 80 us (24 km); the drift model stays within ~1 us
+    t = 130.0
+    corrected = sync.correct({s: t + off(s, t) for s in range(4)})
+    vals = list(corrected.values())
+    assert max(vals) - min(vals) < 2e-6
