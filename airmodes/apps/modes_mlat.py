@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pub", default=None, metavar="ADDR",
                    help="re-publish solutions on a zmq PUB socket "
                    "(topic 'mlat')")
+    p.add_argument("-P", "--sbs1", type=int, default=None, metavar="PORT",
+                   help="serve solutions as SBS-1/BaseStation MSG,3 CSV "
+                   "on this TCP port (Virtual Radar Server etc. display "
+                   "mlat tracks directly)")
     p.add_argument("--max-seconds", type=float, default=None,
                    help="exit after this long (testing)")
     return p
@@ -109,6 +113,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         r.subscribe("dl_data", lambda m, i=i: inbox.put((i, m)))
         relays.append(r)
     pub = zmq_pubsub_iface(pubaddr=args.pub) if args.pub else None
+    sbs = None
+    if args.sbs1 is not None:
+        from ..outputs.tcpserver import broadcast_server
+        sbs = broadcast_server(args.sbs1)
+
+    def sbs_line(sol) -> str:
+        import datetime
+        dt = datetime.datetime.fromtimestamp(sol.timestamp,
+                                             tz=datetime.timezone.utc)
+        d, t = dt.strftime("%Y/%m/%d"), dt.strftime("%H:%M:%S.%f")[:-3]
+        icao = "" if sol.icao is None else f"{sol.icao:06X}"
+        alt_ft = round(sol.alt_m / 0.3048)
+        return (f"MSG,3,1,1,{icao},1,{d},{t},{d},{t},,{alt_ft},,,"
+                f"{sol.lat:.5f},{sol.lon:.5f},,,,,,0")
 
     n_solved = 0
     t_start = time.time()
@@ -141,6 +159,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(line, flush=True)
                 if pub:
                     pub.publish("mlat", line)
+                if sbs is not None:
+                    sbs.broadcast((sbs_line(sol) + "\r\n").encode())
     except KeyboardInterrupt:
         pass
     finally:
@@ -148,6 +168,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             r.close()
         if pub:
             pub.close()
+        if sbs is not None:
+            sbs.close()
     print(f"# modes_mlat: {n_solved} positions solved", file=sys.stderr)
     return 0
 

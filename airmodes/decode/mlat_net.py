@@ -182,6 +182,7 @@ class mlat_correlator:
         self.alt_datum = alt_datum
         # hexframe -> {station_index: arrival_time}
         self._pending: Dict[str, Dict[int, float]] = {}
+        self._icao_hint: Dict[str, int] = {}
         self.sync = clock_sync(self.stations) if clock_sync_enabled else None
         self._refpos: Dict[str, Tuple[float, float, float]] = {}
         if clock_sync_enabled:
@@ -193,6 +194,14 @@ class mlat_correlator:
         returns any solutions that became ready."""
         parts = message.split()
         hexframe, t = parts[1], float(parts[5])
+        # AP-overlaid DFs (0/4/5/16/20/21/24) carry the transmitter address
+        # in the wire syndrome (status ADDR) — recover it so their TDOA
+        # solutions are attributable, not anonymous
+        try:
+            if int(parts[3]) == 3:
+                self._icao_hint[hexframe] = int(parts[2], 16)
+        except (ValueError, IndexError):
+            pass
         out: List[MlatSolution] = []
         arr = self._pending.get(hexframe)
         if arr is not None and t - min(arr.values()) > self.window_s:
@@ -266,6 +275,9 @@ class mlat_correlator:
         data = int(hexframe, 16)
         df = data >> (nbits - 5)
         icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
-            else None
+            else self._icao_hint.pop(hexframe, None)
+        if len(self._icao_hint) > 4096:      # bound: FIFO-drop oldest
+            for k in list(self._icao_hint)[:2048]:
+                del self._icao_hint[k]
         return [MlatSolution(hexframe, icao, lat, lon, alt_m,
                              len(arr), t0)]

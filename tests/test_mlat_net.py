@@ -210,3 +210,22 @@ def test_clock_sync_tracks_counter_drift():
     corrected = sync.correct({s: t + off(s, t) for s in range(4)})
     vals = list(corrected.values())
     assert max(vals) - min(vals) < 2e-6
+
+
+def test_ap_overlay_solution_carries_icao():
+    """DF4 targets are AP-overlaid: the wire syndrome IS the address, and
+    the TDOA solution must carry it (not be anonymous)."""
+    from airmodes.decode.altitude import encode_alt_q
+    frame = encoder.df4_frame(0xABCDEF, encode_alt_q(30000.0))
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    ts = _arrivals(AIRCRAFT, STATIONS)
+
+    def wire_addr(f, nbits, t):
+        from airmodes import crc
+        s = crc.crc24(f, nbits)
+        return f"{f >> (nbits - 5)} {f:0{nbits // 4}x} {s:06x} 3 -20.0 {t:.9f}"
+
+    for i in range(4):
+        corr.feed(i, wire_addr(frame, 56, ts[i]))
+    sols = corr.flush(now=ts[0] + 1.0)
+    assert len(sols) == 1 and sols[0].icao == 0xABCDEF
