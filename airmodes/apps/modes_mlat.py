@@ -39,7 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    "needs), beast://host:port, avr://host:port")
     p.add_argument("--min-stations", type=int, default=3)
     p.add_argument("--window", type=float, default=0.010,
-                   help="frame correlation window, seconds [0.010]")
+                   help="frame correlation window, seconds [0.010]; "
+                   "--clock-sync enforces a 0.05 floor (must cover "
+                   "counter-anchor jitter)")
     p.add_argument("--alt-datum", choices=["msl", "ellipsoid"],
                    default="msl")
     p.add_argument("--clock-sync", action="store_true",
@@ -82,10 +84,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
 
     window = args.window
-    if args.clock_sync:
+    if args.clock_sync and window < 0.05:
         # the window must cover the coarse inter-station anchor jitter
         # (~ms over TCP), not just light travel
-        window = max(window, 0.1)
+        print(f"# --clock-sync: raising --window {window} -> 0.05 s "
+              "(must cover counter-anchor jitter)", file=sys.stderr)
+        window = 0.05
     corr = mlat_correlator(stations, min_stations=args.min_stations,
                            window_s=window, alt_datum=args.alt_datum,
                            clock_sync_enabled=args.clock_sync)
@@ -98,6 +102,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # jitter, useless for us-level TDOA
         ts_mode = "mlat" if args.clock_sync and \
             not addr.startswith("beastgps://") else None
+        if ts_mode == "mlat" and addr.startswith("avr://"):
+            print(f"# note: {addr} under --clock-sync needs '@<mlat>' "
+                  "AVR records (dump1090 --net-ro MLAT format); plain "
+                  "'*hex;' records carry no counter and are dropped",
+                  file=sys.stderr)
         try:
             cli = client_for_url(addr, lambda m, i=i: inbox.put((i, m)),
                                  timestamps=ts_mode)
@@ -107,6 +116,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                 r.close()
             return 2
         if cli is not None:  # beast/beastgps/avr receiver feed
+            if args.clock_sync:
+                # a reconnect / counter reset re-anchors the feed: the
+                # trained offset is garbage. Serialize the reset through
+                # the inbox so it lands between messages, not mid-update.
+                cli.on_reanchor = (lambda i=i: inbox.put((i, None)))
             relays.append(cli.start())
             continue
         r = zmq_pubsub_iface(subaddr=addr)
@@ -148,6 +162,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             try:
                 station, msg = inbox.get(timeout=0.5)
             except queue.Empty:
+                continue
+            if msg is None:       # feed re-anchored: invalidate its sync
+                corr.reset_station(station)
+                print(f"# clock sync: station {station} re-anchored, "
+                      "offset state reset", file=sys.stderr)
                 continue
             for sol in corr.feed(station, msg):
                 n_solved += 1

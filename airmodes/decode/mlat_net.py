@@ -70,25 +70,44 @@ class clock_sync:
     `min_updates` reference observations.
     """
 
+    CONVERGED = 10 ** 9          # n_updates value marking the anchor
+
     def __init__(self, stations: Sequence[Tuple[float, float, float]],
                  anchor: int = 0, alpha: float = 0.3, min_updates: int = 3,
-                 drift_span_s: float = 5.0):
+                 drift_span_s: float = 5.0, outlier_gate_s: float = 500e-6,
+                 max_age_s: float = 60.0):
         import collections
         self._ecef = [mlat_mod.llh2ecef(s) for s in stations]
         self.anchor = anchor
         self.alpha = alpha
         self.min_updates = min_updates
         self.drift_span_s = drift_span_s
+        self.outlier_gate_s = outlier_gate_s
+        self.max_age_s = max_age_s
         self.offset = [0.0] * len(stations)   # station clock minus truth
         self.rate = [0.0] * len(stations)     # d(offset)/dt (counter ppm)
         self.offset_t = [0.0] * len(stations)  # time offset[] refers to
         self.n_updates = [0] * len(stations)
-        self.n_updates[anchor] = 10 ** 9      # anchor defines truth
+        self.n_updates[anchor] = self.CONVERGED  # anchor defines truth
+        self.n_outliers = [0] * len(stations)
+        self._anchor_misses = 0
         # recent (t, raw offset estimate) per station for the drift fit:
         # free-running 12 MHz crystals drift at ppm level (us/s), which a
         # pure offset model turns into km-scale error between references
         self._hist = [collections.deque(maxlen=32)
                       for _ in range(len(stations))]
+
+    def reset_station(self, s: int) -> None:
+        """Invalidate a station's trained state — REQUIRED after its feed
+        reconnects: the counter re-anchors against the host clock, so the
+        old offset (and any drift fit spanning the step) is garbage."""
+        if s == self.anchor:
+            return                # anchor is truth by definition
+        self.offset[s] = 0.0
+        self.rate[s] = 0.0
+        self.offset_t[s] = 0.0
+        self.n_updates[s] = 0
+        self._hist[s].clear()
 
     def _expected_delta(self, pos_ecef, s: int, r: int) -> float:
         import numpy as np
@@ -103,23 +122,50 @@ class clock_sync:
         ref = None
         if self.anchor in arrivals:
             ref = self.anchor
+            self._anchor_misses = 0
         else:                      # relay through any converged station
             for s in arrivals:
                 if self.n_updates[s] >= self.min_updates:
                     ref = s
                     break
         if ref is None:
-            return
+            # cold start with the anchor's feed dead: nothing could ever
+            # bootstrap. After persistent misses, promote a present
+            # station to anchor so the healthy subset converges.
+            self._anchor_misses += 1
+            if self._anchor_misses > 20 and \
+                    all(n == 0 for i, n in enumerate(self.n_updates)
+                        if i != self.anchor):
+                self.n_updates[self.anchor] = 0
+                self.anchor = min(arrivals)
+                self.n_updates[self.anchor] = self.CONVERGED
+                self.offset[self.anchor] = 0.0
+                self.rate[self.anchor] = 0.0
+                ref = self.anchor
+                self._anchor_misses = 0
+            else:
+                return
         pos = mlat_mod.llh2ecef(pos_llh)
         for s, t in arrivals.items():
             if s == ref:
                 continue
             residual = (t - arrivals[ref]) - self._expected_delta(pos, s, ref)
+            if abs(residual) > 1.0:
+                # a counter glitch / cross-transmission merge, never a
+                # clock offset (anchoring bounds real offsets to ~ms)
+                self.n_outliers[s] += 1
+                continue
             est = self._offset_at(ref, t) + residual
             if self.n_updates[s] == 0:
                 self.offset[s] = est
             else:
                 pred = self._offset_at(s, t)
+                if self.n_updates[s] >= self.min_updates and \
+                        abs(est - pred) > self.outlier_gate_s:
+                    # one garbled observation must not drag a converged
+                    # offset by alpha x error (= km of TDOA error); cull
+                    self.n_outliers[s] += 1
+                    continue
                 self.offset[s] = pred + self.alpha * (est - pred)
             self.offset_t[s] = t
             self.n_updates[s] += 1
@@ -148,9 +194,14 @@ class clock_sync:
     def correct(self, arrivals: Dict[int, float]) \
             -> Optional[Dict[int, float]]:
         """Offset-corrected arrivals, or None if any station is not yet
-        converged (an uncorrected clock would poison the solve)."""
-        if any(self.n_updates[s] < self.min_updates for s in arrivals):
-            return None
+        converged — or has gone STALE (no reference for > max_age_s:
+        extrapolating a drift fit for minutes accumulates tens of us =
+        tens of km; better no solution than a confidently wrong one)."""
+        for s, t in arrivals.items():
+            if self.n_updates[s] < self.min_updates:
+                return None
+            if s != self.anchor and t - self.offset_t[s] > self.max_age_s:
+                return None
         return {s: t - self._offset_at(s, t) for s, t in arrivals.items()}
 
 
@@ -168,7 +219,9 @@ class mlat_correlator:
     frames solve with offset-corrected arrivals once every participating
     station has converged. The correlation window must then cover the
     coarse inter-station offset (~ms anchoring jitter), not just light
-    travel — pass window_s accordingly (0.1 s is a safe default)."""
+    travel — pass window_s accordingly (0.05 s is a safe default; a
+    corrected-spread plausibility gate in _finish rejects groups where
+    the wide window merged two distinct interrogation replies)."""
 
     def __init__(self, stations: Sequence[Tuple[float, float, float]],
                  min_stations: int = 3, window_s: float = DEFAULT_WINDOW_S,
@@ -188,6 +241,17 @@ class mlat_correlator:
         if clock_sync_enabled:
             from .parse import parse as parse_cls
             self._parser = parse_cls()   # shared CPR cache across stations
+        import numpy as np
+        ecef = [mlat_mod.llh2ecef(s) for s in self.stations]
+        self._max_baseline_s = max(
+            float(np.linalg.norm(a - b)) for a in ecef for b in ecef
+        ) / C_LIGHT
+
+    def reset_station(self, station: int) -> None:
+        """Invalidate one station's clock-sync state (feed reconnected:
+        its counter anchor — and thus its trained offset — changed)."""
+        if self.sync is not None:
+            self.sync.reset_station(station)
 
     def feed(self, station: int, message: str) -> List[MlatSolution]:
         """One wire message ("<df> <hex> ... <timestamp>") from a station;
@@ -212,13 +276,17 @@ class mlat_correlator:
             del self._pending[hexframe]
             out += self._finish(hexframe, arr)
             arr = None
+        new_group = arr is None
         if arr is None:
             arr = self._pending[hexframe] = {}
         # keep the EARLIEST arrival per station (a station can see its own
         # multipath copy later)
         if station not in arr or t < arr[station]:
             arr[station] = t
-        if self.sync is not None and hexframe not in self._refpos:
+        # parse once per TRANSMISSION (group creation), not once per
+        # station copy — the other copies are bit-identical
+        if self.sync is not None and new_group \
+                and hexframe not in self._refpos:
             try:
                 rep = self._parser.parse(message)
             except ADSBError:
@@ -264,6 +332,14 @@ class mlat_correlator:
             if corrected is None:
                 return []               # a clock is not yet converged
             arr = corrected
+            # plausibility: corrected arrivals of ONE transmission cannot
+            # spread more than the widest station baseline's light travel
+            # (+ sync error margin). A wider spread means the wide window
+            # merged two distinct interrogation replies with disjoint
+            # station sets — solving it would emit a confident garbage fix
+            spread = max(arr.values()) - min(arr.values())
+            if spread > self._max_baseline_s + 100e-6:
+                return []
         replies = {self.stations[s]: t for s, t in arr.items()}
         alt_ft = _frame_altitude_ft(hexframe)
         try:

@@ -212,6 +212,11 @@ class net_client:
         self.timestamps = "mlat" if mlat_time else timestamps
         self.reconnect_s = reconnect_s
         self._anchor: Optional[Tuple[float, int]] = None
+        # called (from the client thread) whenever the counter->host-clock
+        # anchor changes after frames have flowed: a reconnect or a remote
+        # counter reset. Consumers tracking clock offsets (mlat sync) MUST
+        # invalidate this station's state then.
+        self.on_reanchor: Optional[Callable[[], None]] = None
         self.n_frames = 0
         self.n_dropped = 0
         self._stop = threading.Event()
@@ -228,17 +233,34 @@ class net_client:
               mlat: Optional[int]) -> None:
         dbfs = signal_dbfs(signal) if signal is not None else 0.0
         ts = None
-        if mlat is not None:
-            if self.timestamps == "mlat":
-                if self._anchor is None:
-                    # counter is relative to remote boot (offsets between
-                    # stations would be unbounded); anchor it to this
-                    # host's clock once per connection
-                    self._anchor = (time.time(), mlat)
+        if self.timestamps == "mlat":
+            if mlat is None:
+                # counter-less record (plain AVR '*hex;'): a host receive
+                # time has ms TCP jitter — poison for us-level TDOA, so
+                # drop rather than silently degrade the solve
+                self.n_dropped += 1
+                return
+            if self._anchor is None:
+                # counter is relative to remote boot (offsets between
+                # stations would be unbounded); anchor it to this
+                # host's clock once per connection
+                self._anchor = (time.time(), mlat)
+            t0, c0 = self._anchor
+            # signed modular delta: a counter 1 tick BELOW the anchor is
+            # a slightly-early frame, not +271 days (2^48/12 MHz)
+            half = 1 << 47
+            delta = ((mlat - c0 + half) & ((1 << 48) - 1)) - half
+            if abs(delta) > 3600 * MLAT_HZ:
+                # remote counter reset/re-lock without a TCP disconnect:
+                # re-anchor (and tell the owner the old mapping is dead)
+                self._anchor = (time.time(), mlat)
                 t0, c0 = self._anchor
-                ts = t0 + ((mlat - c0) & ((1 << 48) - 1)) / MLAT_HZ
-            elif self.timestamps == "gps":
-                ts = gps_counter_to_utc(mlat, time.time())
+                delta = 0
+                if self.on_reanchor is not None:
+                    self.on_reanchor()
+            ts = t0 + delta / MLAT_HZ
+        elif mlat is not None and self.timestamps == "gps":
+            ts = gps_counter_to_utc(mlat, time.time())
         wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts)
         if wire is None:
             self.n_dropped += 1
@@ -248,7 +270,11 @@ class net_client:
 
     def _pump(self, sock: socket.socket) -> None:
         sock.settimeout(0.5)
-        self._anchor = None      # re-anchor counters on every connection
+        if self._anchor is not None:
+            # reconnection: the previous counter->host mapping is dead
+            self._anchor = None
+            if self.on_reanchor is not None:
+                self.on_reanchor()
         fmt = self.fmt
         beast = beast_parser()
         avr_buf = b""

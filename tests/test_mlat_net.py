@@ -229,3 +229,128 @@ def test_ap_overlay_solution_carries_icao():
         corr.feed(i, wire_addr(frame, 56, ts[i]))
     sols = corr.flush(now=ts[0] + 1.0)
     assert len(sols) == 1 and sols[0].icao == 0xABCDEF
+
+
+# --- clock-sync robustness (review findings) ------------------------------
+
+def _train(sync, true_off, n=5, t0=100.0):
+    for k in range(n):
+        pos = (47.05 + 0.001 * k, 8.10, 9000.0)
+        ts = _arrivals(pos, STATIONS, t0 + k)
+        sync.update({s: ts[s] + true_off[s] for s in range(4)}, pos)
+    return t0 + n
+
+
+def test_clock_sync_reset_station():
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    _train(sync, [0.0, 0.002, -0.001, 0.0005])
+    assert sync.correct({s: 110.0 for s in range(4)}) is not None
+    sync.reset_station(2)
+    assert sync.n_updates[2] == 0 and sync.offset[2] == 0.0
+    assert sync.correct({0: 110.0, 2: 110.0}) is None    # must re-converge
+    assert sync.correct({0: 110.0, 1: 110.0}) is not None
+
+
+def test_clock_sync_anchor_promotion_when_station0_dead():
+    """Anchor feed offline at cold start: another station is promoted so
+    the healthy subset still converges."""
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    off = [None, 0.003, -0.002, 0.001]   # station 0 never reports
+    for k in range(30):
+        pos = (47.05 + 0.0005 * k, 8.10, 9000.0)
+        ts = _arrivals(pos, STATIONS, 100.0 + k * 0.5)
+        sync.update({s: ts[s] + off[s] for s in (1, 2, 3)}, pos)
+    assert sync.anchor in (1, 2, 3)
+    t = 120.0
+    corrected = sync.correct({s: t + off[s] for s in (1, 2, 3)})
+    assert corrected is not None
+    vals = list(corrected.values())
+    assert max(vals) - min(vals) < 1e-6
+
+
+def test_clock_sync_outlier_rejected():
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    off = [0.0, 0.002, -0.001, 0.0005]
+    t_end = _train(sync, off)
+    before = sync.offset[1]
+    # one garbled reference: 50 ms residual must NOT move the offset
+    pos = (47.05, 8.10, 9000.0)
+    ts = _arrivals(pos, STATIONS, t_end)
+    bad = {s: ts[s] + off[s] for s in range(4)}
+    bad[1] += 0.050
+    sync.update(bad, pos)
+    assert sync.offset[1] == pytest.approx(before, abs=1e-9)
+    assert sync.n_outliers[1] == 1
+
+
+def test_clock_sync_staleness_blocks_solving():
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3, max_age_s=60.0)
+    off = [0.0, 0.002, -0.001, 0.0005]
+    t_end = _train(sync, off)
+    assert sync.correct({s: t_end + 30 for s in range(4)}) is not None
+    assert sync.correct({s: t_end + 120 for s in range(4)}) is None
+
+
+def test_correlator_spread_gate_rejects_merged_transmissions():
+    """Two interrogation replies 30 ms apart with disjoint station sets
+    merge under the wide clock-sync window -> rejected, not solved."""
+    from airmodes.decode.mlat_net import mlat_correlator
+    from airmodes.decode.altitude import encode_alt_q
+    from airmodes import crc
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid", window_s=0.05,
+                           clock_sync_enabled=True)
+    # converge the sync first
+    for k in range(5):
+        pos = (47.05 + 0.001 * k, 8.10, 9000.0)
+        me_e = encoder.me_airborne_position(pos[2] / 0.3048, pos[0],
+                                            pos[1], odd=False)
+        me_o = encoder.me_airborne_position(pos[2] / 0.3048, pos[0],
+                                            pos[1], odd=True)
+        for me in (me_e, me_o):
+            f = encoder.df17_frame(0x4840D6, me)
+            s_ = crc.crc24(f, 112)
+            ts = _arrivals(pos, STATIONS, 100.0 + k)
+            for s in range(4):
+                corr.feed(s, f"17 {f:028x} {s_:06x} 0 -20.0 "
+                          f"{ts[s]:.9f}")
+    tgt = encoder.df4_frame(0xABCDEF, encode_alt_q(30000.0))
+    s_ = crc.crc24(tgt, 56)
+    ts1 = _arrivals(AIRCRAFT, STATIONS, 200.0)
+    ts2 = _arrivals(AIRCRAFT, STATIONS, 200.030)   # second reply 30 ms on
+    sols = []
+    for s in (0, 1):                               # stations 0,1 hear #1
+        sols += corr.feed(s, f"4 {tgt:014x} {s_:06x} 3 -20.0 {ts1[s]:.9f}")
+    for s in (2, 3):                               # stations 2,3 hear #2
+        sols += corr.feed(s, f"4 {tgt:014x} {s_:06x} 3 -20.0 {ts2[s]:.9f}")
+    sols += corr.flush(now=210.0, force=True)
+    assert not [x for x in sols if x.hexframe == f"{tgt:014x}"]
+
+
+def test_net_client_signed_counter_and_counterless_drop():
+    from airmodes.io.netclient import net_client
+    got = []
+    cli = net_client("h", 1, got.append, fmt="beast", timestamps="mlat")
+    frame = f"{encoder.df4_frame(0x4840D6, 0x1234):014x}"
+    # anchor on first frame; a counter 12 ticks BELOW anchor is ~1 us
+    # early, not +271 days
+    c0 = 10_000_000
+    cli._emit(frame, 100, c0)
+    cli._emit(frame, 100, c0 - 12)
+    assert len(got) == 2
+    t0, t1 = (float(w.split()[5]) for w in got)
+    # tolerance: float64 ulp at unix-epoch magnitude is ~0.24 us — the
+    # inherent quantization of absolute-seconds wire timestamps
+    assert t1 - t0 == pytest.approx(-1e-6, abs=3e-7)
+    # counter-less record under mlat mode: dropped, not host-stamped
+    n = cli.n_dropped
+    cli._emit(frame, 100, None)
+    assert cli.n_dropped == n + 1 and len(got) == 2
+    # a huge counter jump (remote reset) re-anchors and notifies
+    hits = []
+    cli.on_reanchor = lambda: hits.append(1)
+    cli._emit(frame, 100, c0 + 2 * 3600 * 12_000_000)
+    assert hits == [1] and len(got) == 3
