@@ -605,3 +605,43 @@ def test_mlat_clock_sync_over_plain_beast_feeds():
     lat = float(sols[-1].split("(")[1].split(",")[0])
     lon = float(sols[-1].split(",")[1].split(")")[0])
     assert abs(lat - target[0]) < 0.03 and abs(lon - target[1]) < 0.03
+
+
+def test_beast_parser_fuzz_never_crashes():
+    """Arbitrary bytes (any chunking) must never crash the de-framer or
+    yield payloads of impossible length; real frames interleaved with
+    garbage still come through."""
+    import random
+    rng = random.Random(1234)
+    p = beast_parser()
+    real = beast_encode(DF17_HEX, -20.0, 1.0)
+    stream = bytearray()
+    for _ in range(200):
+        stream += bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+        stream += real
+    i = 0
+    got = []
+    while i < len(stream):
+        n = rng.randrange(1, 64)
+        got += p.push(bytes(stream[i:i + n]))
+        i += n
+    for mtype, mlat, sig, payload in got:
+        assert mtype in (0x31, 0x32, 0x33, 0x34)
+        assert len(payload) in (2, 7, 14)
+        assert 0 <= mlat < (1 << 48) and 0 <= sig < 256
+    # the real frames survive the garbage (resync can consume a frame
+    # adjacent to pathological bytes, but the vast majority decode)
+    real_count = sum(1 for f in got if f[3].hex() == DF17_HEX)
+    assert real_count >= 150
+
+
+def test_frame_to_wire_fuzz_never_crashes():
+    import random
+    rng = random.Random(99)
+    for _ in range(500):
+        n = rng.choice((14, 28, rng.randrange(0, 40)))
+        s = "".join(rng.choice("0123456789abcdefxyz_") for _ in range(n))
+        w = frame_to_wire(s)   # must return str or None, never raise
+        if w is not None:
+            parts = w.split()
+            assert len(parts) == 6 and parts[1] == s.lower()
