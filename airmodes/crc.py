@@ -38,9 +38,43 @@ def poly_mod_bits(bits) -> int:
     return r & (_TOP - 1)
 
 
+@functools.lru_cache(maxsize=1)
+def _byte_table() -> tuple:
+    """TABLE[b] = remainder of byte b shifted through 8 bit-steps mod G.
+
+    Mode S frames are whole bytes (56/112 bits) and the CRC is a pure
+    polynomial remainder (no init/xorout/reflection), so the classic
+    byte-wise form applies; it is ~8x fewer Python ops than bit-serial
+    and the CRC recompute dominates the host parse path (62% profiled)."""
+    table = []
+    for b in range(256):
+        r = b << 16
+        for _ in range(8):
+            r <<= 1
+            if r & _TOP:
+                r ^= CRC_GENERATOR
+        table.append(r & (_TOP - 1))
+    return tuple(table)
+
+
 def crc24(data: int, nbits: int) -> int:
-    """Syndrome of an nbits-long frame given as a big integer (MSB first)."""
-    return poly_mod_bits((data >> (nbits - 1 - i)) & 1 for i in range(nbits))
+    """Syndrome of an nbits-long frame given as a big integer (MSB first).
+
+    The table loop computes remainder(msg * x^24) over the message part
+    (everything above the 24 parity bits); the frame's own parity field
+    has degree < 24 so it XORs in directly:
+        syndrome = (msg << 24 | parity) mod G = tableCRC(msg) ^ parity
+    """
+    if nbits % 8:
+        return poly_mod_bits((data >> (nbits - 1 - i)) & 1
+                             for i in range(nbits))
+    table = _byte_table()
+    msg = data >> CRC_BITS
+    r = 0
+    for shift in range(nbits - CRC_BITS - 8, -8, -8):
+        r = ((r << 8) ^ table[((r >> 16) ^ (msg >> shift)) & 0xFF]) \
+            & (_TOP - 1)
+    return r ^ (data & (_TOP - 1))
 
 
 def parity(data: int, nbits: int) -> int:

@@ -141,3 +141,19 @@ def test_pair_correction_matches_allpairs_oracle():
         else:
             assert status[k] == 4
     assert n_pair >= K // 2  # the harness mostly injects correctable pairs
+
+
+def test_byte_wise_crc_matches_bit_serial():
+    """The table-driven crc24 must be bit-exact with the polynomial
+    division for every frame length and random content."""
+    import random
+    from airmodes.crc import crc24, poly_mod_bits
+    rng = random.Random(7)
+    for nbits in (56, 112):
+        for _ in range(200):
+            data = rng.getrandbits(nbits)
+            ref = poly_mod_bits((data >> (nbits - 1 - i)) & 1
+                                for i in range(nbits))
+            assert crc24(data, nbits) == ref
+    # non-byte lengths still work (bit-serial fallback)
+    assert crc24(0b1011, 4) == poly_mod_bits([1, 0, 1, 1])
