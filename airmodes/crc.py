@@ -68,13 +68,15 @@ def crc24(data: int, nbits: int) -> int:
     if nbits % 8:
         return poly_mod_bits((data >> (nbits - 1 - i)) & 1
                              for i in range(nbits))
-    table = _byte_table()
     msg = data >> CRC_BITS
     r = 0
     for shift in range(nbits - CRC_BITS - 8, -8, -8):
-        r = ((r << 8) ^ table[((r >> 16) ^ (msg >> shift)) & 0xFF]) \
+        r = ((r << 8) ^ _TABLE[((r >> 16) ^ (msg >> shift)) & 0xFF]) \
             & (_TOP - 1)
     return r ^ (data & (_TOP - 1))
+
+
+_TABLE = _byte_table()   # bound once: crc24 is the hottest parse-path call
 
 
 def parity(data: int, nbits: int) -> int:

@@ -90,6 +90,7 @@ class clock_sync:
         self.n_updates = [0] * len(stations)
         self.n_updates[anchor] = self.CONVERGED  # anchor defines truth
         self.n_outliers = [0] * len(stations)
+        self._consec_outliers = [0] * len(stations)
         self._anchor_misses = 0
         # recent (t, raw offset estimate) per station for the drift fit:
         # free-running 12 MHz crystals drift at ppm level (us/s), which a
@@ -98,15 +99,24 @@ class clock_sync:
                       for _ in range(len(stations))]
 
     def reset_station(self, s: int) -> None:
-        """Invalidate a station's trained state — REQUIRED after its feed
-        reconnects: the counter re-anchors against the host clock, so the
-        old offset (and any drift fit spanning the step) is garbage."""
+        """Invalidate trained state after a feed re-anchors (reconnect or
+        counter reset): the old counter->host mapping is garbage.
+
+        Resetting the ANCHOR resets everyone else instead: every other
+        offset is trained relative to the anchor's timebase, so an anchor
+        timebase step invalidates them all (keeping them would make the
+        outlier gate reject every subsequent anchor-referenced update
+        forever, freezing the network in the old timebase)."""
         if s == self.anchor:
-            return                # anchor is truth by definition
+            for i in range(len(self.offset)):
+                if i != self.anchor:
+                    self.reset_station(i)
+            return
         self.offset[s] = 0.0
         self.rate[s] = 0.0
         self.offset_t[s] = 0.0
         self.n_updates[s] = 0
+        self._consec_outliers[s] = 0
         self._hist[s].clear()
 
     def _expected_delta(self, pos_ecef, s: int, r: int) -> float:
@@ -129,18 +139,23 @@ class clock_sync:
                     ref = s
                     break
         if ref is None:
-            # cold start with the anchor's feed dead: nothing could ever
-            # bootstrap. After persistent misses, promote a present
-            # station to anchor so the healthy subset converges.
+            # the anchor's feed is dead and nothing has converged (the
+            # partially-trained case deadlocks too: n_updates between 1
+            # and min_updates can never advance without a reference).
+            # After persistent misses, promote a present station to
+            # anchor; any partial state was relative to the DEAD anchor's
+            # timebase, so everyone else resets.
             self._anchor_misses += 1
             if self._anchor_misses > 20 and \
-                    all(n == 0 for i, n in enumerate(self.n_updates)
+                    all(n < self.min_updates
+                        for i, n in enumerate(self.n_updates)
                         if i != self.anchor):
                 self.n_updates[self.anchor] = 0
                 self.anchor = min(arrivals)
                 self.n_updates[self.anchor] = self.CONVERGED
                 self.offset[self.anchor] = 0.0
                 self.rate[self.anchor] = 0.0
+                self.reset_station(self.anchor)   # resets all others
                 ref = self.anchor
                 self._anchor_misses = 0
             else:
@@ -163,10 +178,23 @@ class clock_sync:
                 if self.n_updates[s] >= self.min_updates and \
                         abs(est - pred) > self.outlier_gate_s:
                     # one garbled observation must not drag a converged
-                    # offset by alpha x error (= km of TDOA error); cull
+                    # offset by alpha x error (= km of TDOA error); cull.
+                    # But consistent "outliers" mean the station's
+                    # timebase genuinely STEPPED (e.g. a zmq-fed modes_rx
+                    # restarted — no on_reanchor there): self-heal by
+                    # resetting and re-converging instead of locking the
+                    # station out forever
                     self.n_outliers[s] += 1
+                    self._consec_outliers[s] += 1
+                    if self._consec_outliers[s] >= 10:
+                        self.reset_station(s)
+                        self.offset[s] = est
+                        self.offset_t[s] = t
+                        self.n_updates[s] = 1
+                        self._hist[s].append((t, est))
                     continue
                 self.offset[s] = pred + self.alpha * (est - pred)
+            self._consec_outliers[s] = 0
             self.offset_t[s] = t
             self.n_updates[s] += 1
             self._hist[s].append((t, est))
@@ -241,11 +269,11 @@ class mlat_correlator:
         if clock_sync_enabled:
             from .parse import parse as parse_cls
             self._parser = parse_cls()   # shared CPR cache across stations
-        import numpy as np
-        ecef = [mlat_mod.llh2ecef(s) for s in self.stations]
-        self._max_baseline_s = max(
-            float(np.linalg.norm(a - b)) for a in ecef for b in ecef
-        ) / C_LIGHT
+            import numpy as np
+            ecef = self.sync._ecef
+            self._max_baseline_s = max(
+                float(np.linalg.norm(a - b)) for a in ecef for b in ecef
+            ) / C_LIGHT
 
     def reset_station(self, station: int) -> None:
         """Invalidate one station's clock-sync state (feed reconnected:

@@ -250,9 +250,10 @@ class net_client:
             # a slightly-early frame, not +271 days (2^48/12 MHz)
             half = 1 << 47
             delta = ((mlat - c0 + half) & ((1 << 48) - 1)) - half
-            if abs(delta) > 3600 * MLAT_HZ:
-                # remote counter reset/re-lock without a TCP disconnect:
-                # re-anchor (and tell the owner the old mapping is dead)
+            # a healthy counter's implied elapsed time tracks the host
+            # clock; divergence (not mere age!) marks a remote counter
+            # reset/re-lock without a TCP disconnect
+            if abs(delta / MLAT_HZ - (time.time() - t0)) > 5.0:
                 self._anchor = (time.time(), mlat)
                 t0, c0 = self._anchor
                 delta = 0

@@ -354,3 +354,71 @@ def test_net_client_signed_counter_and_counterless_drop():
     cli.on_reanchor = lambda: hits.append(1)
     cli._emit(frame, 100, c0 + 2 * 3600 * 12_000_000)
     assert hits == [1] and len(got) == 3
+
+
+def test_net_client_no_false_reanchor_on_old_connection():
+    """A healthy hour-old connection must NOT trip the counter-reset
+    detector (divergence, not age, marks a reset)."""
+    import time as _time
+    from airmodes.io.netclient import net_client, MLAT_HZ
+    got, hits = [], []
+    cli = net_client("h", 1, got.append, fmt="beast", timestamps="mlat")
+    cli.on_reanchor = lambda: hits.append(1)
+    frame = f"{encoder.df4_frame(0x4840D6, 0x1234):014x}"
+    c0 = 5_000_000_000
+    cli._anchor = (_time.time() - 7200.0, c0)   # anchored 2 h ago
+    cli._emit(frame, 100, c0 + int(7200.0 * MLAT_HZ))  # counter tracked
+    assert hits == [] and len(got) == 1
+    # counter that did NOT advance with wall time -> genuine reset
+    cli._emit(frame, 100, c0 + 1000)
+    assert hits == [1]
+
+
+def test_clock_sync_anchor_reset_resets_everyone():
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    _train(sync, [0.0, 0.002, -0.001, 0.0005])
+    sync.reset_station(sync.anchor)   # anchor timebase stepped
+    for s in range(1, 4):
+        assert sync.n_updates[s] == 0
+    assert sync.correct({0: 1.0, 1: 1.0}) is None
+
+
+def test_clock_sync_promotion_after_partial_training():
+    """Anchor dies after ONE reference (stations partially trained below
+    min_updates): promotion must still unblock the healthy subset."""
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    off = [0.0, 0.003, -0.002, 0.001]
+    pos = (47.05, 8.10, 9000.0)
+    ts = _arrivals(pos, STATIONS, 100.0)
+    sync.update({s: ts[s] + off[s] for s in range(4)}, pos)  # one ref
+    assert 0 < sync.n_updates[1] < sync.min_updates
+    for k in range(30):                        # anchor now silent
+        p = (47.05 + 0.0005 * k, 8.10, 9000.0)
+        ts = _arrivals(p, STATIONS, 101.0 + k * 0.5)
+        sync.update({s: ts[s] + off[s] for s in (1, 2, 3)}, p)
+    assert sync.anchor in (1, 2, 3)
+    t = 120.0
+    corrected = sync.correct({s: t + off[s] for s in (1, 2, 3)})
+    assert corrected is not None
+
+
+def test_clock_sync_outlier_escape_self_heals():
+    """A genuine timebase step on a station (no on_reanchor, e.g. zmq
+    feed restart) re-converges after ~10 consistent 'outliers' instead of
+    locking the station out forever."""
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3)
+    off = [0.0, 0.002, -0.001, 0.0005]
+    t_end = _train(sync, off)
+    off = [0.0, 0.009, -0.001, 0.0005]         # station 1 stepped +7 ms
+    for k in range(15):
+        pos = (47.05, 8.10 + 0.001 * k, 9000.0)
+        ts = _arrivals(pos, STATIONS, t_end + k)
+        sync.update({s: ts[s] + off[s] for s in range(4)}, pos)
+    t = t_end + 16
+    corrected = sync.correct({s: t + off[s] for s in range(4)})
+    assert corrected is not None
+    vals = list(corrected.values())
+    assert max(vals) - min(vals) < 1e-6
