@@ -58,6 +58,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="serve solutions as SBS-1/BaseStation MSG,3 CSV "
                    "on this TCP port (Virtual Radar Server etc. display "
                    "mlat tracks directly)")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve a live web map + aircraft.json of the "
+                   "solved positions on this port")
     p.add_argument("--max-seconds", type=float, default=None,
                    help="exit after this long (testing)")
     return p
@@ -127,6 +130,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         r.subscribe("dl_data", lambda m, i=i: inbox.put((i, m)))
         relays.append(r)
     pub = zmq_pubsub_iface(pubaddr=args.pub) if args.pub else None
+    web = None
+    if args.http is not None:
+        from ..outputs.httpd import output_http
+        centroid = (sum(s[0] for s in stations) / len(stations),
+                    sum(s[1] for s in stations) / len(stations))
+        web = output_http(args.http, my_position=centroid)
+
+    def web_update(sol) -> None:
+        from ..decode.parse import AircraftReport
+        web.update_report(AircraftReport(
+            df=0, icao=sol.icao, timestamp=sol.timestamp, ref_dbfs=0.0,
+            raw_hex=sol.hexframe, lat=sol.lat, lon=sol.lon,
+            altitude_ft=round(sol.alt_m / 0.3048)))
     sbs = None
     if args.sbs1 is not None:
         from ..outputs.tcpserver import broadcast_server
@@ -180,6 +196,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                     pub.publish("mlat", line)
                 if sbs is not None:
                     sbs.broadcast((sbs_line(sol) + "\r\n").encode())
+                if web is not None and sol.icao is not None:
+                    web_update(sol)
     except KeyboardInterrupt:
         pass
     finally:
@@ -189,6 +207,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             pub.close()
         if sbs is not None:
             sbs.close()
+        if web is not None:
+            web.close()
     print(f"# modes_mlat: {n_solved} positions solved", file=sys.stderr)
     return 0
 

@@ -209,6 +209,11 @@ class output_http:
             with self._lock:
                 self._n_bad += 1
             return
+        self.update_report(rep)
+
+    def update_report(self, rep) -> None:
+        """Feed an already-built AircraftReport (e.g. an mlat solution
+        that never existed as a wire message)."""
         with self._lock:
             self._n_messages += 1
             self._df_counts[str(rep.df)] = \

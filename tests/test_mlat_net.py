@@ -422,3 +422,64 @@ def test_clock_sync_outlier_escape_self_heals():
     assert corrected is not None
     vals = list(corrected.values())
     assert max(vals) - min(vals) < 1e-6
+
+
+def test_modes_mlat_http_map(tmp_path):
+    """--http serves solved positions as aircraft.json."""
+    import json as _json
+    import urllib.request
+    from airmodes.apps.modes_mlat import main as mlat_main
+    from airmodes.decode.altitude import encode_alt_q
+    from airmodes.outputs.beast import output_beast
+    from airmodes import crc
+
+    target = (47.12, 8.28, 9500.0)
+    tgt = encoder.df4_frame(0xABCDEF, encode_alt_q(target[2] / 0.3048))
+    flush = encoder.df17_frame(0x111111, encoder.me_identification("AGE"))
+    srvs = [output_beast(port=0, host="127.0.0.1", gps_time=True)
+            for _ in STATIONS]
+    stop = threading.Event()
+
+    def wire_crc(f, n, ts):
+        s = crc.crc24(f, n)
+        return f"{f >> (n - 5)} {f:0{n // 4}x} {s:06x} 0 -20.00 {ts:.9f}"
+
+    def feeder():
+        while not stop.is_set():
+            t = time.time()
+            ts = _arrivals(target, STATIONS, t)
+            for s, srv in enumerate(srvs):
+                srv.output(wire_crc(tgt, 56, ts[s]))
+                srv.output(wire_crc(flush, 112, ts[s] + 1.0))
+            stop.wait(0.2)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    port = 39770
+    argv = []
+    for (lat, lon, alt), s in zip(STATIONS, srvs):
+        argv += ["-S", f"{lat},{lon},{alt}@beastgps://127.0.0.1:{s.port}"]
+    argv += ["--alt-datum", "ellipsoid", "--max-seconds", "12",
+             "--http", str(port)]
+    th = threading.Thread(target=mlat_main, args=(argv,), daemon=True)
+    th.start()
+    doc = None
+    deadline = time.time() + 11
+    try:
+        while time.time() < deadline:
+            try:
+                doc = _json.load(urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/data/aircraft.json",
+                    timeout=1))
+                if any(a["hex"] == "abcdef" for a in doc["aircraft"]):
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        th.join(timeout=20)
+        stop.set()
+        for s in srvs:
+            s.close()
+    assert doc and doc["aircraft"], "no mlat aircraft served"
+    ac = [a for a in doc["aircraft"] if a["hex"] == "abcdef"]
+    assert ac and abs(ac[0]["lat"] - target[0]) < 0.03
