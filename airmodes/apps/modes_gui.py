@@ -124,6 +124,8 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
 
     stop = threading.Event()
 
+    show_map = [False]
+
     def ui(scr):
         curses.use_default_colors()
         scr.nodelay(True)
@@ -132,14 +134,32 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
             if max_seconds and time.time() - t0 > max_seconds:
                 break
             try:
-                if scr.getch() in (ord("q"), 27):
+                ch = scr.getch()
+                if ch in (ord("q"), 27):
                     break
+                if ch == ord("m"):
+                    show_map[0] = not show_map[0]
             except curses.error:
                 pass
             scr.erase()
             rows = dash.rows()
+            if show_map[0]:
+                # coverage diagram (the curses twin of the Qt az_map)
+                from ..outputs.az_map import render_ascii
+                maxy, maxx = scr.getmaxyx()
+                scr.addstr(0, 0, "airmodes coverage — max range per "
+                                 "bearing (m: table, q: quit)",
+                           curses.A_BOLD)
+                art = render_ascii(azm, width=min(maxx - 1, 101),
+                                   height=maxy - 3)
+                for i, line in enumerate(art[: maxy - 2]):
+                    scr.addstr(2 + i, 0, line[: maxx - 1])
+                scr.refresh()
+                dash.prune()
+                time.sleep(0.5)
+                continue
             scr.addstr(0, 0, f"airmodes live — {len(rows)} aircraft "
-                             f"(q to quit)", curses.A_BOLD)
+                             f"(m: coverage map, q: quit)", curses.A_BOLD)
             hdr = (f"{'icao':7s}{'ident':9s}{'sqk':5s}{'alt':>7s}{'spd':>5s}"
                    f"{'hdg':>5s}{'vs':>7s}{'lat':>10s}{'lon':>11s}"
                    f"{'rng':>7s}{'brg':>5s}{'dBFS':>7s}  emergency")

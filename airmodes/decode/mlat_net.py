@@ -8,6 +8,11 @@ offline scripts; this module is the online correlator the modes_mlat app
 drives: feed it each station's wire messages, it groups identical frames
 arriving within the light-travel window and solves once enough stations
 have reported.
+
+Precision note: wire timestamps are float64 absolute seconds, whose ulp at
+unix-epoch magnitude is ~0.24 us (~70 m of pseudorange). That floor is
+visible in the end-to-end accuracy (~0.1-0.2 km verified); sub-ulp TDOA
+would require carrying epoch-relative times through the wire format.
 """
 
 from __future__ import annotations

@@ -57,6 +57,53 @@ class az_map_model:
         return max(max(ring) for ring in self.ranges)
 
 
+def render_ascii(model: az_map_model, width: int = 61,
+                 height: int = 31) -> List[str]:
+    """Coverage envelope as ASCII art (polar plot, receiver at center).
+
+    Pure renderer so the curses dashboard (and tests) can draw the same
+    coverage diagram the Qt az_map paints — '#' marks covered bearings up
+    to their max range, '+' the receiver, ring labels on the east axis.
+    Cells are 2:1 (terminal glyphs are ~twice as tall as wide), handled by
+    halving the y scale.
+    """
+    import math
+    grid = [[" "] * width for _ in range(height)]
+    cx, cy = width // 2, height // 2
+    max_rng = model.max_range()
+    if max_rng <= 0.0:
+        grid[cy][cx] = "+"
+        return ["".join(row) for row in grid]
+    env = model.envelope()
+    step = 360.0 / len(env)
+    scale_x = (width // 2 - 1) / max_rng
+    scale_y = (height // 2 - 1) / max_rng
+    for brg, rng in env:
+        if rng <= 0.0:
+            continue
+        # fill along the radial so the plot reads as area, not an outline
+        th = math.radians(brg)
+        n = max(2, int(rng * scale_x))
+        for k in range(1, n + 1):
+            r = rng * k / n
+            x = cx + int(round(math.sin(th) * r * scale_x))
+            y = cy - int(round(math.cos(th) * r * scale_y))
+            if 0 <= x < width and 0 <= y < height:
+                grid[y][x] = "#" if k == n else "."
+        # half-bearing neighbors fill gaps between adjacent buckets
+        for db in (-step / 2, step / 2):
+            th2 = math.radians(brg + db)
+            x = cx + int(round(math.sin(th2) * rng * scale_x))
+            y = cy - int(round(math.cos(th2) * rng * scale_y))
+            if 0 <= x < width and 0 <= y < height and grid[y][x] == " ":
+                grid[y][x] = "#"
+    grid[cy][cx] = "+"
+    label = f"{max_rng:.0f} NM"
+    for i, ch in enumerate(label[: width - cx - 2]):
+        grid[cy][min(width - 1, cx + (width // 2 - 1)) - len(label) + 1 + i] = ch
+    return ["".join(row) for row in grid]
+
+
 class output_az_map:
     """Plugin adapter feeding the coverage model from decoded positions."""
 

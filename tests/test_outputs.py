@@ -428,3 +428,26 @@ def test_output_http_stats_endpoint():
         assert st["rate_msg_s"] is not None
     finally:
         plug.close()
+
+
+def test_az_map_ascii_renderer():
+    from airmodes.outputs.az_map import az_map_model, render_ascii
+    m = az_map_model()
+    # empty model: just the receiver mark
+    art = render_ascii(m, width=41, height=21)
+    assert len(art) == 21 and all(len(ln) == 41 for ln in art)
+    assert art[10][20] == "+"
+    assert all(set(ln) <= {" ", "+"} for ln in art)
+    # coverage due north and east at different ranges
+    for rng in (10, 20, 30, 40, 50):
+        m.add(0.0, rng, 30000.0)
+    m.add(90.0, 25.0, 10000.0)
+    art = render_ascii(m, width=41, height=21)
+    north = [art[y][20] for y in range(0, 10)]
+    assert "#" in north or "." in north          # north radial drawn
+    east = art[10][21:]
+    assert "#" in east or "." in east            # east radial drawn
+    assert "50 NM" in "".join(art[10])           # max-range label
+    # south/west untouched
+    south = [art[y][20] for y in range(12, 21)]
+    assert "#" not in south
