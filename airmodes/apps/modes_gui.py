@@ -150,8 +150,10 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
                 scr.addstr(0, 0, "airmodes coverage — max range per "
                                  "bearing (m: table, q: quit)",
                            curses.A_BOLD)
+                live = [(r[10], r[9], (r[1] or r[0]))
+                        for r in rows if r[9] is not None]  # brg, rng, id
                 art = render_ascii(azm, width=min(maxx - 1, 101),
-                                   height=maxy - 3)
+                                   height=maxy - 3, aircraft=live)
                 for i, line in enumerate(art[: maxy - 2]):
                     scr.addstr(2 + i, 0, line[: maxx - 1])
                 scr.refresh()

@@ -58,14 +58,17 @@ class az_map_model:
 
 
 def render_ascii(model: az_map_model, width: int = 61,
-                 height: int = 31) -> List[str]:
+                 height: int = 31,
+                 aircraft: Optional[List[Tuple[float, float, str]]] = None
+                 ) -> List[str]:
     """Coverage envelope as ASCII art (polar plot, receiver at center).
 
     Pure renderer so the curses dashboard (and tests) can draw the same
     coverage diagram the Qt az_map paints — '#' marks covered bearings up
     to their max range, '+' the receiver, ring labels on the east axis.
     Cells are 2:1 (terminal glyphs are ~twice as tall as wide), handled by
-    halving the y scale.
+    halving the y scale. `aircraft` overlays live targets as
+    (bearing_deg, range_nm, label) — an '@' mark followed by the label.
     """
     import math
     grid = [[" "] * width for _ in range(height)]
@@ -101,6 +104,17 @@ def render_ascii(model: az_map_model, width: int = 61,
     label = f"{max_rng:.0f} NM"
     for i, ch in enumerate(label[: width - cx - 2]):
         grid[cy][min(width - 1, cx + (width // 2 - 1)) - len(label) + 1 + i] = ch
+    for brg, rng, name in aircraft or ():
+        if rng is None or brg is None or rng > max_rng * 1.05:
+            continue
+        th = math.radians(brg)
+        x = cx + int(round(math.sin(th) * rng * scale_x))
+        y = cy - int(round(math.cos(th) * rng * scale_y))
+        if 0 <= x < width and 0 <= y < height:
+            grid[y][x] = "@"
+            for i, ch in enumerate(name[:6]):
+                if x + 1 + i < width:
+                    grid[y][x + 1 + i] = ch
     return ["".join(row) for row in grid]
 
 

@@ -451,3 +451,17 @@ def test_az_map_ascii_renderer():
     # south/west untouched
     south = [art[y][20] for y in range(12, 21)]
     assert "#" not in south
+
+
+def test_az_map_ascii_aircraft_overlay():
+    from airmodes.outputs.az_map import az_map_model, render_ascii
+    m = az_map_model()
+    for b in range(0, 360, 5):
+        m.add(float(b), 50.0, 30000.0)
+    art = render_ascii(m, width=61, height=31,
+                       aircraft=[(0.0, 25.0, "KLM1"), (90.0, 40.0, "X"),
+                                 (180.0, 999.0, "FAR")])  # FAR: off-plot
+    joined = "\n".join(art)
+    assert joined.count("@") == 2
+    assert "@KLM1" in joined and "@X" in joined
+    assert "FAR" not in joined
