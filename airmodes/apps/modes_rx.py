@@ -101,6 +101,9 @@ def build_argparser() -> argparse.ArgumentParser:
     out.add_argument("-l", "--location", default=None, metavar="LAT,LON[,ALT]")
     out.add_argument("--stats-interval", type=float, default=10.0,
                      help="print per-interval pipeline stats (0 = off)")
+    out.add_argument("--stats-json", default=None, metavar="FILE",
+                     help="append one NDJSON stats record per interval "
+                     "(machine-readable ops feed; '-' for stdout)")
     out.add_argument("--max-blocks", type=int, default=None,
                      help="stop after N blocks (testing)")
     out.add_argument("--max-messages", type=int, default=None,
@@ -209,6 +212,28 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
           f"{stats.emitted} messages ({stats.crc_ok} crc-ok, "
           f"{stats.corrected} corrected)", file=sys.stderr)
     return 0
+
+
+def _emit_stats_json(path, rate_msps, stats, n_blocks) -> None:
+    """One NDJSON record of the pipeline counters (ops/monitoring feed)."""
+    if not path:
+        return
+    import json
+    rec = json.dumps({
+        "ts": round(time.time(), 3), "msps": round(rate_msps, 3),
+        "blocks": n_blocks, "preambles": stats.preambles,
+        "crc_ok": stats.crc_ok, "corrected": stats.corrected,
+        "crc_fail": stats.crc_fail, "emitted": stats.emitted,
+        "overflow": stats.overflow,
+    })
+    if path == "-":
+        print(rec, flush=True)
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(rec + "\n")
+    except OSError:
+        pass     # monitoring must never take down the receive chain
 
 
 def _run_aggregator(args, net_urls, bus, closers) -> int:
@@ -483,6 +508,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                       f"ok {stats.crc_ok} | corrected {stats.corrected} | "
                       f"rejected {stats.crc_fail} | emitted {stats.emitted} "
                       f"| overflow {stats.overflow}", file=sys.stderr)
+                _emit_stats_json(args.stats_json, rate, stats, n_blocks)
                 t_stats = time.time()
     except KeyboardInterrupt:
         pass
@@ -495,6 +521,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"# done: {n_blocks} blocks, {stats.emitted} messages "
           f"({stats.crc_ok} crc-ok, {stats.corrected} corrected)",
           file=sys.stderr)
+    elapsed = time.time() - epoch
+    _emit_stats_json(args.stats_json,
+                     samples_done / elapsed / 1e6 if elapsed > 0 else 0.0,
+                     stats, n_blocks)   # final summary record
     return 0
 
 

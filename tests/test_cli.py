@@ -232,3 +232,19 @@ def test_gui_network_source(capsys):
     assert rc == 0
     out = capsys.readouterr()
     assert "GUINET" in out.out + out.err
+
+
+def test_stats_json_output(capture, tmp_path, capsys):
+    import json
+    path, truth, _ = capture
+    out = tmp_path / "stats.ndjson"
+    rc = main(["-s", path, "-n", "--block-size", "65536",
+               "--stats-json", str(out), "--stats-interval", "3600"])
+    assert rc == 0
+    recs = [json.loads(ln) for ln in out.read_text().splitlines()]
+    assert recs, "no stats records written"
+    final = recs[-1]
+    assert final["crc_ok"] >= len(truth)
+    assert final["emitted"] >= final["crc_ok"]
+    assert {"ts", "msps", "blocks", "preambles", "corrected",
+            "crc_fail", "overflow"} <= set(final)
