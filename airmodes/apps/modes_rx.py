@@ -199,6 +199,7 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
                       f"channels | preambles {stats.preambles} | "
                       f"ok {stats.crc_ok} | corrected {stats.corrected} | "
                       f"emitted {stats.emitted}", file=sys.stderr)
+                _emit_stats_json(args.stats_json, rate, stats, n_steps)
                 t_stats = time.time()
     except KeyboardInterrupt:
         pass
@@ -211,6 +212,10 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     print(f"# done: {n_steps} steps x {len(chans)} channels, "
           f"{stats.emitted} messages ({stats.crc_ok} crc-ok, "
           f"{stats.corrected} corrected)", file=sys.stderr)
+    elapsed = time.time() - epoch
+    _emit_stats_json(args.stats_json,
+                     samples_done / elapsed / 1e6 if elapsed > 0 else 0.0,
+                     stats, n_steps)
     return 0
 
 
