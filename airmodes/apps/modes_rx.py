@@ -101,6 +101,11 @@ def build_argparser() -> argparse.ArgumentParser:
     out.add_argument("-l", "--location", default=None, metavar="LAT,LON[,ALT]")
     out.add_argument("--stats-interval", type=float, default=10.0,
                      help="print per-interval pipeline stats (0 = off)")
+    out.add_argument("--wx", default=None, metavar="FILE",
+                     help="append NDJSON aircraft-derived weather "
+                     "observations (EHS/MRAR wind, temperature, pressure, "
+                     "hazards joined with the aircraft's last ADS-B "
+                     "position; '-' for stdout)")
     out.add_argument("--stats-json", default=None, metavar="FILE",
                      help="append one NDJSON stats record per interval "
                      "(machine-readable ops feed; '-' for stdout)")
@@ -396,6 +401,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.json:
         from ..outputs.json_out import output_json
         plug = output_json(args.json, parse_cls(my_pos))
+        bus.subscribe("dl_data", plug.output)
+        closers.append(plug.close)
+    if args.wx:
+        from ..outputs.wx import output_wx
+        plug = output_wx(args.wx, parse_cls(my_pos))
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.http is not None:

@@ -181,7 +181,10 @@ def is_bds44(mb: int) -> bool:
     temp = _signed(r["temp_sign"], r["temp"], 10) * 0.25
     if not (-80.0 <= temp <= 60.0):
         return False
-    if r["press_status"] and not (800 <= r["press"] <= 1100):
+    # MRAR carries the static pressure AT ALTITUDE: ~150 hPa at FL450 up
+    # to ~1050 at sea level (a QNH-style 800+ bound would reject every
+    # at-cruise report)
+    if r["press_status"] and not (100 <= r["press"] <= 1100):
         return False
     if r["hum_status"] and r["hum"] * 100.0 / 64.0 > 100.0:
         return False

@@ -465,3 +465,41 @@ def test_az_map_ascii_aircraft_overlay():
     assert joined.count("@") == 2
     assert "@KLM1" in joined and "@X" in joined
     assert "FAR" not in joined
+
+
+def test_output_wx_joins_met_with_position(tmp_path):
+    import json as _json
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_commb import mb_bds44
+    from airmodes.outputs.wx import output_wx
+    from airmodes import crc as crcmod
+
+    def w(frame, nbits, ts):
+        s = crcmod.crc24(frame, nbits)
+        return (f"{frame >> (nbits - 5)} {frame:0{nbits // 4}x} {s:06x} "
+                f"{3 if nbits == 56 or (frame >> (nbits - 5)) in (0,4,5,16,20,21) else 0} "
+                f"-20.00 {ts:.9f}")
+
+    out = tmp_path / "wx.ndjson"
+    plug = output_wx(str(out), parse((47.0, 8.0)))
+    icao = 0x4840D6
+    # position first (even+odd), then a DF20 carrying BDS4,4 weather
+    for odd, ts in ((False, 1700000001.0), (True, 1700000002.0)):
+        me = encoder.me_airborne_position(33000.0, 47.3, 8.2, odd=odd)
+        plug.output(w(encoder.df17_frame(icao, me), 112, ts))
+    mb = mb_bds44(wind=(85, 270.0), temp_c=-52.25, press=240, turb=2)
+    f20 = encoder.df20_frame(icao, 0x1234, mb=mb)
+    plug.output(w(f20, 112, 1700000003.0))
+    # met from an aircraft with NO position: still emitted, no lat/lon
+    f20b = encoder.df20_frame(0x111111, 0x1234, mb=mb)
+    plug.output(w(f20b, 112, 1700000004.0))
+    plug.close()
+    recs = [_json.loads(ln) for ln in out.read_text().splitlines()]
+    assert len(recs) == 2
+    a, b = recs
+    assert a["icao"] == "4840d6" and abs(a["lat"] - 47.3) < 0.01
+    assert a["wind_speed_kt"] == 85.0 and a["temperature_c"] == -52.25
+    assert a["turbulence"] == "moderate"
+    assert b["icao"] == "111111" and "lat" not in b
+    assert "alt_ft" in b        # from the DF20 AC field itself
