@@ -503,3 +503,53 @@ def test_output_wx_joins_met_with_position(tmp_path):
     assert a["turbulence"] == "moderate"
     assert b["icao"] == "111111" and "lat" not in b
     assert "alt_ft" in b        # from the DF20 AC field itself
+
+
+def test_output_wx_wind_triangle(tmp_path):
+    """BDS5,0 (track/GS/TAS) + BDS6,0 (heading/Mach) pairs derive the wind
+    vector and SAT — available from far more aircraft than MRAR."""
+    import json as _json
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_commb import mb_bds50, mb_bds60
+    from airmodes.decode import commb
+    from airmodes.outputs.wx import derive_wind, derive_sat, output_wx
+    from airmodes import crc as crcmod
+
+    # aircraft: TAS 448 kt heading 090 at M 0.772 (SAT ~ -51 C), wind
+    # 50 kt FROM the north -> ground vector (448 E, -50 N): GS ~451,
+    # track ~96.4
+    mb50 = mb_bds50(trk_raw=548, gs_raw=225, tas_raw=224, roll_raw=0)
+    mb60 = mb_bds60(hdg_raw=512, ias=260, mach_raw=193)  # hdg 90, M 0.772
+    assert commb.decode(mb50)[0] == "BDS5,0"
+    assert commb.decode(mb60)[0] == "BDS6,0"
+    d50, d60 = commb.decode_bds50(mb50), commb.decode_bds60(mb60)
+    want_speed, want_dir = derive_wind(
+        d50["track_deg"], d50["groundspeed_kt"], d60["mag_heading_deg"],
+        d50["tas_kt"])
+    assert want_speed == pytest.approx(50.0, abs=3.0)
+    assert want_dir == pytest.approx(360.0, abs=4.0) or \
+        want_dir == pytest.approx(0.0, abs=4.0)
+
+    def w(frame, ts):
+        s = crcmod.crc24(frame, 112)
+        return f"20 {frame:028x} {s:06x} 3 -20.00 {ts:.9f}"
+
+    out = tmp_path / "wx.ndjson"
+    plug = output_wx(str(out))
+    icao = 0x4840D6
+    plug.output(w(encoder.df20_frame(icao, 0x1234, mb=mb50), 1700000001.0))
+    plug.output(w(encoder.df20_frame(icao, 0x1234, mb=mb60), 1700000002.0))
+    # a pair too far apart must NOT derive
+    plug.output(w(encoder.df20_frame(0x111111, 0x1234, mb=mb50),
+                  1700000010.0))
+    plug.output(w(encoder.df20_frame(0x111111, 0x1234, mb=mb60),
+                  1700000020.0))
+    plug.close()
+    recs = [_json.loads(ln) for ln in out.read_text().splitlines()]
+    derived = [r for r in recs if r.get("derived")]
+    assert len(derived) == 1 and derived[0]["icao"] == "4840d6"
+    assert derived[0]["wind_speed_kt"] == pytest.approx(want_speed, abs=0.1)
+    assert derived[0]["wind_dir_deg"] == pytest.approx(want_dir, abs=0.1)
+    sat = derive_sat(d50["tas_kt"], d60["mach"])
+    assert derived[0]["temperature_c"] == pytest.approx(sat, abs=0.1)
