@@ -197,13 +197,14 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
                     bus.publish(f"dl_data/ch{c}", m)
             n_steps += 1
             samples_done += len(step_msgs) * cfg.block_size
-            if args.stats_interval and \
-                    time.time() - t_stats > args.stats_interval:
+            ivl = args.stats_interval or (10.0 if args.stats_json else 0)
+            if ivl and time.time() - t_stats > ivl:
                 rate = samples_done / (time.time() - epoch) / 1e6
-                print(f"# {rate:.1f} Msps aggregate over {len(chans)} "
-                      f"channels | preambles {stats.preambles} | "
-                      f"ok {stats.crc_ok} | corrected {stats.corrected} | "
-                      f"emitted {stats.emitted}", file=sys.stderr)
+                if args.stats_interval:
+                    print(f"# {rate:.1f} Msps aggregate over {len(chans)} "
+                          f"channels | preambles {stats.preambles} | "
+                          f"ok {stats.crc_ok} | corrected {stats.corrected}"
+                          f" | emitted {stats.emitted}", file=sys.stderr)
                 _emit_stats_json(args.stats_json, rate, stats, n_steps)
                 t_stats = time.time()
     except KeyboardInterrupt:
@@ -278,16 +279,38 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
         cli = client_for_url(url, make_cb(c)).start()
         clients.append(cli)
         closers.append(cli.close)
+    def agg_stats_json() -> None:
+        if not args.stats_json:
+            return
+        import json
+        rec = json.dumps({
+            "ts": round(time.time(), 3), "feeds": len(clients),
+            "frames": sum(c.n_frames for c in clients),
+            "crc_dropped": sum(c.n_dropped for c in clients),
+            "emitted": n_emitted[0],
+        })
+        if args.stats_json == "-":
+            print(rec, flush=True)
+            return
+        try:
+            with open(args.stats_json, "a") as f:
+                f.write(rec + "\n")
+        except OSError:
+            pass
+
     t_stats = time.time()
     try:
         while not done.is_set():
             done.wait(0.5)
-            if args.stats_interval and \
-                    time.time() - t_stats > args.stats_interval:
+            ivl = args.stats_interval or (10.0 if args.stats_json else 0)
+            if ivl and time.time() - t_stats > ivl:
                 frames = sum(c.n_frames for c in clients)
                 dropped = sum(c.n_dropped for c in clients)
-                print(f"# aggregating {len(clients)} feeds | frames {frames} "
-                      f"| crc-dropped {dropped}", file=sys.stderr)
+                if args.stats_interval:
+                    print(f"# aggregating {len(clients)} feeds | frames "
+                          f"{frames} | crc-dropped {dropped}",
+                          file=sys.stderr)
+                agg_stats_json()
                 t_stats = time.time()
     except KeyboardInterrupt:
         pass
@@ -299,6 +322,7 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
                 pass
     print(f"# done: {n_emitted[0]} messages from {len(clients)} feeds",
           file=sys.stderr)
+    agg_stats_json()   # final summary record
     return 0
 
 
@@ -517,12 +541,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                 ahead = samples_done / cfg.channel_rate - (time.time() - epoch)
                 if ahead > 0:
                     time.sleep(ahead)
-            if args.stats_interval and time.time() - t_stats > args.stats_interval:
+            # --stats-json has its own cadence so --stats-interval 0
+            # (quiet stderr) does not silence the machine-readable feed
+            ivl = args.stats_interval or (10.0 if args.stats_json else 0)
+            if ivl and time.time() - t_stats > ivl:
                 rate = samples_done / (time.time() - epoch) / 1e6
-                print(f"# {rate:.1f} Msps | preambles {stats.preambles} | "
-                      f"ok {stats.crc_ok} | corrected {stats.corrected} | "
-                      f"rejected {stats.crc_fail} | emitted {stats.emitted} "
-                      f"| overflow {stats.overflow}", file=sys.stderr)
+                if args.stats_interval:
+                    print(f"# {rate:.1f} Msps | preambles {stats.preambles}"
+                          f" | ok {stats.crc_ok} | corrected "
+                          f"{stats.corrected} | rejected {stats.crc_fail} |"
+                          f" emitted {stats.emitted} | overflow "
+                          f"{stats.overflow}", file=sys.stderr)
                 _emit_stats_json(args.stats_json, rate, stats, n_blocks)
                 t_stats = time.time()
     except KeyboardInterrupt:

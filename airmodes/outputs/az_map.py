@@ -71,6 +71,7 @@ def render_ascii(model: az_map_model, width: int = 61,
     (bearing_deg, range_nm, label) — an '@' mark followed by the label.
     """
     import math
+    width, height = max(width, 3), max(height, 3)  # tiny-terminal floor
     grid = [[" "] * width for _ in range(height)]
     cx, cy = width // 2, height // 2
     max_rng = model.max_range()

@@ -450,11 +450,22 @@ def test_modes_mlat_http_map(tmp_path):
             ts = _arrivals(target, STATIONS, t)
             for s, srv in enumerate(srvs):
                 srv.output(wire_crc(tgt, 56, ts[s]))
-                srv.output(wire_crc(flush, 112, ts[s] + 1.0))
-            stop.wait(0.2)
+            # WALL-clock gap before the ager frame: feed() flushes on each
+            # incoming message's wire timestamp, so an already-future-
+            # stamped ager racing ahead of the other stations' DF4 copies
+            # would drop the group at 1 station (scheduling-dependent)
+            stop.wait(0.3)
+            t2 = time.time()
+            for s, srv in enumerate(srvs):
+                srv.output(wire_crc(flush, 112, t2))
+            stop.wait(0.1)
 
     threading.Thread(target=feeder, daemon=True).start()
-    port = 39770
+    import socket as socketlib
+    probe = socketlib.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
     argv = []
     for (lat, lon, alt), s in zip(STATIONS, srvs):
         argv += ["-S", f"{lat},{lon},{alt}@beastgps://127.0.0.1:{s.port}"]

@@ -553,3 +553,12 @@ def test_output_wx_wind_triangle(tmp_path):
     assert derived[0]["wind_dir_deg"] == pytest.approx(want_dir, abs=0.1)
     sat = derive_sat(d50["tas_kt"], d60["mach"])
     assert derived[0]["temperature_c"] == pytest.approx(sat, abs=0.1)
+
+
+def test_az_map_ascii_tiny_terminal():
+    from airmodes.outputs.az_map import az_map_model, render_ascii
+    m = az_map_model()
+    m.add(0.0, 50.0, 30000.0)
+    for w, h in ((0, 0), (1, 1), (5, 0), (0, 5)):
+        art = render_ascii(m, width=w, height=h)   # must not raise
+        assert art and all(len(ln) >= 3 for ln in art)
