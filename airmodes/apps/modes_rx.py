@@ -106,6 +106,10 @@ def build_argparser() -> argparse.ArgumentParser:
                      "observations (EHS/MRAR wind, temperature, pressure, "
                      "hazards joined with the aircraft's last ADS-B "
                      "position; '-' for stdout)")
+    out.add_argument("--declination", type=float, default=0.0, metavar="DEG",
+                     help="local magnetic declination (east positive) to "
+                     "de-bias the --wx wind-triangle derivation (BDS6,0 "
+                     "heading is magnetic, BDS5,0 track is true)")
     out.add_argument("--stats-json", default=None, metavar="FILE",
                      help="append one NDJSON stats record per interval "
                      "(machine-readable ops feed; '-' for stdout)")
@@ -429,7 +433,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         closers.append(plug.close)
     if args.wx:
         from ..outputs.wx import output_wx
-        plug = output_wx(args.wx, parse_cls(my_pos))
+        plug = output_wx(args.wx, parse_cls(my_pos),
+                         declination_deg=args.declination)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.http is not None:

@@ -61,11 +61,15 @@ class output_wx:
     """Plugin: call output(msg) per raw wire message."""
 
     def __init__(self, path: str, parser: Optional[parse] = None,
-                 stale_pos_s: float = 30.0, pair_window_s: float = 5.0):
+                 stale_pos_s: float = 30.0, pair_window_s: float = 5.0,
+                 declination_deg: float = 0.0):
         self.path = path
         self._parser = parser or parse()
         self.stale_pos_s = stale_pos_s
         self.pair_window_s = pair_window_s
+        # local magnetic declination (east positive): BDS6,0 heading is
+        # magnetic, BDS5,0 track is true; true heading = magnetic + decl
+        self.declination_deg = declination_deg
         # icao -> (lat, lon, alt_ft, timestamp) last ADS-B fix
         self._last_fix: dict = {}
         # icao -> (track, gs, tas, ts) from BDS5,0 / (heading, mach, ts)
@@ -129,7 +133,8 @@ class output_wx:
             return {}
         track, gs, tas, _ = a
         heading, mach, _ = b
-        speed, dir_from = derive_wind(track, gs, heading, tas)
+        speed, dir_from = derive_wind(track, gs,
+                                      heading + self.declination_deg, tas)
         if speed > 250.0:           # implausible: mismatched pair
             return {}
         out = {"wind_speed_kt": round(speed, 1),

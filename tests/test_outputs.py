@@ -562,3 +562,37 @@ def test_az_map_ascii_tiny_terminal():
     for w, h in ((0, 0), (1, 1), (5, 0), (0, 5)):
         art = render_ascii(m, width=w, height=h)   # must not raise
         assert art and all(len(ln) >= 3 for ln in art)
+
+
+def test_output_wx_declination_debias(tmp_path):
+    """A known declination rotates the magnetic heading before the wind
+    triangle: with decl = -3 deg the derived direction shifts back."""
+    import json as _json
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_commb import mb_bds50, mb_bds60
+    from airmodes.outputs.wx import output_wx
+    from airmodes import crc as crcmod
+
+    def w(frame, ts):
+        s = crcmod.crc24(frame, 112)
+        return f"20 {frame:028x} {s:06x} 3 -20.00 {ts:.9f}"
+
+    mb50 = mb_bds50(trk_raw=548, gs_raw=225, tas_raw=224)
+    mb60 = mb_bds60(hdg_raw=512, ias=260, mach_raw=193)
+    outs = {}
+    for decl in (0.0, -3.0):
+        p = tmp_path / f"wx{decl}.ndjson"
+        plug = output_wx(str(p), declination_deg=decl)
+        plug.output(w(encoder.df20_frame(0x4840D6, 0x1234, mb=mb50), 1.0))
+        plug.output(w(encoder.df20_frame(0x4840D6, 0x1234, mb=mb60), 2.0))
+        plug.close()
+        (rec,) = [_json.loads(ln) for ln in p.read_text().splitlines()
+                  if "derived" in ln]
+        outs[decl] = rec
+    # rotating the 448 kt air vector by 3 deg moves its tip ~23 kt, which
+    # must show up in the derived wind vector (here mostly as speed: the
+    # rotation is nearly perpendicular to the northerly wind)
+    dv = abs(outs[-3.0]["wind_speed_kt"] - outs[0.0]["wind_speed_kt"])
+    dd = (outs[-3.0]["wind_dir_deg"] - outs[0.0]["wind_dir_deg"]) % 360.0
+    assert dv > 15.0 or min(dd, 360 - dd) > 15.0
