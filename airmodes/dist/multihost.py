@@ -15,7 +15,7 @@ driven by `initialize()` with the standard coordinator env/args.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
-from ..decode.parse import AircraftReport, parse
+from ..decode.parse import parse
 from ..exceptions import ADSBError
 
 

@@ -30,7 +30,6 @@ of the pulse energy in-band and nothing downstream can undo that.
 from __future__ import annotations
 
 import functools
-import math
 from fractions import Fraction
 from typing import Tuple
 
