@@ -11,6 +11,8 @@ coverage plot, plus a live aircraft table):
     /data/receiver.json     receiver metadata (lat/lon/refresh interval)
     /data/stats.json        receive statistics: per-DF counts, corrected/
                             total, message rate, unique aircraft
+    /data/coverage.json     az-map envelope (max range per bearing) —
+                            drawn as a faint polygon under the traffic
 
 State updates ride the plugin's synchronous output() path; HTTP requests
 are served from a pre-serialized snapshot under a lock, so slow/many web
@@ -27,6 +29,7 @@ from typing import Optional, Tuple
 from ..constants import STATUS_CORRECTED_1, STATUS_CORRECTED_2
 from ..decode.parse import parse
 from ..exceptions import ADSBError
+from .az_map import az_map_model
 from .gui_model import dashboard
 from .json_out import build_doc
 
@@ -68,8 +71,22 @@ function project(lat,lon){ // local equirectangular around the receiver
   const s=Math.min(cv.width,cv.height)/2/(ringNm*4);
   return [cv.width/2+dx*s, cv.height/2-dy*s];
 }
+let coverage=null;
+function drawCoverage(){
+  if(!coverage||!rx||!coverage.max_range_nm)return;
+  const s=Math.min(cv.width,cv.height)/2/(ringNm*4);
+  cx.fillStyle='rgba(88,176,240,0.07)';cx.strokeStyle='rgba(88,176,240,0.25)';
+  cx.beginPath();
+  coverage.envelope.forEach((p,i)=>{
+    const th=p[0]*Math.PI/180, r=p[1]*s;
+    const x=cv.width/2+Math.sin(th)*r, y=cv.height/2-Math.cos(th)*r;
+    i?cx.lineTo(x,y):cx.moveTo(x,y);
+  });
+  cx.closePath();cx.fill();cx.stroke();
+}
 function draw(ac){
   resize();cx.clearRect(0,0,cv.width,cv.height);
+  drawCoverage();
   cx.strokeStyle='#2a313a';cx.fillStyle='#8fa3b8';cx.font='10px sans-serif';
   if(rx){
     const s=Math.min(cv.width,cv.height)/2/(ringNm*4);
@@ -97,9 +114,13 @@ function draw(ac){
     cx.fillStyle='#d5dae0';cx.fillText(a.flight||a.hex,6,3);cx.restore();
   }
 }
+let covTick=0;
 async function tick(){
   try{
     if(!rx){const r=await fetch('data/receiver.json');rx=await r.json();}
+    if(covTick++%10===0){ // coverage changes slowly: refresh every 10 s
+      const r=await fetch('data/coverage.json');coverage=await r.json();
+    }
     const r=await fetch('data/aircraft.json');const d=await r.json();
     document.getElementById('hdr').textContent=
       d.aircraft.length+' aircraft — updated '+new Date(d.now*1000).toLocaleTimeString();
@@ -130,7 +151,9 @@ class output_http:
     def __init__(self, port: int = 8080, parser: Optional[parse] = None,
                  my_position: Optional[Tuple[float, float]] = None,
                  host: str = "0.0.0.0", stale_s: float = 60.0):
-        self._parser = parser or parse()
+        # a default parser knows the receiver position so range/bearing
+        # (and thus the coverage endpoint) work out of the box
+        self._parser = parser or parse(my_position)
         self._dash = dashboard(stale_s=stale_s)
         self._lock = threading.Lock()
         self._snapshot = json.dumps({"now": 0, "aircraft": []}).encode()
@@ -138,6 +161,7 @@ class output_http:
               "refresh": 1000, "version": "airmodes"} if my_position else \
              {"refresh": 1000, "version": "airmodes"}
         self._receiver = json.dumps(rx).encode()
+        self._azm = az_map_model()
         self._n_messages = 0
         self._n_bad = 0
         self._n_corrected = 0
@@ -162,6 +186,15 @@ class output_http:
                     body, ctype = plugin._receiver, "application/json"
                 elif path == "/data/stats.json":
                     body = json.dumps(plugin.stats_doc()).encode()
+                    ctype = "application/json"
+                elif path == "/data/coverage.json":
+                    with plugin._lock:
+                        env = plugin._azm.envelope()
+                        doc = {"envelope": [[round(b, 1), round(r, 1)]
+                                            for b, r in env],
+                               "max_range_nm":
+                               round(plugin._azm.max_range(), 1)}
+                    body = json.dumps(doc).encode()
                     ctype = "application/json"
                 else:
                     self.send_error(404)
@@ -227,6 +260,9 @@ class output_http:
             if self._t_first is None:
                 self._t_first = rep.timestamp
             self._t_latest = rep.timestamp
+            if rep.bearing_deg is not None and rep.range_nm is not None:
+                self._azm.add(rep.bearing_deg, rep.range_nm,
+                              rep.altitude_ft)
         self._dash.update(rep)
         now = rep.timestamp
         # re-serialize at most once per second of stream time; requests

@@ -596,3 +596,23 @@ def test_output_wx_declination_debias(tmp_path):
     dv = abs(outs[-3.0]["wind_speed_kt"] - outs[0.0]["wind_speed_kt"])
     dd = (outs[-3.0]["wind_dir_deg"] - outs[0.0]["wind_dir_deg"]) % 360.0
     assert dv > 15.0 or min(dd, 360 - dd) > 15.0
+
+
+def test_output_http_coverage_endpoint():
+    import json as _json
+    import urllib.request
+    from airmodes.outputs.httpd import output_http
+    plug = output_http(port=0, host="127.0.0.1", my_position=(47.0, 8.0))
+    try:
+        for m in (POS_E, POS_O):
+            plug.output(m)
+        doc = _json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{plug.port}/data/coverage.json", timeout=5))
+        assert doc["max_range_nm"] > 10.0
+        assert len(doc["envelope"]) == 72
+        assert any(r > 10.0 for _, r in doc["envelope"])
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{plug.port}/", timeout=5).read().decode()
+        assert "coverage.json" in page and "drawCoverage" in page
+    finally:
+        plug.close()
