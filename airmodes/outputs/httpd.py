@@ -48,7 +48,8 @@ _PAGE = """<!DOCTYPE html>
 <canvas id="map"></canvas>
 <div id="side"><p id="hdr"></p><table><thead><tr>
 <th>hex</th><th>flight</th><th>squawk</th><th>alt ft</th><th>gs kt</th>
-<th>trk</th><th>vr fpm</th><th>rssi</th><th>msgs</th><th>seen</th>
+<th>trk</th><th>vr fpm</th><th>rng NM</th><th>brg</th><th>rssi</th>
+<th>msgs</th><th>seen</th>
 </tr></thead><tbody id="rows"></tbody></table></div>
 <script>
 const cv=document.getElementById('map'),cx=cv.getContext('2d');
@@ -129,8 +130,15 @@ async function tick(){
     for(const a of d.aircraft){
       const tr=document.createElement('tr');
       if(a.emergency&&a.emergency!=='none')tr.className='emerg';
+      let rng='',brg='';
+      if(rx&&rx.lat!==undefined&&a.lat!==undefined){
+        const dx=(a.lon-rx.lon)*60*Math.cos(rx.lat*Math.PI/180);
+        const dy=(a.lat-rx.lat)*60;
+        rng=Math.hypot(dx,dy).toFixed(1);
+        brg=((Math.atan2(dx,dy)*180/Math.PI+360)%360).toFixed(0);
+      }
       for(const v of [a.hex,a.flight,a.squawk,a.alt_baro,a.gs&&a.gs.toFixed(0),
-                      a.track&&a.track.toFixed(0),a.baro_rate,a.rssi,
+                      a.track&&a.track.toFixed(0),a.baro_rate,rng,brg,a.rssi,
                       a.messages,a.seen]){
         const td=document.createElement('td');td.textContent=v===undefined?'':v;tr.appendChild(td);
       }
