@@ -151,8 +151,15 @@ class clock_sync:
             # anchor; any partial state was relative to the DEAD anchor's
             # timebase, so everyone else resets.
             self._anchor_misses += 1
+            # A station that converged and then went SILENT (feed died)
+            # keeps n_updates above threshold forever; counting it here
+            # would block promotion and freeze training for the live
+            # stations. Treat stale-converged (no reference observation
+            # for > max_age_s) as unconverged for the promotion check.
+            tnow = max(arrivals.values())
             if self._anchor_misses > 20 and \
                     all(n < self.min_updates
+                        or tnow - self.offset_t[i] > self.max_age_s
                         for i, n in enumerate(self.n_updates)
                         if i != self.anchor):
                 self.n_updates[self.anchor] = 0
@@ -296,6 +303,11 @@ class mlat_correlator:
         # solutions are attributable, not anonymous
         try:
             if int(parts[3]) == 3:
+                if len(self._icao_hint) >= 4096:  # bound at INSERT time: a
+                    # run that never solves (unconverged sync, sparse
+                    # overlap) must not grow this dict without limit
+                    for k in list(self._icao_hint)[:2048]:
+                        del self._icao_hint[k]
                 self._icao_hint[hexframe] = int(parts[2], 16)
         except (ValueError, IndexError):
             pass
@@ -385,8 +397,5 @@ class mlat_correlator:
         df = data >> (nbits - 5)
         icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
             else self._icao_hint.pop(hexframe, None)
-        if len(self._icao_hint) > 4096:      # bound: FIFO-drop oldest
-            for k in list(self._icao_hint)[:2048]:
-                del self._icao_hint[k]
         return [MlatSolution(hexframe, icao, lat, lon, alt_m,
                              len(arr), t0)]

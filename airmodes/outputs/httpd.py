@@ -187,8 +187,7 @@ class output_http:
                 if path in ("/", "/index.html"):
                     body, ctype = _PAGE.encode(), "text/html; charset=utf-8"
                 elif path == "/data/aircraft.json":
-                    with plugin._lock:
-                        body = plugin._snapshot
+                    body = plugin.aircraft_doc()
                     ctype = "application/json"
                 elif path == "/data/receiver.json":
                     body, ctype = plugin._receiver, "application/json"
@@ -224,6 +223,30 @@ class output_http:
             target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         self._last_snap: Optional[float] = None
+        self._last_snap_wall: Optional[float] = None
+
+    def aircraft_doc(self) -> bytes:
+        """Snapshot bytes for GET, re-serialized when the message stream
+        has gone quiet so 'seen' ages advance and stale aircraft prune.
+
+        Stream timestamps may be capture time (file replay), not wall
+        time, so the quiet-gap rebuild extrapolates stream time by the
+        wall-clock time elapsed since the last update_report snapshot."""
+        import time as _time
+        wall = _time.time()
+        with self._lock:
+            if self._last_snap is None or self._last_snap_wall is None \
+                    or wall - self._last_snap_wall < 1.0:
+                return self._snapshot
+            now = self._last_snap + (wall - self._last_snap_wall)
+        doc = json.dumps(build_doc(self._dash, now)).encode()
+        with self._lock:
+            self._snapshot = doc
+            # advance both clocks so many polling clients cost at most
+            # one re-serialize per second, not one per request
+            self._last_snap = now
+            self._last_snap_wall = wall
+        return doc
 
     def stats_doc(self) -> dict:
         with self._lock:
@@ -276,10 +299,12 @@ class output_http:
         # re-serialize at most once per second of stream time; requests
         # only ever read the cached bytes
         if self._last_snap is None or now - self._last_snap >= 1.0:
+            import time as _time
             doc = json.dumps(build_doc(self._dash, now)).encode()
             with self._lock:
                 self._snapshot = doc
-            self._last_snap = now
+                self._last_snap = now
+                self._last_snap_wall = _time.time()
 
     def close(self) -> None:
         self._httpd.shutdown()

@@ -494,3 +494,47 @@ def test_modes_mlat_http_map(tmp_path):
     assert doc and doc["aircraft"], "no mlat aircraft served"
     ac = [a for a in doc["aircraft"] if a["hex"] == "abcdef"]
     assert ac and abs(ac[0]["lat"] - target[0]) < 0.03
+
+
+def test_icao_hint_bounded_without_solving():
+    """ADVICE r2: _icao_hint must be bounded at INSERT time — a correlator
+    that never solves (sync unconverged) must not grow it without limit."""
+    corr = mlat_correlator(STATIONS, clock_sync_enabled=True)
+    for k in range(5000):
+        hexframe = f"{0x20000000000000 | k:014x}"   # distinct DF4 frames
+        corr.feed(0, f"4 {hexframe} abc123 3 -20.0 {100.0 + k * 0.001:.9f}")
+    assert len(corr._icao_hint) <= 4096
+
+
+def test_clock_sync_promotion_past_dead_converged_station():
+    """ADVICE r2: a station that converged and then went silent must not
+    block anchor promotion forever once it is stale."""
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3, max_age_s=60.0)
+    off = [0.0, 0.002, -0.001, 0.0005]
+    # train ONLY station 1 (arrivals {0,1}); stations 2/3 stay cold
+    t_end = 100.0
+    for k in range(5):
+        pos = (47.05 + 0.001 * k, 8.10, 9000.0)
+        ts = _arrivals(pos, STATIONS, 100.0 + k)
+        sync.update({s: ts[s] + off[s] for s in (0, 1)}, pos)
+        t_end = 100.0 + k
+    assert sync.n_updates[1] >= sync.min_updates
+    # anchor (0) and station 1 both die; 2/3 start reporting much later.
+    # No converged station is ever present in arrivals, so without the
+    # staleness carve-out the all() promotion check deadlocks on dead
+    # station 1's frozen n_updates.
+    t = t_end + 300.0                         # station 1 now stale
+    promoted = False
+    for k in range(30):
+        pos = (47.05 + 0.0005 * k, 8.10, 9000.0)
+        ts = _arrivals(pos, STATIONS, t + k * 0.5)
+        sync.update({s: ts[s] + off[s] for s in (2, 3)}, pos)
+        if sync.anchor in (2, 3):
+            promoted = True
+    assert promoted, "dead converged station blocked promotion"
+    tq = t + 40.0
+    corrected = sync.correct({s: tq + off[s] for s in (2, 3)})
+    assert corrected is not None
+    vals = list(corrected.values())
+    assert max(vals) - min(vals) < 1e-6

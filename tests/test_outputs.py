@@ -616,3 +616,26 @@ def test_output_http_coverage_endpoint():
         assert "coverage.json" in page and "drawCoverage" in page
     finally:
         plug.close()
+
+
+def test_output_http_quiet_gap_ages_and_prunes():
+    """ADVICE r2: when the message stream goes quiet, GET must re-derive
+    the snapshot from elapsed wall time — 'seen' advances and stale
+    aircraft prune instead of being served frozen forever."""
+    import json as _json
+    import urllib.request
+    from airmodes.outputs.httpd import output_http
+    plug = output_http(port=0, host="127.0.0.1", stale_s=5.0)
+    try:
+        base = f"http://127.0.0.1:{plug.port}"
+        plug.output(IDENT)
+        doc = _json.load(urllib.request.urlopen(
+            base + "/data/aircraft.json", timeout=5))
+        assert len(doc["aircraft"]) == 1
+        # simulate 10 s of wall-clock silence (past stale_s)
+        plug._last_snap_wall -= 10.0
+        doc = _json.load(urllib.request.urlopen(
+            base + "/data/aircraft.json", timeout=5))
+        assert doc["aircraft"] == []          # pruned during the gap
+    finally:
+        plug.close()
