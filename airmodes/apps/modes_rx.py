@@ -71,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
     dsp.add_argument("--depth", type=int, default=2,
                      help="device calls kept in flight (H2D/compute/D2H "
                      "overlap) [2]")
+    dsp.add_argument("--no-native", action="store_true",
+                     help="disable the native C++ streaming runtime "
+                     "(file read + framing + int8/planar conversion in a "
+                     "producer thread) and use the pure-Python source path")
     dsp.add_argument("--compile-cache", default="~/.cache/airmodes-xla",
                      metavar="DIR", help="persistent XLA compile cache "
                      "('' disables); repeat runs skip the ~1-2 min TPU "
@@ -143,6 +147,7 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     'dl_data'; channel c's also publish on f'dl_data/ch{c}'."""
     import itertools
     from ..dsp import host
+    from ..io import native_stream
     from ..io import sources as src_mod
     from ..io.stream import run_channels
     from ..resample.polyphase import rational_rate, streaming_resampler
@@ -192,9 +197,21 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     t_stats = time.time()
     n_steps = 0
     samples_done = 0
+    # same native treatment as the single-channel path: all-file sources
+    # with --int8 run the C++ framer + planar kernel + threaded dispatch
+    if (not args.no_native and not needs_resample and args.int8
+            and all(s not in ("synthetic",) for s in srcs)
+            and args.start_sample >= 0
+            and native_stream.native_available()):
+        step_iter = native_stream.run_native_channels(
+            list(srcs), cfg, fmt=args.file_format,
+            start_sample=args.start_sample, epoch=epoch, stats=stats,
+            max_blocks=args.max_blocks)
+    else:
+        step_iter = run_channels(chans, cfg, epoch=epoch, stats=stats,
+                                 quantize_i8=args.int8)
     try:
-        for step_msgs in run_channels(chans, cfg, epoch=epoch, stats=stats,
-                                      quantize_i8=args.int8):
+        for step_msgs in step_iter:
             for c, msgs in enumerate(step_msgs):
                 for m in msgs:
                     bus.publish("dl_data", m)
@@ -520,6 +537,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # --- run loop: double-buffered device pipeline --------------------------
     from ..io.stream import run_pipelined
+    from ..io import native_stream
     from ..utils.profiling import trace
     import itertools
     stats = host.BlockStats()
@@ -527,17 +545,54 @@ def main(argv: Optional[List[str]] = None) -> int:
     t_stats = time.time()
     n_blocks = 0
     samples_done = 0
-    if args.max_blocks:
-        blocks = itertools.islice(blocks, args.max_blocks)
     batch = args.batch
     if batch <= 0:
         import jax
         batch = 8 if jax.default_backend() == "tpu" else 1
+
+    # Default product path: the native C++ runtime frames (and, with
+    # --int8, quantizes + planar-splits) blocks in producer threads and a
+    # dedicated dispatch thread keeps the device fed, leaving this thread
+    # free for decode + plugin fan-out (VERDICT r2 #2). Falls back to the
+    # pure-Python source path when the toolchain is absent, the source
+    # needs resampling, or --no-native is given.
+    native_ok = (not args.no_native and not needs_resample
+                 and args.source not in ("synthetic",)
+                 and native_stream.native_available())
+    msg_iter = None
+    if native_ok and args.int8:
+        kw = dict(cfg=cfg, epoch=epoch, stats=stats, batch=batch,
+                  depth=args.depth, max_blocks=args.max_blocks)
+        if args.source == "udp":
+            msg_iter = native_stream.run_native_pipelined(
+                udp_port=args.udp_port, **kw)
+        else:
+            msg_iter = native_stream.run_native_pipelined(
+                path=args.source, fmt=args.file_format,
+                start_sample=args.start_sample, **kw)
+    elif native_ok and args.source != "udp":
+        # f32 precision requested: native framing only (producer thread),
+        # device layout/transfer via the regular pipelined runner
+        from ..native import IQStream
+
+        def native_f32_blocks():
+            st = IQStream(cfg)
+            st.start_file(args.source, fmt=args.file_format,
+                          offset_samples=args.start_sample)
+            try:
+                yield from st.blocks()
+            finally:
+                st.close()
+        blocks = native_f32_blocks()
+    if msg_iter is None:
+        if args.max_blocks:
+            blocks = itertools.islice(blocks, args.max_blocks)
+        msg_iter = run_pipelined(blocks, cfg, epoch=epoch, stats=stats,
+                                 batch=batch, quantize_i8=args.int8,
+                                 depth=args.depth)
     try:
       with trace(args.profile):
-        for msgs in run_pipelined(blocks, cfg, epoch=epoch, stats=stats,
-                                  batch=batch, quantize_i8=args.int8,
-                                  depth=args.depth):
+        for msgs in msg_iter:
             for m in msgs:
                 bus.publish("dl_data", m)
             n_blocks += 1

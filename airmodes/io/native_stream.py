@@ -1,0 +1,278 @@
+"""Native-runtime product pipeline: C++ IQ framing -> planar int8 demod.
+
+This is the default `modes_rx` driver for file/UDP sample sources when the
+native toolchain is present (VERDICT r2 #2: the product path must reach the
+measured transport ceiling). It removes every per-block host cost that the
+pure-Python path serializes on the dispatch thread:
+
+- file read + SDR wire-format conversion run in the C++ pump thread
+  (native/iqstream.cc), filling a lock-free SPSC ring;
+- overlap-save framing + int8 quantize + planar I/Q split happen in ONE
+  fused C++ pass (`iq_stream_next_block_planar_i8`) — no float32 (N, 2)
+  intermediate, no numpy quantize, no to_planar_i8 copy;
+- device dispatch runs on a dedicated thread with a bounded in-flight
+  queue, so the H2D transfer of batch i+1 overlaps the caller's decode of
+  batch i (unpack + wire formatting + parse + plugins all stay on the
+  caller's thread, off the dispatch path).
+
+Yields the same per-block wire-message lists as io.stream.run_pipelined,
+in stream order (ref: GR top-block streaming role, python/radio.py:~40 +
+thread-per-block scheduler the native runtime replaces, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..config import DspConfig
+from ..dsp import host as host_mod
+from ..dsp.pipeline import unpack_table
+from .stream import _pallas_ok
+
+# quantize gain: int8 = round(f32 * 127); the kernels rescale by 1/127, so
+# full_scale = 127/127 = 1.0 — dBFS stays referenced to f32 full scale
+# (uc8/sc16 wire formats define full scale = 1.0 by construction).
+I8_SCALE = 127.0
+
+
+def native_available() -> bool:
+    try:
+        from ..native import load
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def _planar_step(cfg: DspConfig):
+    """(name, step(xi, xq) -> packed (B, K+1, 9), planar length P)."""
+    import jax
+
+    if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
+        from ..kernels.preamble_pallas import (
+            demod_batch_packed_planar_jit, planar_length)
+        return ("pallas-planar-i8",
+                lambda xi, xq: demod_batch_packed_planar_jit(xi, xq, cfg),
+                planar_length(cfg))
+
+    # XLA fallback (CPU tests / odd cfgs): rebuild (B, T, 2) int8 in-jit
+    import functools
+    import jax.numpy as jnp
+    from ..dsp.pipeline import demod_block, pack_table
+
+    T = cfg.left_halo + cfg.block_size + cfg.right_halo
+    P = -(-T // 128) * 128
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def step(xi, xq, cfg):
+        xb = jnp.stack([xi[:, :T], xq[:, :T]], axis=-1)
+        return jax.vmap(lambda x: pack_table(demod_block(x, cfg)))(xb)
+
+    return "xla-planar-i8", (lambda xi, xq: step(xi, xq, cfg)), P
+
+
+class _PlanarSource:
+    """One channel's native framer producing planar int8 rows."""
+
+    def __init__(self, cfg: DspConfig, P: int, *, path: Optional[str] = None,
+                 fmt: str = "complex64", udp_host: str = "0.0.0.0",
+                 udp_port: int = 10000, start_sample: int = 0,
+                 throttle_sps: float = 0.0, ring_samples: int = 1 << 24):
+        from ..native import IQStream
+        self.P = P
+        self.stream = IQStream(cfg, ring_samples=ring_samples)
+        if path is not None:
+            self.stream.start_file(path, fmt=fmt,
+                                   throttle_sps=throttle_sps,
+                                   offset_samples=start_sample)
+        else:
+            self.stream.start_udp(udp_host, udp_port)
+
+    def next_row(self, out_i: np.ndarray, out_q: np.ndarray
+                 ) -> Optional[int]:
+        """Fill one planar row pair; returns start sample or None at EOS."""
+        nxt = self.stream.next_block_planar_i8(out_i, out_q, scale=I8_SCALE)
+        return nxt
+
+    def close(self) -> None:
+        self.stream.close()
+
+
+def run_native_pipelined(
+    cfg: DspConfig,
+    *,
+    path: Optional[str] = None,
+    fmt: str = "complex64",
+    udp_host: str = "0.0.0.0",
+    udp_port: int = 10000,
+    start_sample: int = 0,
+    throttle_sps: float = 0.0,
+    epoch: float = 0.0,
+    stats: Optional[host_mod.BlockStats] = None,
+    batch: int = 8,
+    depth: int = 2,
+    max_blocks: Optional[int] = None,
+) -> Iterator[List[str]]:
+    """Drive a file/UDP capture through the native runtime + planar demod.
+
+    Generator yielding one wire-message list per owned block, in stream
+    order. Dispatch (native framing + device calls) runs on a background
+    thread with `depth` batches in flight; decode (table fetch + unpack +
+    message formatting) runs on the caller's thread, so plugin fan-out
+    never stalls the device."""
+    name, step, P = _planar_step(cfg)
+    src = _PlanarSource(cfg, P, path=path, fmt=fmt, udp_host=udp_host,
+                        udp_port=udp_port, start_sample=start_sample,
+                        throttle_sps=throttle_sps)
+    out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+    _SENTINEL = object()
+
+    def dispatcher() -> None:
+        try:
+            n_done = 0
+            while not stop.is_set():
+                if max_blocks is not None and n_done >= max_blocks:
+                    break
+                b = batch
+                if max_blocks is not None:
+                    b = min(b, max_blocks - n_done)
+                xi = np.zeros((batch, P), np.int8)
+                xq = np.zeros((batch, P), np.int8)
+                starts: List[int] = []
+                for j in range(b):
+                    st = src.next_row(xi[j], xq[j])
+                    if st is None:
+                        break
+                    starts.append(st)
+                if not starts:
+                    break
+                # padding rows stay zero (silence): no detections, cheap
+                out_q.put((step(xi, xq), starts))
+                n_done += len(starts)
+                if len(starts) < b:
+                    break
+        except BaseException as e:  # surface in the consumer
+            out_q.put(e)
+        finally:
+            out_q.put(_SENTINEL)
+
+    th = threading.Thread(target=dispatcher, daemon=True,
+                          name="airmodes-dispatch")
+    th.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            packed, starts = item
+            arr = np.asarray(packed)
+            for j, start in enumerate(starts):
+                table = unpack_table(arr[j])
+                yield host_mod.table_to_messages(
+                    table, start, cfg.channel_rate, epoch=epoch,
+                    stats=stats, full_scale=I8_SCALE / 127.0)
+    finally:
+        stop.set()
+        # unblock a dispatcher waiting on a full queue
+        while True:
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                break
+        th.join(timeout=10.0)
+        src.close()
+
+
+def run_native_channels(
+    paths: List[str],
+    cfg: DspConfig,
+    *,
+    fmt: str = "complex64",
+    start_sample: int = 0,
+    epoch: float = 0.0,
+    stats: Optional[host_mod.BlockStats] = None,
+    depth: int = 2,
+    max_blocks: Optional[int] = None,
+) -> Iterator[List[List[str]]]:
+    """Native multi-channel loop: C file captures, one batched device call
+    per time step down the channel axis (mirrors io.stream.run_channels
+    with the native framer + planar kernel + threaded dispatch). Ended
+    channels ride along as silence until all end."""
+    name, step, P = _planar_step(cfg)
+    srcs = [_PlanarSource(cfg, P, path=p, fmt=fmt,
+                          start_sample=start_sample) for p in paths]
+    C = len(srcs)
+    out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+    _SENTINEL = object()
+
+    def dispatcher() -> None:
+        try:
+            ended = [False] * C
+            n_steps = 0
+            while not stop.is_set() and not all(ended):
+                if max_blocks is not None and n_steps >= max_blocks:
+                    break
+                xi = np.zeros((C, P), np.int8)
+                xq = np.zeros((C, P), np.int8)
+                starts = [0] * C
+                live = [False] * C
+                for c in range(C):
+                    if ended[c]:
+                        continue
+                    st = srcs[c].next_row(xi[c], xq[c])
+                    if st is None:
+                        ended[c] = True
+                        xi[c] = 0
+                        xq[c] = 0
+                    else:
+                        starts[c] = st
+                        live[c] = True
+                if not any(live):
+                    break
+                out_q.put((step(xi, xq), starts, live))
+                n_steps += 1
+        except BaseException as e:
+            out_q.put(e)
+        finally:
+            out_q.put(_SENTINEL)
+
+    th = threading.Thread(target=dispatcher, daemon=True,
+                          name="airmodes-dispatch-mc")
+    th.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            packed, starts, live = item
+            arr = np.asarray(packed)
+            out: List[List[str]] = []
+            for c in range(C):
+                if not live[c]:
+                    out.append([])
+                    continue
+                table = unpack_table(arr[c])
+                out.append(host_mod.table_to_messages(
+                    table, starts[c], cfg.channel_rate, epoch=epoch,
+                    stats=stats, full_scale=I8_SCALE / 127.0))
+            yield out
+    finally:
+        stop.set()
+        while True:
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                break
+        th.join(timeout=10.0)
+        for s in srcs:
+            s.close()

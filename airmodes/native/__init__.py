@@ -68,15 +68,20 @@ def load() -> ctypes.CDLL:
         lib.iq_stream_dropped.restype = u64
         lib.iq_stream_dropped.argtypes = [vp]
         lib.iq_stream_start_file.restype = ip
-        lib.iq_stream_start_file.argtypes = [vp, cp, ip, ctypes.c_double]
+        lib.iq_stream_start_file.argtypes = [vp, cp, ip, ctypes.c_double,
+                                             u64]
         lib.iq_stream_start_udp.restype = ip
-        lib.iq_stream_start_udp.argtypes = [vp, cp, ip]
+        lib.iq_stream_start_udp.argtypes = [vp, cp, ip, ctypes.c_double]
         lib.iq_stream_next_block.restype = ip
         lib.iq_stream_next_block.argtypes = [vp, ctypes.c_void_p,
                                              ctypes.POINTER(i64)]
         lib.iq_stream_next_block_i8.restype = ip
         lib.iq_stream_next_block_i8.argtypes = [vp, ctypes.c_void_p,
                                                 ctypes.POINTER(i64), f32]
+        lib.iq_stream_next_block_planar_i8.restype = ip
+        lib.iq_stream_next_block_planar_i8.argtypes = [
+            vp, ctypes.c_void_p, ctypes.c_void_p, u64,
+            ctypes.POINTER(i64), f32]
         lib.iq_stream_available.restype = u64
         lib.iq_stream_available.argtypes = [vp]
         _lib = lib
@@ -124,14 +129,20 @@ class IQStream:
             self._h, arr.ctypes.data_as(ctypes.c_void_p), n))
 
     def start_file(self, path: str, fmt: str = "complex64",
-                   throttle_sps: float = 0.0) -> None:
+                   throttle_sps: float = 0.0,
+                   offset_samples: int = 0) -> None:
         rc = self._lib.iq_stream_start_file(
-            self._h, path.encode(), _FMT[fmt], float(throttle_sps))
+            self._h, path.encode(), _FMT[fmt], float(throttle_sps),
+            int(offset_samples))
         if rc != 0:
             raise OSError(f"cannot open {path}")
 
-    def start_udp(self, host: str = "0.0.0.0", port: int = 10000) -> None:
-        rc = self._lib.iq_stream_start_udp(self._h, host.encode(), port)
+    def start_udp(self, host: str = "0.0.0.0", port: int = 10000,
+                  timeout_s: float = 5.0) -> None:
+        """timeout_s > 0 ends the stream after that much receive silence
+        (parity with io.sources.udp_source)."""
+        rc = self._lib.iq_stream_start_udp(self._h, host.encode(), port,
+                                           float(timeout_s))
         if rc != 0:
             raise OSError(f"cannot bind udp {host}:{port}")
 
@@ -181,6 +192,30 @@ class IQStream:
                 return out, int(start.value)
             if rc == -1:
                 return None
+            _t.sleep(0.001)
+
+    def next_block_planar_i8(self, out_i: np.ndarray, out_q: np.ndarray,
+                             scale: float = 127.0) -> Optional[int]:
+        """Fill planar int8 I and Q rows (each len >= left+block+right,
+        zero-padded past the frame) in one fused native pass; returns the
+        start sample, or None at end of stream. Blocks until data is
+        available."""
+        import time as _t
+        assert out_i.dtype == np.int8 and out_q.dtype == np.int8
+        assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
+        start = ctypes.c_int64(0)
+        while True:
+            rc = self._lib.iq_stream_next_block_planar_i8(
+                self._h, out_i.ctypes.data_as(ctypes.c_void_p),
+                out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
+                ctypes.byref(start), float(scale))
+            if rc == 1:
+                return int(start.value)
+            if rc == -1:
+                return None
+            if rc == -2:
+                raise ValueError(
+                    f"planar row too short: {out_i.size} < {self.total}")
             _t.sleep(0.001)
 
     def blocks(self, i8: bool = False, scale: float = 127.0):

@@ -45,6 +45,7 @@ struct Stream {
   uint64_t left = 0, block = 0, right = 0;
   std::atomic<uint64_t> real_pushed{0};  // samples pushed (excl. EOF pad)
   uint64_t next_start = 0;      // global sample index of next owned block
+  uint64_t start_offset = 0;    // resume offset (file seek, samples)
   float* carry = nullptr;       // last `left` samples of the previous block
   bool first_block = true;
   // producer
@@ -182,11 +183,25 @@ uint64_t iq_stream_dropped(void* h) {
 
 // Pump a recorded file through the ring. format: 0=f32 pairs, 1=sc16, 2=uc8.
 // throttle_sps > 0 replays at that sample rate (real-time file replay).
+// offset_samples seeks into the capture and resumes the global sample
+// counter there (checkpoint/resume: stream position IS the counter,
+// SURVEY.md §5.4); the left halo at resume is zeros, matching the Python
+// framer's re-acquisition semantics.
 int iq_stream_start_file(void* h, const char* path, int format,
-                         double throttle_sps) {
+                         double throttle_sps, uint64_t offset_samples) {
   auto* s = static_cast<Stream*>(h);
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  if (offset_samples) {
+    uint64_t elem = format == 0 ? 8 : (format == 1 ? 4 : 2);
+    if (std::fseek(f, static_cast<long>(offset_samples * elem),
+                   SEEK_SET) != 0) {
+      std::fclose(f);
+      return -1;
+    }
+    s->start_offset = offset_samples;
+    s->next_start = offset_samples;
+  }
   s->pump = std::thread([s, f, format, throttle_sps]() {
     constexpr uint64_t CHUNK = 1 << 16;
     auto* raw = new uint8_t[CHUNK * 8];
@@ -231,12 +246,21 @@ int iq_stream_start_file(void* h, const char* path, int format,
 }
 
 // UDP receiver pump: binds host:port, expects float32 I/Q pair datagrams.
-int iq_stream_start_udp(void* h, const char* host, int port) {
+// timeout_s > 0 ends the stream after that much receive silence (parity
+// with the Python udp_source's flush-on-timeout semantics).
+int iq_stream_start_udp(void* h, const char* host, int port,
+                        double timeout_s) {
   auto* s = static_cast<Stream*>(h);
   int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
   int one = 1;
   ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  if (timeout_s > 0) {
+    timeval tv{};
+    tv.tv_sec = static_cast<long>(timeout_s);
+    tv.tv_usec = static_cast<long>((timeout_s - tv.tv_sec) * 1e6);
+    ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  }
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons(static_cast<uint16_t>(port));
@@ -252,7 +276,7 @@ int iq_stream_start_udp(void* h, const char* host, int port) {
       ssize_t n = ::recv(fd, buf, 1 << 16, 0);
       if (n < 0) {
         if (errno == EINTR) continue;
-        break;
+        break;  // incl. EAGAIN from SO_RCVTIMEO: silence ends the stream
       }
       // n == 0 is an EMPTY datagram (legal on SOCK_DGRAM), not EOF
       if (n == 0) continue;
@@ -284,7 +308,8 @@ int iq_stream_next_block(void* h, float* out, int64_t* start_sample) {
   const uint64_t need = s->block + s->right;
   uint64_t avail = ring_avail(s->ring);
   bool eof = s->ring.eof.load(std::memory_order_acquire);
-  if (eof && s->next_start >= s->real_pushed.load()) return -1;
+  if (eof && s->next_start - s->start_offset >= s->real_pushed.load())
+    return -1;
   if (avail < need) {
     if (!eof) return 0;
     // zero-pad the stream tail so the remaining real samples frame into
@@ -329,6 +354,34 @@ int iq_stream_next_block_i8(void* h, int8_t* out, int64_t* start_sample,
   int rc = iq_stream_next_block(h, buf, start_sample);
   if (rc == 1) quantize_i8(buf, out, total, scale);
   return rc;
+}
+
+// Planar int8 framer: one fused pass ring-f32 -> quantized planar I and Q
+// streams (each out_len >= left+block+right bytes, zero-padded past the
+// frame) — the exact layout the Pallas planar kernel DMAs, with no
+// interleaved intermediate on the Python side.
+int iq_stream_next_block_planar_i8(void* h, int8_t* out_i, int8_t* out_q,
+                                   uint64_t out_len, int64_t* start_sample,
+                                   float scale) {
+  auto* s = static_cast<Stream*>(h);
+  const uint64_t total = s->left + s->block + s->right;
+  if (out_len < total) return -2;
+  static thread_local float* buf = nullptr;
+  static thread_local uint64_t buf_n = 0;
+  if (buf_n < total) { delete[] buf; buf = new float[2 * total]; buf_n = total; }
+  int rc = iq_stream_next_block(h, buf, start_sample);
+  if (rc != 1) return rc;
+  for (uint64_t i = 0; i < total; ++i) {
+    float vi = buf[2 * i] * scale;
+    float vq = buf[2 * i + 1] * scale;
+    vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
+    vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
+    out_i[i] = static_cast<int8_t>(vi + (vi >= 0 ? 0.5f : -0.5f));
+    out_q[i] = static_cast<int8_t>(vq + (vq >= 0 ? 0.5f : -0.5f));
+  }
+  std::memset(out_i + total, 0, out_len - total);
+  std::memset(out_q + total, 0, out_len - total);
+  return 1;
 }
 
 uint64_t iq_stream_available(void* h) {
