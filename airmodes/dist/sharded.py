@@ -79,19 +79,29 @@ def _globalize(table: DetectionTable, block: int,
     return table._replace(index=new_index)
 
 
-def make_sharded_demod(mesh: Mesh, cfg: DspConfig):
+def make_sharded_demod(mesh: Mesh, cfg: DspConfig, *,
+                       ablate_halos: bool = False):
     """Build the jitted multi-device demod step.
 
     Returns fn(iq) where iq is a global float32 array of shape
     (n_channels, n_time_shards * block_size, 2) sharded
     P("channel", "time", None); output DetectionTable arrays have a leading
     (n_channels, n_time_shards) axis pair, indices global in the step.
+
+    ablate_halos=True replaces the ppermute halo exchange with local
+    zeros — identical compute shape, zero communication. MEASUREMENT
+    ONLY (frames straddling shard edges are lost): the with/without
+    step-time delta is the empirical halo-exchange cost backing
+    multihost.ici_scaling_model (VERDICT r2 #5).
     """
     left, right = cfg.left_halo, cfg.right_halo
 
     def shard_fn(iq_shard):
         # iq_shard: (C_loc, N_loc, 2) float32
-        padded = _exchange_halos(iq_shard, left, right)
+        if ablate_halos:
+            padded = jnp.pad(iq_shard, ((0, 0), (left, right), (0, 0)))
+        else:
+            padded = _exchange_halos(iq_shard, left, right)
         table = jax.vmap(lambda x: demod_block(x, cfg))(padded)
         table = _globalize(table, cfg.block_size)
         # keep a leading time axis of size 1 per shard for clean stacking

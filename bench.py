@@ -190,6 +190,56 @@ def bench_e2e(cfg, n_blocks: int = 32, seed: int = 1):
     return msps, ok
 
 
+def bench_podpipeline(cfg, n_blocks: int = 4, seed: int = 2):
+    """The production multi-chip streaming driver (dist.multihost
+    PodPipeline) timed on a 1x1 mesh over the SAME kind of capture —
+    measures the shard_map + stream-context + vmapped-pack wrapper cost
+    relative to the raw batched kernel (VERDICT r2 #4/weak 6)."""
+    from airmodes.dist.multihost import PodPipeline
+    from airmodes.testing import encoder
+
+    pipe = PodPipeline(cfg, n_channel=1, n_time=1)
+    total = n_blocks * cfg.block_size
+    frames = encoder.random_df17_frames(
+        max(int(total / cfg.channel_rate * 100.0), 8), seed=seed)
+    iq, truth = encoder.make_capture(
+        frames, rate=cfg.channel_rate, snr_db=15.0,
+        spacing=total // max(len(frames), 1), seed=seed,
+        total_samples=total)
+    peak = float(np.max(np.abs(iq))) or 1.0
+    pipe.gain = 120.0 / peak
+    chunk = cfg.block_size
+
+    def chunks():
+        for k in range(n_blocks):
+            yield iq[None, k * chunk: (k + 1) * chunk]
+
+    got = set()
+    for msgs in pipe.run_stream(chunks()):      # compile + warm pass
+        got |= {m.split()[1] for m in msgs}
+    want = {t.hex for t in truth}
+    ok = len(want - got) <= max(1, len(want) // 100)
+    t0 = time.time()
+    passes = 3
+    for _ in range(passes):
+        for msgs in pipe.run_stream(chunks()):
+            pass
+    msps = passes * total / (time.time() - t0) / 1e6
+    print(f"# podpipeline 1x1: {msps:.1f} Msps (planar={pipe.planar}), "
+          f"decoded {len(got & want)}/{len(want)}", file=sys.stderr)
+    return msps, ok
+
+
+# Implied VPU utilization of the detect-dominated planar kernel: the
+# kernel-ablation probes measured ~85 f32 VPU ops/sample on the critical
+# path (CLAUDE.md / scripts/tpu_kernel_ablate.py); the (8,128)-lane f32
+# VPU peak at ~940 MHz is ~0.96 Tops/s. Both are estimates — the field
+# exists so a silent throughput regression shows up as implausible
+# utilization, not to claim 2-digit precision.
+VPU_OPS_PER_SAMPLE = 85.0
+VPU_PEAK_F32 = 8 * 128 * 0.94e9
+
+
 def main():
     import jax
     try:
@@ -218,6 +268,10 @@ def main():
     # decoded that were never injected (noise or ECC minting a valid-CRC
     # frame from a marginal one) must stay under 1% of the injected count
     # — a false-positive regression fails the bench, not just a miss.
+    # Spurious counts are split by table status (VERDICT r2 #3): a
+    # clean-CRC spurious would be noise minting a valid frame (must be 0,
+    # pinned by tests/test_golden.py); corrected-status spurious is the
+    # brute-force ECC re-targeting a marginal frame's CRC (bounded).
     arr = arr0
     msgs = []
     for i in range(C):
@@ -228,6 +282,16 @@ def main():
     got = {m.split()[1] for m in msgs}
     missing = len(want - got)
     spurious = len(got - want)
+    status_name = {0: "crc_ok", 1: "corrected_1", 2: "corrected_2",
+                   3: "addr"}
+    spurious_by_status = {}
+    spurious_hexes = got - want
+    for m in msgs:
+        parts = m.split()
+        if parts[1] in spurious_hexes:
+            k = status_name.get(int(parts[3]), str(parts[3]))
+            spurious_by_status[k] = spurious_by_status.get(k, 0) + 1
+            spurious_hexes.discard(parts[1])   # count each hex once
 
     # streaming loop — H2D of each int8 batch + demod + packed D2H per call
     iters = 4
@@ -263,23 +327,36 @@ def main():
     # The dev relay charges ~24 ms fixed per fetch; C_dev=256 blocks per
     # dispatch (the capture tiled 16x — identical per-copy detections)
     # amortizes it below the ~115 ms of real compute per dispatch.
+    # MEDIAN of n_runs timed loops with the per-run spread reported
+    # (VERDICT r2 #1): the relay's per-fetch cost swings run to run,
+    # and a single pass cannot distinguish relay noise from a kernel
+    # regression (the r1->r2 22% "drop" was exactly that ambiguity).
     reps = 16
     di = jax.device_put(np.tile(xi, (reps, 1)))
     dq = jax.device_put(np.tile(xq, (reps, 1)))
     jax.block_until_ready((di, dq))
     np.asarray(step(di, dq, cfg))
-    # 2 dispatches in flight (swept best: deeper queues measured slower)
-    iters = 10
-    t0 = time.time()
-    inflight = []
-    for i in range(iters):
-        inflight.append(step(di, dq, cfg))
-        if len(inflight) > 1:
-            np.asarray(inflight.pop(0))
-    for o in inflight:
-        np.asarray(o)
-    dev_dt = time.time() - t0
-    dev_msps = iters * reps * C * cfg.block_size / dev_dt / 1e6
+
+    def timed_loop(iters=10):
+        # 2 dispatches in flight (swept best: deeper queues measured slower)
+        t0 = time.time()
+        inflight = []
+        for i in range(iters):
+            inflight.append(step(di, dq, cfg))
+            if len(inflight) > 1:
+                np.asarray(inflight.pop(0))
+        for o in inflight:
+            np.asarray(o)
+        return iters * reps * C * cfg.block_size / (time.time() - t0) / 1e6
+
+    n_runs = 5
+    dev_runs = sorted(timed_loop() for _ in range(n_runs))
+    dev_msps = dev_runs[n_runs // 2]          # median
+    vpu_util = dev_msps * 1e6 * VPU_OPS_PER_SAMPLE / VPU_PEAK_F32
+
+    # production streaming driver, 1x1 mesh (VERDICT r2 #4)
+    pod_msps, pod_ok = bench_podpipeline(
+        airmodes.DspConfig(block_size=1 << 22, max_detections=256))
 
     # product path end-to-end (modes_rx: disk -> ... -> parse -> SQLite)
     e2e_msps, e2e_ok = bench_e2e(cfg)
@@ -290,10 +367,16 @@ def main():
         "value": round(dev_msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(dev_msps / baseline_msps, 2),
+        "device_msps_runs": [round(r, 1) for r in dev_runs],
+        "device_msps_min": round(dev_runs[0], 1),
+        "device_msps_max": round(dev_runs[-1], 1),
+        "vpu_util_est": round(vpu_util, 3),
         "streaming_incl_relay_msps": round(stream_msps, 2),
+        "podpipeline_msps": round(pod_msps, 2),
         "kernel": kernel,
         "batch_blocks": reps * C,
         "spurious": spurious,
+        "spurious_by_status": spurious_by_status,
         "e2e_modes_rx_msps": round(e2e_msps, 2),
         "h2d_only_msps": round(h2d_msps, 2),
     }
@@ -301,10 +384,14 @@ def main():
     print(f"# backend={jax.default_backend()} kernel={kernel} "
           f"compile={compile_s:.1f}s block={cfg.block_size} C={C} "
           f"stream={stream_msps:.1f} Msps (wall {stream_dt:.2f}s) "
-          f"device={dev_msps:.0f} Msps decoded={len(got)}/{len(want)} "
-          f"missing={missing} spurious={spurious}", file=sys.stderr)
+          f"device={dev_msps:.0f} Msps (runs {dev_runs[0]:.0f}.."
+          f"{dev_runs[-1]:.0f}) decoded={len(got)}/{len(want)} "
+          f"missing={missing} spurious={spurious} "
+          f"by_status={spurious_by_status}", file=sys.stderr)
     ok = (missing <= max(1, len(want) // 1000)
-          and spurious <= max(1, len(want) // 100) and e2e_ok)
+          and spurious <= max(1, len(want) // 100)
+          and spurious_by_status.get("crc_ok", 0) == 0
+          and e2e_ok and pod_ok)
     return 0 if ok else 1
 
 
