@@ -214,11 +214,13 @@ class mlat_coordinator:
         Malformed messages are dropped (network input from remote
         receivers is untrusted; drop-and-continue)."""
         parts = message.split()
-        if len(parts) != 6 or station not in self.stations:
+        if len(parts) < 6 or station not in self.stations:
             return None
         try:
             hexframe, t = parts[1], float(parts[5])
             int(hexframe, 16)
+            if len(parts) > 6:   # ns extension: full counter precision
+                t = int(parts[6]) * 1e-9
         except ValueError:
             return None
         if not math.isfinite(t):

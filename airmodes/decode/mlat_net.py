@@ -276,6 +276,13 @@ class mlat_correlator:
         # hexframe -> {station_index: arrival_time}
         self._pending: Dict[str, Dict[int, float]] = {}
         self._icao_hint: Dict[str, int] = {}
+        # Internal arrival times are EPOCH-RELATIVE seconds against this
+        # whole-second anchor (set by the first message): absolute float64
+        # at unix magnitude quantizes to ~238 ns (~70 m of pseudorange),
+        # flooring TDOA accuracy. Messages carrying the int64-ns wire
+        # extension convert exactly ((ns - base) * 1e-9); plain float
+        # timestamps keep their wire quantization but stay consistent.
+        self._tbase_ns: Optional[int] = None
         self.sync = clock_sync(self.stations) if clock_sync_enabled else None
         self._refpos: Dict[str, Tuple[float, float, float]] = {}
         if clock_sync_enabled:
@@ -297,7 +304,18 @@ class mlat_correlator:
         """One wire message ("<df> <hex> ... <timestamp>") from a station;
         returns any solutions that became ready."""
         parts = message.split()
-        hexframe, t = parts[1], float(parts[5])
+        hexframe, t_abs = parts[1], float(parts[5])
+        ns = None
+        if len(parts) > 6:
+            try:
+                ns = int(parts[6])
+            except ValueError:
+                ns = None
+        if self._tbase_ns is None:
+            base = ns if ns is not None else int(t_abs) * 1_000_000_000
+            self._tbase_ns = base - base % 1_000_000_000
+        t = ((ns - self._tbase_ns) * 1e-9 if ns is not None
+             else t_abs - self._tbase_ns * 1e-9)
         # AP-overlaid DFs (0/4/5/16/20/21/24) carry the transmitter address
         # in the wire syndrome (status ADDR) — recover it so their TDOA
         # solutions are attributable, not anonymous
@@ -397,5 +415,7 @@ class mlat_correlator:
         df = data >> (nbits - 5)
         icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
             else self._icao_hint.pop(hexframe, None)
+        # report absolute time (internal times are tbase-relative)
+        t0_abs = t0 + (self._tbase_ns or 0) * 1e-9
         return [MlatSolution(hexframe, icao, lat, lon, alt_m,
-                             len(arr), t0)]
+                             len(arr), t0_abs)]

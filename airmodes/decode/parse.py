@@ -82,7 +82,9 @@ class parse:
 
     def parse(self, message: str) -> AircraftReport:
         parts = message.split()
-        if len(parts) != 6:
+        # >= 6: trailing fields (e.g. the int64-ns timestamp extension)
+        # are ignored by the parser but must not reject the message
+        if len(parts) < 6:
             raise ParserError(f"malformed slicer message: {message!r}")
         df = int(parts[0])
         hexframe = parts[1]

@@ -58,6 +58,14 @@ def table_to_messages(
 
     `table` fields may be numpy arrays or jax arrays (np.asarray-able).
     Detections with STATUS_FAIL are dropped here (drop-and-continue).
+
+    Wire format: "<df> <hex> <syndrome> <status> <ref_dbfs> <timestamp>
+    [<timestamp_ns>]". The trailing int64-nanosecond field is a
+    compatible extension (consumers ignore extra fields): the float
+    seconds field's ulp at unix-epoch magnitude is ~238 ns (~70 m of
+    TDOA pseudorange), which floors mlat accuracy; the ns field keeps
+    the sample clock's full precision (epoch*1e9 rounded once + the
+    sample offset scaled in integer ns).
     """
     index = np.asarray(table.index)
     status = np.asarray(table.status)
@@ -72,6 +80,7 @@ def table_to_messages(
         stats.overflow += int(np.asarray(table.n_overflow))
 
     msgs: List[str] = []
+    epoch_ns = int(round(epoch * 1e9))
     order = np.argsort(index, kind="stable")
     for k in order:
         if index[k] < 0:
@@ -88,9 +97,11 @@ def table_to_messages(
         # the low DF bits): normalize to 24 on the wire, the format the
         # parser dispatches on (ref: parse.py treats first-2-bits==3 as DF24)
         df_wire = min(int(df[k]), 24)
+        ns = epoch_ns + int(round(
+            (block_start_sample + int(index[k])) * 1e9 / rate))
         msgs.append(
             f"{df_wire} {frame:0{n // 4}x} {int(synd[k]) & 0xFFFFFF:06x} "
-            f"{int(status[k])} {ref_dbfs:.2f} {t:.9f}")
+            f"{int(status[k])} {ref_dbfs:.2f} {t:.9f} {ns}")
         if stats is not None:
             stats.emitted += 1
             if status[k] == STATUS_CRC_OK:

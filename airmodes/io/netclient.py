@@ -32,13 +32,19 @@ _BODY_LEN = {TYPE_SHORT: 6 + 1 + 7, TYPE_LONG: 6 + 1 + 14,
 
 
 def frame_to_wire(hexframe: str, ref_dbfs: float = 0.0,
-                  timestamp: Optional[float] = None) -> Optional[str]:
+                  timestamp: Optional[float] = None,
+                  timestamp_ns: Optional[int] = None) -> Optional[str]:
     """Validate a received Mode S frame and build the slicer wire string.
 
     Returns None for frames this framework cannot accept: wrong length,
     non-hex, unknown DF length mismatch, or a parity failure under the
     slicer's per-DF acceptance rule (we have no chip confidence for remote
     frames, so no brute-force correction is attempted).
+
+    timestamp_ns appends the int64-ns wire extension (and, if timestamp
+    is omitted, derives the float field from it): float64 seconds at
+    unix magnitude quantize to ~238 ns, so mlat-grade sources (GPS
+    counters, 12 MHz counters) pass the exact integer through.
     """
     hexframe = hexframe.lower()
     nbits = len(hexframe) * 4
@@ -64,9 +70,13 @@ def frame_to_wire(hexframe: str, ref_dbfs: float = 0.0,
         return None
     status = STATUS_ADDR if df in AP_ADDRESS_DFS else STATUS_CRC_OK
     if timestamp is None:
-        timestamp = time.time()
-    return (f"{df} {hexframe} {syndrome:06x} {status} "
+        timestamp = (timestamp_ns * 1e-9 if timestamp_ns is not None
+                     else time.time())
+    wire = (f"{df} {hexframe} {syndrome:06x} {status} "
             f"{ref_dbfs:.2f} {timestamp:.9f}")
+    if timestamp_ns is not None:
+        wire += f" {timestamp_ns}"
+    return wire
 
 
 class beast_parser:
@@ -168,22 +178,32 @@ def avr_to_hex(record: str) -> Optional[Tuple[str, Optional[int]]]:
     return None
 
 
-def gps_counter_to_utc(counter: int, host_now: float) -> float:
-    """Radarcape/GPS Beast timestamp -> absolute UTC seconds.
+_DAY_NS = 86400 * 1_000_000_000
+
+
+def gps_counter_to_utc_ns(counter: int, host_now: float) -> int:
+    """Radarcape/GPS Beast timestamp -> absolute UTC int64 nanoseconds.
 
     GPS-disciplined Beast receivers replace the free-running 12 MHz counter
     with [seconds-of-UTC-day:18][nanoseconds:30]. The day epoch comes from
     the host clock, corrected so the result lands within half a day of
     arrival (handles UTC-midnight rollover between emission and receipt).
+    Integer end to end: the counter's 1 ns resolution survives (a float64
+    at unix magnitude quantizes to ~238 ns).
     """
-    secs = (counter >> 30) + (counter & ((1 << 30) - 1)) * 1e-9
-    day_epoch = host_now - (host_now % 86400.0)
-    ts = day_epoch + secs
-    if ts - host_now > 43200.0:
-        ts -= 86400.0
-    elif host_now - ts > 43200.0:
-        ts += 86400.0
+    sod_ns = (counter >> 30) * 1_000_000_000 + (counter & ((1 << 30) - 1))
+    host_ns = int(host_now * 1e9)
+    ts = host_ns - host_ns % _DAY_NS + sod_ns
+    if ts - host_ns > _DAY_NS // 2:
+        ts -= _DAY_NS
+    elif host_ns - ts > _DAY_NS // 2:
+        ts += _DAY_NS
     return ts
+
+
+def gps_counter_to_utc(counter: int, host_now: float) -> float:
+    """Float-seconds view of gps_counter_to_utc_ns (display/legacy use)."""
+    return gps_counter_to_utc_ns(counter, host_now) * 1e-9
 
 
 class net_client:
@@ -233,6 +253,7 @@ class net_client:
               mlat: Optional[int]) -> None:
         dbfs = signal_dbfs(signal) if signal is not None else 0.0
         ts = None
+        ns = None
         if self.timestamps == "mlat":
             if mlat is None:
                 # counter-less record (plain AVR '*hex;'): a host receive
@@ -260,9 +281,14 @@ class net_client:
                 if self.on_reanchor is not None:
                     self.on_reanchor()
             ts = t0 + delta / MLAT_HZ
+            # ns extension: anchor rounded once + exact tick scaling keeps
+            # the counter's full 83.3 ns relative precision on the wire
+            ns = int(round(t0 * 1e9)) + (delta * 1000) // 12
         elif mlat is not None and self.timestamps == "gps":
-            ts = gps_counter_to_utc(mlat, time.time())
-        wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts)
+            ns = gps_counter_to_utc_ns(mlat, time.time())
+            ts = ns * 1e-9
+        wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts,
+                             timestamp_ns=ns)
         if wire is None:
             self.n_dropped += 1
             return

@@ -56,13 +56,24 @@ def gps_counter(timestamp: float) -> int:
     return (secs << 30) | ns
 
 
+def gps_counter_ns(timestamp_ns: int) -> int:
+    """Exact int64-ns UTC -> radarcape counter (no float round-trip: a
+    unix-magnitude float64 quantizes to ~238 ns, defeating the layout's
+    1 ns resolution)."""
+    sod_ns = timestamp_ns % (86400 * 1_000_000_000)
+    return ((sod_ns // 1_000_000_000) << 30) | (sod_ns % 1_000_000_000)
+
+
 def beast_encode(hexframe: str, ref_dbfs: float, timestamp: float,
-                 gps_time: bool = False) -> Optional[bytes]:
+                 gps_time: bool = False,
+                 timestamp_ns: Optional[int] = None) -> Optional[bytes]:
     """One Mode S frame -> escaped Beast wire bytes (None if not 56/112-bit).
 
     gps_time selects the radarcape GPS counter layout (absolute UTC,
     ~1 ns quantization) instead of the classic free-running 12 MHz counter
-    (~83 ns) — the format mlat across stations needs.
+    (~83 ns) — the format mlat across stations needs. timestamp_ns (when
+    the wire message carried the int64-ns extension) keeps the counter
+    exact instead of float-quantized.
     """
     try:
         payload = bytes.fromhex(hexframe)
@@ -74,8 +85,12 @@ def beast_encode(hexframe: str, ref_dbfs: float, timestamp: float,
         mtype = TYPE_LONG
     else:
         return None
-    mlat = (gps_counter(timestamp) if gps_time
-            else int(timestamp * MLAT_HZ)) & _MLAT_MASK
+    if timestamp_ns is not None:
+        mlat = (gps_counter_ns(timestamp_ns) if gps_time
+                else timestamp_ns * MLAT_HZ // 1_000_000_000) & _MLAT_MASK
+    else:
+        mlat = (gps_counter(timestamp) if gps_time
+                else int(timestamp * MLAT_HZ)) & _MLAT_MASK
     body = mlat.to_bytes(6, "big") + bytes([signal_byte(ref_dbfs)]) + payload
     return bytes([ESC, mtype]) + body.replace(b"\x1a", b"\x1a\x1a")
 
@@ -95,10 +110,16 @@ class output_beast:
 
     def output(self, msg: str) -> None:
         parts = msg.split()
-        if len(parts) != 6:
+        if len(parts) < 6:
             return
+        ns = None
+        if len(parts) > 6:
+            try:  # ns extension: the counter keeps the full precision
+                ns = int(parts[6])
+            except ValueError:
+                pass
         data = beast_encode(parts[1], float(parts[4]), float(parts[5]),
-                            gps_time=self.gps_time)
+                            gps_time=self.gps_time, timestamp_ns=ns)
         if data is not None:
             self._srv.broadcast(data)
 
