@@ -169,7 +169,7 @@ class PodPipeline:
 
     def run_stream(self, chunks: Iterable[np.ndarray], epoch: float = 0.0,
                    stats: Optional[host_mod.BlockStats] = None,
-                   ) -> Iterable[List[str]]:
+                   depth: int = 2) -> Iterable[List[str]]:
         """Drive a (n_channel, N) complex64 chunk iterator through steps.
 
         Steps are emitted once the FOLLOWING right_halo samples are also
@@ -179,7 +179,14 @@ class PodPipeline:
         exactly once (owned by the step containing its preamble start).
         A tail of any length drains step by step, zero-padded only past
         the true stream end. In planar mode chunks are quantized to int8
-        with self.gain before shipping."""
+        with self.gain before shipping.
+
+        `depth` steps stay in flight: step i+1's quantize + H2D dispatch
+        overlaps step i's device compute and table fetch (without this
+        the driver serializes dispatch -> fetch -> dispatch and pays the
+        full relay/DCN round trip per step — measured 2.3x slower on the
+        1x1 bench)."""
+        from collections import deque
         left, right = self.cfg.left_halo, self.cfg.right_halo
         S = self.samples_per_step
         pending = np.zeros((self.n_channel, 0), np.complex64)
@@ -193,22 +200,24 @@ class PodPipeline:
                         np.clip(np.round(x.imag * self.gain), -127, 127)
                         .astype(np.int8))
 
-            def run(step, start, l, r):
-                return self.run_step_planar(step[0], step[1], start,
-                                            epoch=epoch, stats=stats,
-                                            lctx=l, rctx=r, full_scale=fs)
+            def dispatch(step, l, r):
+                di, dq = sharded.shard_input_planar(step[0], step[1],
+                                                    self.mesh)
+                return self.step_fn(di, dq, l[0], l[1], r[0], r[1])
         else:
             def conv(x):
                 return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
 
-            def run(step, start, l, r):
-                return self.run_step(step, start, epoch=epoch, stats=stats,
-                                     lctx=l, rctx=r)
+            def dispatch(step, l, r):
+                return self.step_fn(
+                    sharded.shard_input(step, self.mesh), l, r)
 
+        full_scale = (self.gain / 127.0) if self.planar else 1.0
         carry_l = conv(np.zeros((self.n_channel, left), np.complex64))
         start = 0
         done = False
         chunks = iter(chunks)
+        inflight: deque = deque()
         while True:
             while not done and pending.shape[1] < S + right:
                 try:
@@ -222,12 +231,21 @@ class PodPipeline:
                 pad = np.zeros((self.n_channel, S + right - n_real),
                                np.complex64)
                 pending = np.concatenate([pending, pad], axis=1)
-            yield run(conv(pending[:, :S]), start,
-                      carry_l, conv(pending[:, S: S + right]))
+            inflight.append((dispatch(conv(pending[:, :S]), carry_l,
+                                      conv(pending[:, S: S + right])),
+                             start))
             carry_l = conv(pending[:, S - left: S])
             # keep only the REAL unconsumed tail (drop any EOF padding)
             pending = pending[:, S: max(n_real, S)]
             start += S
+            if len(inflight) >= max(depth, 1):
+                packed, st = inflight.popleft()
+                yield self._emit(packed, st, epoch, stats,
+                                 full_scale=full_scale)
+        while inflight:
+            packed, st = inflight.popleft()
+            yield self._emit(packed, st, epoch, stats,
+                             full_scale=full_scale)
 
 
 def ici_scaling_model(cfg: DspConfig, device_msps: float,

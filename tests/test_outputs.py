@@ -639,3 +639,32 @@ def test_output_http_quiet_gap_ages_and_prunes():
         assert doc["aircraft"] == []          # pruned during the gap
     finally:
         plug.close()
+
+
+def test_dashboard_icao_gate_blocks_phantom_ap_aircraft():
+    """An AP-overlaid frame (address = parity field, unverifiable) must
+    not mint a NEW aircraft unless its address was recently seen in a
+    CRC-validated frame; existing aircraft still take its updates."""
+    from airmodes.outputs.gui_model import dashboard
+    from airmodes.decode.parse import AircraftReport
+    d = dashboard(stale_s=60.0)
+    # phantom: DF4 with a never-validated address
+    assert d.update(AircraftReport(df=4, icao=0xBAD, timestamp=1.0,
+                                   ref_dbfs=-20.0, raw_hex="")) is None
+    assert 0xBAD not in d.aircraft and d.n_gated == 1
+    # validated address via DF17, then the DF4 update lands
+    d.update(AircraftReport(df=17, icao=0xABC, timestamp=2.0,
+                            ref_dbfs=-20.0, raw_hex=""))
+    st = d.update(AircraftReport(df=4, icao=0xABC, timestamp=3.0,
+                                 ref_dbfs=-20.0, raw_hex="",
+                                 altitude_ft=35000))
+    assert st is not None and d.aircraft[0xABC].altitude_ft == 35000
+    # DF11 all-call also validates (Mode S-only environments)
+    d.update(AircraftReport(df=11, icao=0xDEF, timestamp=4.0,
+                            ref_dbfs=-20.0, raw_hex=""))
+    assert d.update(AircraftReport(df=4, icao=0xDEF, timestamp=5.0,
+                                   ref_dbfs=-20.0, raw_hex="")) is not None
+    # gate off restores reference behavior
+    d2 = dashboard(icao_gate=False)
+    assert d2.update(AircraftReport(df=4, icao=0xBAD, timestamp=1.0,
+                                    ref_dbfs=-20.0, raw_hex="")) is not None
