@@ -293,6 +293,36 @@ def main():
             spurious_by_status[k] = spurious_by_status.get(k, 0) + 1
             spurious_hexes.discard(parts[1])   # count each hex once
 
+    # primary metric FIRST (before the relay-heavy streaming/h2d loops):
+    # r3 root-cause work (scripts/tpu_regress_probe.py, CLAUDE.md) showed
+    # the device figure carries a ±25% relay-session band — same-session
+    # kernel A/B measured HEAD >= r1 while bench contexts 40 min apart
+    # differed 6.8 vs 8.7 Gsps. Run it early to minimize accumulated
+    # session state; compare rounds only within that band.
+    reps = 16
+    di = jax.device_put(np.tile(xi, (reps, 1)))
+    dq = jax.device_put(np.tile(xq, (reps, 1)))
+    jax.block_until_ready((di, dq))
+    np.asarray(step(di, dq, cfg))
+
+    def timed_loop(iters=10):
+        # 2 dispatches in flight (swept best: deeper queues measured slower)
+        t0 = time.time()
+        inflight = []
+        for i in range(iters):
+            inflight.append(step(di, dq, cfg))
+            if len(inflight) > 1:
+                np.asarray(inflight.pop(0))
+        for o in inflight:
+            np.asarray(o)
+        return iters * reps * C * cfg.block_size / (time.time() - t0) / 1e6
+
+    n_runs = 5
+    dev_runs = sorted(timed_loop() for _ in range(n_runs))
+    dev_msps = dev_runs[n_runs // 2]          # median
+    vpu_util = dev_msps * 1e6 * VPU_OPS_PER_SAMPLE / VPU_PEAK_F32
+    del di, dq
+
     # streaming loop — H2D of each int8 batch + demod + packed D2H per call
     iters = 4
     t0 = time.time()
@@ -322,37 +352,6 @@ def main():
     for _ in range(4):
         np.asarray(touch(xi, xq))
     h2d_msps = 4 * C * cfg.block_size / (time.time() - t0) / 1e6
-
-    # primary metric: device-resident input, fetch-synced per call.
-    # The dev relay charges ~24 ms fixed per fetch; C_dev=256 blocks per
-    # dispatch (the capture tiled 16x — identical per-copy detections)
-    # amortizes it below the ~115 ms of real compute per dispatch.
-    # MEDIAN of n_runs timed loops with the per-run spread reported
-    # (VERDICT r2 #1): the relay's per-fetch cost swings run to run,
-    # and a single pass cannot distinguish relay noise from a kernel
-    # regression (the r1->r2 22% "drop" was exactly that ambiguity).
-    reps = 16
-    di = jax.device_put(np.tile(xi, (reps, 1)))
-    dq = jax.device_put(np.tile(xq, (reps, 1)))
-    jax.block_until_ready((di, dq))
-    np.asarray(step(di, dq, cfg))
-
-    def timed_loop(iters=10):
-        # 2 dispatches in flight (swept best: deeper queues measured slower)
-        t0 = time.time()
-        inflight = []
-        for i in range(iters):
-            inflight.append(step(di, dq, cfg))
-            if len(inflight) > 1:
-                np.asarray(inflight.pop(0))
-        for o in inflight:
-            np.asarray(o)
-        return iters * reps * C * cfg.block_size / (time.time() - t0) / 1e6
-
-    n_runs = 5
-    dev_runs = sorted(timed_loop() for _ in range(n_runs))
-    dev_msps = dev_runs[n_runs // 2]          # median
-    vpu_util = dev_msps * 1e6 * VPU_OPS_PER_SAMPLE / VPU_PEAK_F32
 
     # production streaming driver, 1x1 mesh (VERDICT r2 #4)
     pod_msps, pod_ok = bench_podpipeline(
