@@ -197,9 +197,12 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     t_stats = time.time()
     n_steps = 0
     samples_done = 0
-    # same native treatment as the single-channel path: all-file sources
-    # with --int8 run the C++ framer + planar kernel + threaded dispatch
+    # same native treatment as the single-channel path: all-file uc8
+    # sources with --int8 run the C++ framer + planar kernel + threaded
+    # dispatch (fixed-gain quantize is exact only for uc8 — see the
+    # single-channel path comment)
     if (not args.no_native and not needs_resample and args.int8
+            and args.file_format == "uc8"
             and all(s not in ("synthetic",) for s in srcs)
             and args.start_sample >= 0
             and native_stream.native_available()):
@@ -560,16 +563,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                  and args.source not in ("synthetic",)
                  and native_stream.native_available())
     msg_iter = None
-    if native_ok and args.int8:
-        kw = dict(cfg=cfg, epoch=epoch, stats=stats, batch=batch,
-                  depth=args.depth, max_blocks=args.max_blocks)
-        if args.source == "udp":
-            msg_iter = native_stream.run_native_pipelined(
-                udp_port=args.udp_port, **kw)
-        else:
-            msg_iter = native_stream.run_native_pipelined(
-                path=args.source, fmt=args.file_format,
-                start_sample=args.start_sample, **kw)
+    # The fused native planar path quantizes with a FIXED gain (int8 =
+    # f32 * 127), which is exact only when the source format defines
+    # full scale as 1.0 and uses it — true for uc8 (the samples were
+    # 8-bit on the wire). sc16/c64/UDP captures may use a fraction of
+    # their range, where the Python path's per-block AGC quantize
+    # preserves dynamic range a fixed gain would truncate — those take
+    # native f32 framing + run_pipelined instead.
+    if native_ok and args.int8 and args.file_format == "uc8" \
+            and args.source != "udp":
+        msg_iter = native_stream.run_native_pipelined(
+            path=args.source, fmt=args.file_format,
+            start_sample=args.start_sample, cfg=cfg, epoch=epoch,
+            stats=stats, batch=batch, depth=args.depth,
+            max_blocks=args.max_blocks)
     elif native_ok and args.source != "udp":
         # f32 precision requested: native framing only (producer thread),
         # device layout/transfer via the regular pipelined runner

@@ -322,3 +322,28 @@ def test_cli_native_start_sample_resume(capture, tmp_path):
                         "--batch", "2", "--start-sample", str(resume),
                         "--stats-interval", "0"])
     assert part and part <= full
+
+
+def test_cli_int8_quiet_c64_capture_uses_agc(tmp_path):
+    """A c64 capture using 2% of full scale with --int8 must still
+    decode: fixed-gain int8 quantize (the uc8 planar fast path) would
+    crush it to ~2 counts, so non-uc8 formats take the per-block-AGC
+    quantize path."""
+    frames = encoder.random_df17_frames(8, seed=93)
+    iq, truth = encoder.make_capture(frames, snr_db=22.0, spacing=7000,
+                                     seed=93, total_samples=1 << 16)
+    peak = float(np.max(np.abs(iq)))
+    iq = (iq / peak * 0.02).astype(np.complex64)    # quiet recording
+    path = str(tmp_path / "quiet.c64")
+    iq.tofile(path)
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["-s", path, "--block-size", "65536", "--int8",
+                   "--batch", "2", "--stats-interval", "0"])
+    assert rc == 0
+    got = set(re.findall(r"from ([0-9a-f]{6})", buf.getvalue()))
+    want = {f"{(t.frame >> 80) & 0xFFFFFF:06x}" for t in truth}
+    assert want <= got, want - got
