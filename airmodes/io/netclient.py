@@ -415,32 +415,36 @@ def replay_file(path: str, fmt: str = "auto",
         data = f.read()
     if fmt == "auto":
         fmt = "beast" if data[:1] == b"\x1a" else "avr"
-    t0: Optional[float] = None
+    t0_ns: Optional[int] = None
+    epoch_ns = int(round(epoch * 1e9))
 
-    def counter_s(mlat: int) -> float:
+    def counter_ns(mlat: int) -> int:
+        # integer end to end so the recording's counter precision (1 ns
+        # GPS / 83 ns classic) survives onto the wire's ns field
         if gps_time:
-            return (mlat >> 30) + (mlat & ((1 << 30) - 1)) * 1e-9
-        return mlat / MLAT_HZ
+            return (mlat >> 30) * 1_000_000_000 + (mlat & ((1 << 30) - 1))
+        return mlat * 1000 // 12              # 12 MHz ticks -> ns
 
-    def ts_of(mlat: Optional[int]) -> Tuple[float, float]:
-        nonlocal t0
+    def ts_of(mlat: Optional[int]) -> Tuple[float, float, Optional[int]]:
+        nonlocal t0_ns
         if mlat is None:
-            return epoch, 0.0
-        t = counter_s(mlat)
-        if t0 is None:
-            t0 = t
-        off = t - t0
-        if gps_time and off < -43200.0:
-            off += 86400.0              # recording crossed UTC midnight
-        return epoch + off, off
+            return epoch, 0.0, None
+        cns = counter_ns(mlat)
+        if t0_ns is None:
+            t0_ns = cns
+        off_ns = cns - t0_ns
+        if gps_time and off_ns < -43200 * 1_000_000_000:
+            off_ns += 86400 * 1_000_000_000  # crossed UTC midnight
+        ns = epoch_ns + off_ns
+        return ns * 1e-9, off_ns * 1e-9, ns
 
     if fmt == "beast":
         for mtype, mlat, sig, payload in beast_parser().push(data):
             if mtype not in (TYPE_SHORT, TYPE_LONG):
                 continue
-            ts, off = ts_of(mlat)
+            ts, off, ns = ts_of(mlat)
             w = frame_to_wire(payload.hex(), ref_dbfs=signal_dbfs(sig),
-                              timestamp=ts)
+                              timestamp=ts, timestamp_ns=ns)
             if w is not None:
                 yield w, off
     else:
@@ -448,8 +452,8 @@ def replay_file(path: str, fmt: str = "auto",
             got = avr_to_hex(rec.strip().decode("ascii", "replace"))
             if got is None:
                 continue
-            ts, off = ts_of(got[1])
-            w = frame_to_wire(got[0], timestamp=ts)
+            ts, off, ns = ts_of(got[1])
+            w = frame_to_wire(got[0], timestamp=ts, timestamp_ns=ns)
             if w is not None:
                 yield w, off
 

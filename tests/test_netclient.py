@@ -645,3 +645,40 @@ def test_frame_to_wire_fuzz_never_crashes():
         if w is not None:
             parts = w.split()
             assert len(parts) == 6 and parts[1] == s.lower()
+
+
+def test_ns_roundtrip_beast_gps_loop():
+    """Wire ns -> output_beast GPS counter -> parse -> replay wire: the
+    1 ns counter resolution survives the full record/replay loop (float64
+    wire seconds alone would quantize to ~238 ns)."""
+    from airmodes.outputs.beast import beast_encode, gps_counter_ns
+    from airmodes.io.netclient import beast_parser, replay_file
+    import tempfile, os
+    from airmodes.testing import encoder
+
+    frame = encoder.df17_frame(0xABC123, encoder.me_identification("NSRT"))
+    hexframe = f"{frame:028x}"
+    base_ns = 1_700_000_000_123_456_789
+    offs = [0, 437, 83_333, 1_000_000_007]        # ns offsets, sub-us apart
+    buf = b""
+    for o in offs:
+        buf += beast_encode(hexframe, -20.0, (base_ns + o) * 1e-9,
+                            gps_time=True, timestamp_ns=base_ns + o)
+    # counters decode back exactly
+    recs = list(beast_parser().push(buf))
+    assert len(recs) == len(offs)
+    for (mtype, mlat, sig, payload), o in zip(recs, offs):
+        assert mlat == gps_counter_ns(base_ns + o)
+    # replay regenerates wire messages whose ns field preserves spacing
+    with tempfile.NamedTemporaryFile(suffix=".beast", delete=False) as f:
+        f.write(buf)
+        path = f.name
+    try:
+        wires = [w for w, _ in replay_file(path, fmt="beast",
+                                           epoch=1000.0, gps_time=True)]
+    finally:
+        os.unlink(path)
+    ns_vals = [int(w.split()[6]) for w in wires]
+    spac = [b - a for a, b in zip(ns_vals, ns_vals[1:])]
+    want = [b - a for a, b in zip(offs, offs[1:])]
+    assert spac == want, (spac, want)
