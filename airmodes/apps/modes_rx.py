@@ -68,6 +68,12 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="quantize blocks to int8 on host (SDR-native "
                      "precision; enables the traffic-minimal planar TPU "
                      "kernel — 4x less host->device traffic)")
+    dsp.add_argument("--i8-scale", type=float, default=None, metavar="GAIN",
+                     help="fixed int8 quantize gain (int8 = f32 * GAIN) "
+                     "for the native planar fast path on non-uc8 sources "
+                     "whose full-scale use you know (e.g. 127 for a "
+                     "full-scale sc16 capture); default: uc8 uses 127, "
+                     "other formats fall back to per-block AGC")
     dsp.add_argument("--depth", type=int, default=2,
                      help="device calls kept in flight (H2D/compute/D2H "
                      "overlap) [2]")
@@ -570,13 +576,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     # their range, where the Python path's per-block AGC quantize
     # preserves dynamic range a fixed gain would truncate — those take
     # native f32 framing + run_pipelined instead.
-    if native_ok and args.int8 and args.file_format == "uc8" \
-            and args.source != "udp":
+    if native_ok and args.int8 and args.source != "udp" \
+            and (args.file_format == "uc8" or args.i8_scale):
         msg_iter = native_stream.run_native_pipelined(
             path=args.source, fmt=args.file_format,
             start_sample=args.start_sample, cfg=cfg, epoch=epoch,
             stats=stats, batch=batch, depth=args.depth,
-            max_blocks=args.max_blocks)
+            max_blocks=args.max_blocks,
+            scale=args.i8_scale or native_stream.I8_SCALE)
     elif native_ok and args.source != "udp":
         # f32 precision requested: native framing only (producer thread),
         # device layout/transfer via the regular pipelined runner

@@ -92,11 +92,10 @@ class _PlanarSource:
         else:
             self.stream.start_udp(udp_host, udp_port)
 
-    def next_row(self, out_i: np.ndarray, out_q: np.ndarray
-                 ) -> Optional[int]:
+    def next_row(self, out_i: np.ndarray, out_q: np.ndarray,
+                 scale: float = I8_SCALE) -> Optional[int]:
         """Fill one planar row pair; returns start sample or None at EOS."""
-        nxt = self.stream.next_block_planar_i8(out_i, out_q, scale=I8_SCALE)
-        return nxt
+        return self.stream.next_block_planar_i8(out_i, out_q, scale=scale)
 
     def close(self) -> None:
         self.stream.close()
@@ -116,6 +115,7 @@ def run_native_pipelined(
     batch: int = 8,
     depth: int = 2,
     max_blocks: Optional[int] = None,
+    scale: float = I8_SCALE,
 ) -> Iterator[List[str]]:
     """Drive a file/UDP capture through the native runtime + planar demod.
 
@@ -145,7 +145,7 @@ def run_native_pipelined(
                 xq = np.zeros((batch, P), np.int8)
                 starts: List[int] = []
                 for j in range(b):
-                    st = src.next_row(xi[j], xq[j])
+                    st = src.next_row(xi[j], xq[j], scale=scale)
                     if st is None:
                         break
                     starts.append(st)
@@ -177,7 +177,7 @@ def run_native_pipelined(
                 table = unpack_table(arr[j])
                 yield host_mod.table_to_messages(
                     table, start, cfg.channel_rate, epoch=epoch,
-                    stats=stats, full_scale=I8_SCALE / 127.0)
+                    stats=stats, full_scale=scale / 127.0)
     finally:
         stop.set()
         # unblock a dispatcher waiting on a full queue

@@ -347,3 +347,28 @@ def test_cli_int8_quiet_c64_capture_uses_agc(tmp_path):
     got = set(re.findall(r"from ([0-9a-f]{6})", buf.getvalue()))
     want = {f"{(t.frame >> 80) & 0xFFFFFF:06x}" for t in truth}
     assert want <= got, want - got
+
+
+def test_cli_i8_scale_enables_planar_for_sc16(capture, tmp_path):
+    """--i8-scale opts a non-uc8 format into the native fixed-gain planar
+    fast path when the caller knows the capture's full-scale use."""
+    path, truth, d = capture
+    iq = np.fromfile(path, np.complex64)
+    iq = iq / float(np.max(np.abs(iq))) * 0.9
+    s16 = np.empty(2 * len(iq), np.int16)
+    s16[0::2] = np.round(iq.real * 32767).astype(np.int16)
+    s16[1::2] = np.round(iq.imag * 32767).astype(np.int16)
+    spath = str(tmp_path / "cap.sc16")
+    s16.tofile(spath)
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["-s", spath, "--file-format", "sc16", "--int8",
+                   "--i8-scale", "127", "--block-size", "32768",
+                   "--batch", "2", "--stats-interval", "0"])
+    assert rc == 0
+    got = set(re.findall(r"from ([0-9a-f]{6})", buf.getvalue()))
+    want = {f"{(t.frame >> 80) & 0xFFFFFF:06x}" for t in truth}
+    assert want <= got, want - got
