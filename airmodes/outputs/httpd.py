@@ -258,6 +258,7 @@ class output_http:
                 "positions": self._n_positions,
                 "by_df": counts,
                 "unique_aircraft": len(self._seen_icaos),
+                "gated_phantoms": self._dash.n_gated,
                 "start": self._t_first,
                 "latest": self._t_latest,
             }
