@@ -142,7 +142,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         web.update_report(AircraftReport(
             df=0, icao=sol.icao, timestamp=sol.timestamp, ref_dbfs=0.0,
             raw_hex=sol.hexframe, lat=sol.lat, lon=sol.lon,
-            altitude_ft=round(sol.alt_m / 0.3048)))
+            altitude_ft=round(sol.alt_m / 0.3048)), trusted=True)
     sbs = None
     if args.sbs1 is not None:
         from ..outputs.tcpserver import broadcast_server

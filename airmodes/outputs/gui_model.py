@@ -65,16 +65,19 @@ class dashboard:
         self.n_gated = 0
         self._latest = 0.0          # newest wire timestamp seen
 
-    def update(self, rep: AircraftReport) -> Optional[AircraftState]:
+    def update(self, rep: AircraftReport,
+               trusted: bool = False) -> Optional[AircraftState]:
+        """trusted=True bypasses (and trains) the icao gate: the report's
+        address was verified by other means than a frame CRC — e.g. an
+        mlat solution, which required the same bits at >= 3 stations."""
         if rep.icao is None:
             return None
-        if rep.df in AP_ADDRESS_DFS:
-            if self.icao_gate and rep.icao not in self.aircraft \
-                    and rep.icao not in self._validated:
-                self.n_gated += 1
-                return None
-        else:
+        if trusted or rep.df not in AP_ADDRESS_DFS:
             self._validated[rep.icao] = rep.timestamp
+        elif self.icao_gate and rep.icao not in self.aircraft \
+                and rep.icao not in self._validated:
+            self.n_gated += 1
+            return None
         st = self.aircraft.setdefault(rep.icao, AircraftState(icao=rep.icao))
         st.last_seen = rep.timestamp
         self._latest = max(self._latest, rep.timestamp)

@@ -276,9 +276,11 @@ class output_http:
             return
         self.update_report(rep)
 
-    def update_report(self, rep) -> None:
+    def update_report(self, rep, trusted: bool = False) -> None:
         """Feed an already-built AircraftReport (e.g. an mlat solution
-        that never existed as a wire message)."""
+        that never existed as a wire message). trusted=True bypasses the
+        dashboard's AP-overlay icao gate (mlat solutions verified the
+        address by multi-station correlation, not a lone syndrome)."""
         with self._lock:
             self._n_messages += 1
             self._df_counts[str(rep.df)] = \
@@ -295,7 +297,7 @@ class output_http:
             if rep.bearing_deg is not None and rep.range_nm is not None:
                 self._azm.add(rep.bearing_deg, rep.range_nm,
                               rep.altitude_ft)
-        self._dash.update(rep)
+        self._dash.update(rep, trusted=trusted)
         now = rep.timestamp
         # re-serialize at most once per second of stream time; requests
         # only ever read the cached bytes

@@ -194,7 +194,16 @@ def bench_podpipeline(cfg, n_blocks: int = 4, seed: int = 2):
     """The production multi-chip streaming driver (dist.multihost
     PodPipeline) timed on a 1x1 mesh over the SAME kind of capture —
     measures the shard_map + stream-context + vmapped-pack wrapper cost
-    relative to the raw batched kernel (VERDICT r2 #4/weak 6)."""
+    relative to the raw batched kernel (VERDICT r2 #4/weak 6).
+
+    Known gap on the dev relay (r3: 11.5 vs 22.5 Msps streaming): each
+    whole-pod step costs ~6 relay RPCs (2 planar H2Ds, 4 tiny ctx
+    transfers, dispatch, fetch) at ~6-50 ms fixed each, which the
+    batch-16 streaming loop amortizes 16x. run_stream pipelines `depth`
+    steps, but the relay serializes RPCs, so the fixed costs add.
+    PCIe-attached pod hosts pay ~us per call here, not ms — on-pod the
+    wrapper cost is the shard_map program itself, which this figure
+    bounds from above."""
     from airmodes.dist.multihost import PodPipeline
     from airmodes.testing import encoder
 
