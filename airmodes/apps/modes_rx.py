@@ -70,10 +70,11 @@ def build_argparser() -> argparse.ArgumentParser:
                      "kernel — 4x less host->device traffic)")
     dsp.add_argument("--i8-scale", type=float, default=None, metavar="GAIN",
                      help="fixed int8 quantize gain (int8 = f32 * GAIN) "
-                     "for the native planar fast path on non-uc8 sources "
-                     "whose full-scale use you know (e.g. 127 for a "
-                     "full-scale sc16 capture); default: uc8 uses 127, "
-                     "other formats fall back to per-block AGC")
+                     "replacing the default per-block AGC (gain = "
+                     "120/peak) on the --int8 path; use when the "
+                     "capture's full-scale use is known (e.g. 127 for a "
+                     "full-scale uc8/sc16 recording — skips the peak "
+                     "scan and keeps dBFS absolute)")
     dsp.add_argument("--depth", type=int, default=2,
                      help="device calls kept in flight (H2D/compute/D2H "
                      "overlap) [2]")
@@ -203,19 +204,17 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     t_stats = time.time()
     n_steps = 0
     samples_done = 0
-    # same native treatment as the single-channel path: all-file uc8
-    # sources with --int8 run the C++ framer + planar kernel + threaded
-    # dispatch (fixed-gain quantize is exact only for uc8 — see the
-    # single-channel path comment)
+    # same native treatment as the single-channel path: all-file sources
+    # with --int8 run the C++ framer (per-block AGC quantize, Python
+    # semantics) + planar kernel + threaded dispatch
     if (not args.no_native and not needs_resample and args.int8
-            and args.file_format == "uc8"
             and all(s not in ("synthetic",) for s in srcs)
             and args.start_sample >= 0
             and native_stream.native_available()):
         step_iter = native_stream.run_native_channels(
             list(srcs), cfg, fmt=args.file_format,
             start_sample=args.start_sample, epoch=epoch, stats=stats,
-            max_blocks=args.max_blocks)
+            max_blocks=args.max_blocks, scale=args.i8_scale)
     else:
         step_iter = run_channels(chans, cfg, epoch=epoch, stats=stats,
                                  quantize_i8=args.int8)
@@ -569,21 +568,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                  and args.source not in ("synthetic",)
                  and native_stream.native_available())
     msg_iter = None
-    # The fused native planar path quantizes with a FIXED gain (int8 =
-    # f32 * 127), which is exact only when the source format defines
-    # full scale as 1.0 and uses it — true for uc8 (the samples were
-    # 8-bit on the wire). sc16/c64/UDP captures may use a fraction of
-    # their range, where the Python path's per-block AGC quantize
-    # preserves dynamic range a fixed gain would truncate — those take
-    # native f32 framing + run_pipelined instead.
-    if native_ok and args.int8 and args.source != "udp" \
-            and (args.file_format == "uc8" or args.i8_scale):
-        msg_iter = native_stream.run_native_pipelined(
-            path=args.source, fmt=args.file_format,
-            start_sample=args.start_sample, cfg=cfg, epoch=epoch,
-            stats=stats, batch=batch, depth=args.depth,
-            max_blocks=args.max_blocks,
-            scale=args.i8_scale or native_stream.I8_SCALE)
+    # The fused native planar path quantizes per block in C++ with the
+    # same AGC the Python path applies (gain = 120/peak over the framed
+    # block), so any format keeps its dynamic range; --i8-scale replaces
+    # the AGC with a fixed gain for captures whose full-scale use the
+    # operator knows (skips the peak scan).
+    if native_ok and args.int8:
+        kw = dict(cfg=cfg, epoch=epoch, stats=stats, batch=batch,
+                  depth=args.depth, max_blocks=args.max_blocks,
+                  scale=args.i8_scale)
+        if args.source == "udp":
+            msg_iter = native_stream.run_native_pipelined(
+                udp_port=args.udp_port, **kw)
+        else:
+            msg_iter = native_stream.run_native_pipelined(
+                path=args.source, fmt=args.file_format,
+                start_sample=args.start_sample, **kw)
     elif native_ok and args.source != "udp":
         # f32 precision requested: native framing only (producer thread),
         # device layout/transfer via the regular pipelined runner

@@ -33,9 +33,11 @@ from ..dsp import host as host_mod
 from ..dsp.pipeline import unpack_table
 from .stream import _pallas_ok
 
-# quantize gain: int8 = round(f32 * 127); the kernels rescale by 1/127, so
-# full_scale = 127/127 = 1.0 — dBFS stays referenced to f32 full scale
-# (uc8/sc16 wire formats define full scale = 1.0 by construction).
+# Fixed-gain quantize: int8 = round(f32 * 127); the kernels rescale by
+# 1/127, so full_scale = 127/127 = 1.0 — dBFS stays referenced to f32
+# full scale. The DEFAULT path (scale=None) instead applies per-block
+# AGC in C++ (gain = 120/peak over the framed block — the same rule the
+# Python path's quantize_i8 uses), carrying gain/127 as full_scale.
 I8_SCALE = 127.0
 
 
@@ -93,9 +95,23 @@ class _PlanarSource:
             self.stream.start_udp(udp_host, udp_port)
 
     def next_row(self, out_i: np.ndarray, out_q: np.ndarray,
-                 scale: float = I8_SCALE) -> Optional[int]:
-        """Fill one planar row pair; returns start sample or None at EOS."""
-        return self.stream.next_block_planar_i8(out_i, out_q, scale=scale)
+                 scale: Optional[float] = I8_SCALE
+                 ) -> Optional[tuple]:
+        """Fill one planar row pair; returns (start_sample, full_scale)
+        or None at end of stream. scale=None selects per-block AGC
+        (gain = 120/peak — the Python quantize_i8 semantics); a float
+        fixes the gain (full_scale = scale/127)."""
+        if scale is None:
+            nxt = self.stream.next_block_planar_agc(out_i, out_q,
+                                                    target=120.0)
+            if nxt is None:
+                return None
+            start, gain = nxt
+            return start, gain / 127.0
+        nxt = self.stream.next_block_planar_i8(out_i, out_q, scale=scale)
+        if nxt is None:
+            return None
+        return nxt, scale / 127.0
 
     def close(self) -> None:
         self.stream.close()
@@ -115,7 +131,7 @@ def run_native_pipelined(
     batch: int = 8,
     depth: int = 2,
     max_blocks: Optional[int] = None,
-    scale: float = I8_SCALE,
+    scale: Optional[float] = None,
 ) -> Iterator[List[str]]:
     """Drive a file/UDP capture through the native runtime + planar demod.
 
@@ -143,18 +159,18 @@ def run_native_pipelined(
                     b = min(b, max_blocks - n_done)
                 xi = np.zeros((batch, P), np.int8)
                 xq = np.zeros((batch, P), np.int8)
-                starts: List[int] = []
+                rows: List[tuple] = []     # (start_sample, full_scale)
                 for j in range(b):
                     st = src.next_row(xi[j], xq[j], scale=scale)
                     if st is None:
                         break
-                    starts.append(st)
-                if not starts:
+                    rows.append(st)
+                if not rows:
                     break
                 # padding rows stay zero (silence): no detections, cheap
-                out_q.put((step(xi, xq), starts))
-                n_done += len(starts)
-                if len(starts) < b:
+                out_q.put((step(xi, xq), rows))
+                n_done += len(rows)
+                if len(rows) < b:
                     break
         except BaseException as e:  # surface in the consumer
             out_q.put(e)
@@ -171,13 +187,13 @@ def run_native_pipelined(
                 break
             if isinstance(item, BaseException):
                 raise item
-            packed, starts = item
+            packed, rows = item
             arr = np.asarray(packed)
-            for j, start in enumerate(starts):
+            for j, (start, fs) in enumerate(rows):
                 table = unpack_table(arr[j])
                 yield host_mod.table_to_messages(
                     table, start, cfg.channel_rate, epoch=epoch,
-                    stats=stats, full_scale=scale / 127.0)
+                    stats=stats, full_scale=fs)
     finally:
         stop.set()
         # unblock a dispatcher waiting on a full queue
@@ -200,6 +216,7 @@ def run_native_channels(
     stats: Optional[host_mod.BlockStats] = None,
     depth: int = 2,
     max_blocks: Optional[int] = None,
+    scale: Optional[float] = None,
 ) -> Iterator[List[List[str]]]:
     """Native multi-channel loop: C file captures, one batched device call
     per time step down the channel axis (mirrors io.stream.run_channels
@@ -223,21 +240,22 @@ def run_native_channels(
                 xi = np.zeros((C, P), np.int8)
                 xq = np.zeros((C, P), np.int8)
                 starts = [0] * C
+                scales = [1.0] * C
                 live = [False] * C
                 for c in range(C):
                     if ended[c]:
                         continue
-                    st = srcs[c].next_row(xi[c], xq[c])
+                    st = srcs[c].next_row(xi[c], xq[c], scale=scale)
                     if st is None:
                         ended[c] = True
                         xi[c] = 0
                         xq[c] = 0
                     else:
-                        starts[c] = st
+                        starts[c], scales[c] = st
                         live[c] = True
                 if not any(live):
                     break
-                out_q.put((step(xi, xq), starts, live))
+                out_q.put((step(xi, xq), starts, scales, live))
                 n_steps += 1
         except BaseException as e:
             out_q.put(e)
@@ -254,7 +272,7 @@ def run_native_channels(
                 break
             if isinstance(item, BaseException):
                 raise item
-            packed, starts, live = item
+            packed, starts, scales, live = item
             arr = np.asarray(packed)
             out: List[List[str]] = []
             for c in range(C):
@@ -264,7 +282,7 @@ def run_native_channels(
                 table = unpack_table(arr[c])
                 out.append(host_mod.table_to_messages(
                     table, starts[c], cfg.channel_rate, epoch=epoch,
-                    stats=stats, full_scale=I8_SCALE / 127.0))
+                    stats=stats, full_scale=scales[c]))
             yield out
     finally:
         stop.set()

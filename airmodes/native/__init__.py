@@ -82,6 +82,10 @@ def load() -> ctypes.CDLL:
         lib.iq_stream_next_block_planar_i8.argtypes = [
             vp, ctypes.c_void_p, ctypes.c_void_p, u64,
             ctypes.POINTER(i64), f32]
+        lib.iq_stream_next_block_planar_agc.restype = ip
+        lib.iq_stream_next_block_planar_agc.argtypes = [
+            vp, ctypes.c_void_p, ctypes.c_void_p, u64,
+            ctypes.POINTER(i64), f32, ctypes.POINTER(f32)]
         lib.iq_stream_available.restype = u64
         lib.iq_stream_available.argtypes = [vp]
         _lib = lib
@@ -211,6 +215,31 @@ class IQStream:
                 ctypes.byref(start), float(scale))
             if rc == 1:
                 return int(start.value)
+            if rc == -1:
+                return None
+            if rc == -2:
+                raise ValueError(
+                    f"planar row too short: {out_i.size} < {self.total}")
+            _t.sleep(0.001)
+
+    def next_block_planar_agc(self, out_i: np.ndarray, out_q: np.ndarray,
+                              target: float = 120.0
+                              ) -> Optional[Tuple[int, float]]:
+        """Planar int8 framing with per-block AGC (gain = target/peak over
+        the framed block, Python quantize_i8 semantics); returns
+        (start_sample, gain) or None at end of stream."""
+        import time as _t
+        assert out_i.dtype == np.int8 and out_q.dtype == np.int8
+        assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
+        start = ctypes.c_int64(0)
+        gain = ctypes.c_float(1.0)
+        while True:
+            rc = self._lib.iq_stream_next_block_planar_agc(
+                self._h, out_i.ctypes.data_as(ctypes.c_void_p),
+                out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
+                ctypes.byref(start), float(target), ctypes.byref(gain))
+            if rc == 1:
+                return int(start.value), float(gain.value)
             if rc == -1:
                 return None
             if rc == -2:

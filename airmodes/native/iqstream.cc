@@ -384,6 +384,41 @@ int iq_stream_next_block_planar_i8(void* h, int8_t* out_i, int8_t* out_q,
   return 1;
 }
 
+// AGC variant: per-block gain = target / peak over the FRAMED block
+// (halos included), matching the Python path's quantize_i8 semantics
+// bit for bit (gain written to *gain_out; full_scale = gain / 127).
+int iq_stream_next_block_planar_agc(void* h, int8_t* out_i, int8_t* out_q,
+                                    uint64_t out_len, int64_t* start_sample,
+                                    float target, float* gain_out) {
+  auto* s = static_cast<Stream*>(h);
+  const uint64_t total = s->left + s->block + s->right;
+  if (out_len < total) return -2;
+  static thread_local float* buf = nullptr;
+  static thread_local uint64_t buf_n = 0;
+  if (buf_n < total) { delete[] buf; buf = new float[2 * total]; buf_n = total; }
+  int rc = iq_stream_next_block(h, buf, start_sample);
+  if (rc != 1) return rc;
+  float peak = 0.f;
+  for (uint64_t i = 0; i < 2 * total; ++i) {
+    float a = buf[i] < 0 ? -buf[i] : buf[i];
+    if (a > peak) peak = a;
+  }
+  if (peak == 0.f) peak = 1.f;
+  const float g = target / peak;
+  for (uint64_t i = 0; i < total; ++i) {
+    float vi = buf[2 * i] * g;
+    float vq = buf[2 * i + 1] * g;
+    vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
+    vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
+    out_i[i] = static_cast<int8_t>(vi + (vi >= 0 ? 0.5f : -0.5f));
+    out_q[i] = static_cast<int8_t>(vq + (vq >= 0 ? 0.5f : -0.5f));
+  }
+  std::memset(out_i + total, 0, out_len - total);
+  std::memset(out_q + total, 0, out_len - total);
+  *gain_out = g;
+  return 1;
+}
+
 uint64_t iq_stream_available(void* h) {
   return ring_avail(static_cast<Stream*>(h)->ring);
 }

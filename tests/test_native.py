@@ -245,3 +245,39 @@ def test_run_native_channels_multi(tmp_path):
             per_chan[c] |= {m.split()[1] for m in msgs}
     assert wants[0] <= per_chan[0], f"ch0 missing {wants[0] - per_chan[0]}"
     assert wants[1] <= per_chan[1], f"ch1 missing {wants[1] - per_chan[1]}"
+
+
+def test_planar_agc_matches_python_quantize():
+    """Native per-block AGC planar framing == python framer ->
+    quantize_i8 (gain = 120/peak over the framed block), including the
+    reported gain."""
+    from airmodes.dsp.pipeline import iq_to_device_layout
+    iq = c64(2 * CFG.block_size + 321, seed=10) * 0.037   # quiet capture
+    T = CFG.left_halo + CFG.block_size + CFG.right_halo
+    P = -(-T // 128) * 128
+    st = native.IQStream(CFG)
+    st.push(iq)
+    st.set_eof()
+    got = []
+    while True:
+        xi = np.empty(P, np.int8)
+        xq = np.empty(P, np.int8)
+        nxt = st.next_block_planar_agc(xi, xq, target=120.0)
+        if nxt is None:
+            break
+        got.append((xi, xq) + nxt)
+    st.close()
+    ref = list(sources.frame_blocks(iq, CFG))
+    assert len(got) == len(ref)
+    for (xi, xq, s, gain), (b, s2) in zip(got, ref):
+        assert s == s2
+        f = iq_to_device_layout(b)
+        peak = float(np.max(np.abs(f))) or 1.0
+        g = 120.0 / peak
+        assert gain == pytest.approx(g, rel=1e-6)
+        np.testing.assert_array_equal(
+            xi[:T], np.clip(np.round(f[:, 0] * np.float32(gain)), -127, 127
+                            ).astype(np.int8))
+        np.testing.assert_array_equal(
+            xq[:T], np.clip(np.round(f[:, 1] * np.float32(gain)), -127, 127
+                            ).astype(np.int8))
