@@ -196,14 +196,24 @@ def run_native_pipelined(
                     stats=stats, full_scale=fs)
     finally:
         stop.set()
-        # unblock a dispatcher waiting on a full queue
-        while True:
-            try:
-                out_q.get_nowait()
-            except queue.Empty:
-                break
-        th.join(timeout=10.0)
+        _drain_until_dead(out_q, th)
         src.close()
+
+
+def _drain_until_dead(out_q: queue.Queue, th: threading.Thread,
+                      deadline_s: float = 10.0) -> None:
+    """Unblock a dispatcher stuck in a full-queue put (including the
+    sentinel put in its finally) by draining REPEATEDLY while joining —
+    one drain is not enough: the unblocked put refills the bounded
+    queue before the thread reaches its stop check."""
+    import time as _t
+    deadline = _t.time() + deadline_s
+    while th.is_alive() and _t.time() < deadline:
+        try:
+            out_q.get_nowait()
+        except queue.Empty:
+            pass
+        th.join(timeout=0.05)
 
 
 def run_native_channels(
@@ -286,11 +296,6 @@ def run_native_channels(
             yield out
     finally:
         stop.set()
-        while True:
-            try:
-                out_q.get_nowait()
-            except queue.Empty:
-                break
-        th.join(timeout=10.0)
+        _drain_until_dead(out_q, th)
         for s in srcs:
             s.close()

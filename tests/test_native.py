@@ -281,3 +281,31 @@ def test_planar_agc_matches_python_quantize():
         np.testing.assert_array_equal(
             xq[:T], np.clip(np.round(f[:, 1] * np.float32(gain)), -127, 127
                             ).astype(np.int8))
+
+
+def test_run_native_pipelined_early_close_cleans_up(tmp_path):
+    """Breaking out of the generator (consumer stops early) must stop the
+    dispatch thread and release the native stream, not deadlock on the
+    bounded queue."""
+    import threading
+    import airmodes
+    from airmodes.io.native_stream import run_native_pipelined
+    from airmodes.testing import encoder
+    cfg = airmodes.DspConfig(block_size=1 << 16, max_detections=32)
+    frames = encoder.random_df17_frames(6, seed=12)
+    iq, _ = encoder.make_capture(frames, snr_db=20.0, spacing=9000,
+                                 seed=12, total_samples=8 * cfg.block_size)
+    path = str(tmp_path / "c.c64")
+    (iq * 0.5).astype(np.complex64).tofile(path)
+    before = {t.name for t in threading.enumerate()}
+    gen = run_native_pipelined(cfg, path=path, batch=1, depth=1)
+    next(gen)                       # one block only
+    gen.close()                     # GeneratorExit -> finally cleanup
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        alive = {t.name for t in threading.enumerate()} - before
+        if not any(n.startswith("airmodes-dispatch") for n in alive):
+            break
+        time.sleep(0.05)
+    alive = {t.name for t in threading.enumerate()} - before
+    assert not any(n.startswith("airmodes-dispatch") for n in alive), alive
