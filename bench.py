@@ -281,6 +281,12 @@ def main():
     # clean-CRC spurious would be noise minting a valid frame (must be 0,
     # pinned by tests/test_golden.py); corrected-status spurious is the
     # brute-force ECC re-targeting a marginal frame's CRC (bounded).
+    # DECISION (r3): measured provenance is 21/21 status=addr —
+    # AP-overlaid DFs minted from corrupted marginal DF17s, unverifiable
+    # by construction (reference emits them identically); corrected_1/2
+    # spurious measured ZERO, so no stricter pair-flip acceptance is
+    # warranted. Display-layer mitigation: the dashboard's icao gate
+    # (outputs/gui_model.py) blocks these phantoms from the UI.
     arr = arr0
     msgs = []
     for i in range(C):
