@@ -144,11 +144,17 @@ def run_native_pipelined(
     src = _PlanarSource(cfg, P, path=path, fmt=fmt, udp_host=udp_host,
                         udp_port=udp_port, start_sample=start_sample,
                         throttle_sps=throttle_sps)
+    feed_q: queue.Queue = queue.Queue(maxsize=2)
     out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
     _SENTINEL = object()
 
-    def dispatcher() -> None:
+    def feeder() -> None:
+        # The framing + AGC scan + quantize + planar split (the C++
+        # converter) runs HERE, overlapped with both the dispatcher's
+        # device calls and the consumer's decode — on the dispatch
+        # thread it serialized ~30-50 ms/block of host passes against
+        # the device (measured as an e2e drop when AGC landed).
         try:
             n_done = 0
             while not stop.is_set():
@@ -167,18 +173,36 @@ def run_native_pipelined(
                     rows.append(st)
                 if not rows:
                     break
-                # padding rows stay zero (silence): no detections, cheap
-                out_q.put((step(xi, xq), rows))
+                feed_q.put((xi, xq, rows))
                 n_done += len(rows)
                 if len(rows) < b:
                     break
+        except BaseException as e:
+            feed_q.put(e)
+        finally:
+            feed_q.put(_SENTINEL)
+
+    def dispatcher() -> None:
+        try:
+            while not stop.is_set():
+                item = feed_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                xi, xq, rows = item
+                # padding rows stay zero (silence): no detections, cheap
+                out_q.put((step(xi, xq), rows))
         except BaseException as e:  # surface in the consumer
             out_q.put(e)
         finally:
             out_q.put(_SENTINEL)
 
+    fth = threading.Thread(target=feeder, daemon=True,
+                           name="airmodes-feeder")
     th = threading.Thread(target=dispatcher, daemon=True,
                           name="airmodes-dispatch")
+    fth.start()
     th.start()
     try:
         while True:
@@ -196,6 +220,11 @@ def run_native_pipelined(
                     stats=stats, full_scale=fs)
     finally:
         stop.set()
+        _drain_until_dead(feed_q, fth)
+        try:  # wake a dispatcher whose sentinel was consumed by the drain
+            feed_q.put_nowait(_SENTINEL)
+        except queue.Full:
+            pass
         _drain_until_dead(out_q, th)
         src.close()
 
