@@ -332,6 +332,10 @@ def main():
             np.asarray(o)
         return iters * reps * C * cfg.block_size / (time.time() - t0) / 1e6
 
+    timed_loop(iters=2)   # discard: the first loop after compile still
+    # ramps relay/session state (try3 measured its run 0 at 6.0 vs the
+    # 8.8-9.0 steady state) — the median tolerates it, but warming keeps
+    # the spread describing steady state
     n_runs = 5
     dev_runs = sorted(timed_loop() for _ in range(n_runs))
     dev_msps = dev_runs[n_runs // 2]          # median
