@@ -585,3 +585,28 @@ def test_ns_extension_breaks_float64_floor():
             AIRCRAFT = old
     assert max(errs_n) < 50.0, errs_n
     assert max(errs_f) > max(errs_n), (errs_f, errs_n)
+
+
+def test_ns_and_float_stations_mix_consistently():
+    """A network where only some stations emit the ns extension must
+    still group and solve — ns and float arrivals share one epoch-
+    relative timebase (accuracy degrades only to the float stations'
+    quantization, not to garbage)."""
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("MIX1"))
+    unix_ns = 1_700_000_000_000_000_000
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    ts = _arrivals(AIRCRAFT, STATIONS, 0.0)
+    for i in range(4):
+        ns = unix_ns + int(round(ts[i] * 1e9))
+        wire = f"17 {frame:028x} 000000 0 -20.0 {ns * 1e-9:.9f}"
+        if i % 2 == 0:
+            wire += f" {ns}"        # stations 0/2 ns-grade, 1/3 float
+        corr.feed(i, wire)
+    (sol,) = corr.flush(now=1e9, force=True)
+    assert sol.n_stations == 4
+    dlat = (sol.lat - AIRCRAFT[0]) * 111_320.0
+    dlon = (sol.lon - AIRCRAFT[1]) * 111_320.0 * np.cos(
+        np.radians(AIRCRAFT[0]))
+    err = float(np.hypot(dlat, dlon))
+    assert err < 500.0, err        # float-station quantization bounds it
+    assert abs(sol.timestamp - unix_ns * 1e-9) < 1.0
