@@ -372,3 +372,100 @@ def test_cli_i8_scale_enables_planar_for_sc16(capture, tmp_path):
     got = set(re.findall(r"from ([0-9a-f]{6})", buf.getvalue()))
     want = {f"{(t.frame >> 80) & 0xFFFFFF:06x}" for t in truth}
     assert want <= got, want - got
+
+
+def test_cli_all_plugins_soak(tmp_path):
+    """Every output surface live at once on the native product path:
+    SBS-1 + raw + Beast TCP servers with connected clients, SQLite, KML,
+    aircraft.json, web server, wx feed, stats NDJSON — one run, clean
+    shutdown, consistent outputs."""
+    import json as _json
+    import socket as socketlib
+    import time as _time
+    import urllib.request
+
+    frames = encoder.random_df17_frames(10, seed=97)
+    iq, truth = encoder.make_capture(frames, snr_db=20.0, spacing=8000,
+                                     seed=97, total_samples=4 << 16)
+    x = iq / float(np.max(np.abs(iq))) * 0.9
+    u = np.empty(2 * len(x), np.uint8)
+    u[0::2] = np.round(x.real * 127.5 + 127.5).astype(np.uint8)
+    u[1::2] = np.round(x.imag * 127.5 + 127.5).astype(np.uint8)
+    cap = str(tmp_path / "soak.uc8")
+    u.tofile(cap)
+    db = str(tmp_path / "soak.db")
+    kml = str(tmp_path / "soak.kml")
+    jsn = str(tmp_path / "soak.json")
+    wx = str(tmp_path / "soak.wx")
+    sj = str(tmp_path / "soak.stats")
+
+    def free_port():
+        s = socketlib.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    sbs_p, raw_p, beast_p, http_p = (free_port() for _ in range(4))
+    received = {"sbs": b"", "raw": b"", "beast": b"", "http": None}
+    done = threading.Event()
+
+    def run():
+        try:
+            main(["-s", cap, "--file-format", "uc8", "--int8",
+                  "--block-size", "65536", "--batch", "2", "-n",
+                  "-P", str(sbs_p), "-w", str(raw_p), "-B", str(beast_p),
+                  "--http", str(http_p), "-d", db, "-K", kml, "-j", jsn,
+                  "--wx", wx, "--stats-json", sj, "-l", "47.0,8.0",
+                  "--throttle", "--stats-interval", "0"])
+        finally:
+            done.set()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    # connect clients while the (throttled ~2 s) run is live
+    clients = {}
+    deadline = _time.time() + 10
+    for name, port in (("sbs", sbs_p), ("raw", raw_p), ("beast", beast_p)):
+        while _time.time() < deadline:
+            try:
+                c = socketlib.create_connection(("127.0.0.1", port),
+                                                timeout=1)
+                c.settimeout(3)
+                clients[name] = c
+                break
+            except OSError:
+                _time.sleep(0.05)
+    assert set(clients) == {"sbs", "raw", "beast"}
+    try:
+        received["http"] = _json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{http_p}/data/stats.json", timeout=5))
+    except Exception:
+        pass
+    for name, c in clients.items():
+        try:
+            while True:
+                b = c.recv(65536)
+                if not b:
+                    break
+                received[name] += b
+        except OSError:
+            pass
+        c.close()
+    assert done.wait(60)
+    th.join(timeout=10)
+    # every surface produced consistent output
+    import sqlite3
+    con = sqlite3.connect(db)
+    n_db = con.execute("SELECT COUNT(*) FROM aircraft").fetchone()[0]
+    con.close()
+    want = {(t.frame >> 80) & 0xFFFFFF for t in truth}
+    assert n_db >= len(want)
+    assert received["sbs"].startswith(b"MSG,") and b"\r\n" in received["sbs"]
+    assert received["raw"].startswith(b"*") and b";" in received["raw"]
+    assert received["beast"][:1] == b"\x1a"
+    assert open(kml).read().count("<Placemark") >= 1
+    doc = _json.load(open(jsn))
+    assert doc["aircraft"]
+    stats_rec = [_json.loads(ln) for ln in open(sj)]
+    assert stats_rec and stats_rec[-1]["emitted"] >= len(want)
