@@ -7,10 +7,12 @@ pure-Python path serializes on the dispatch thread:
 
 - file read + SDR wire-format conversion run in the C++ pump thread
   (native/iqstream.cc), filling a lock-free SPSC ring;
-- overlap-save framing + int8 quantize + planar I/Q split happen in ONE
-  fused C++ pass (`iq_stream_next_block_planar_i8`) — no float32 (N, 2)
-  intermediate, no numpy quantize, no to_planar_i8 copy;
-- device dispatch runs on a dedicated thread with a bounded in-flight
+- overlap-save framing + per-block AGC (gain = 120/peak, the Python
+  quantize_i8 rule) + int8 quantize + planar I/Q split happen in ONE
+  fused C++ pass (`iq_stream_next_block_planar_agc`; `--i8-scale` picks
+  the fixed-gain `..._planar_i8` variant) on a FEEDER thread — no
+  float32 (N, 2) intermediate, no numpy quantize, no to_planar_i8 copy;
+- device dispatch runs on its own thread with a bounded in-flight
   queue, so the H2D transfer of batch i+1 overlaps the caller's decode of
   batch i (unpack + wire formatting + parse + plugins all stay on the
   caller's thread, off the dispatch path).
