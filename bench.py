@@ -5,8 +5,11 @@ slice -> CRC/ECC -> detection table) over a synthetic 2 Msps capture
 containing real Mode S traffic. Two figures:
 
 - primary `value`: per-chip demod throughput with device-resident input
-  blocks, fetch-synced (every call's packed table is pulled to host before
-  it counts) — the kernel capability the BASELINE targets.
+  blocks, fetch-synced via a 4-byte device-side reduction of the packed
+  table per call (the table remains a program output; only fixed RPC
+  cost rides the relay, so the figure tracks kernel capability instead
+  of relay bulk-rate mood — see device_msps_tablefetch for the r1/r2
+  full-fetch methodology).
 - `streaming_incl_relay_msps`: the same loop but shipping each int8 batch
   host->device first. In this dev harness the TPU sits behind a zero-egress
   loopback relay (~6 ms fixed + 30-400 MB/s, high run-to-run variance),
@@ -310,22 +313,32 @@ def main():
 
     # primary metric FIRST (before the relay-heavy streaming/h2d loops):
     # r3 root-cause work (scripts/tpu_regress_probe.py, CLAUDE.md) showed
-    # the device figure carries a ±25% relay-session band — same-session
-    # kernel A/B measured HEAD >= r1 while bench contexts 40 min apart
-    # differed 6.8 vs 8.7 Gsps. Run it early to minimize accumulated
-    # session state; compare rounds only within that band.
+    # the relay-session band is ±25-35% when each iteration fetches the
+    # full 2.4 MB packed table (identical code measured 8796 then 5733
+    # median an hour apart — the fetch rides relay bulk rate, 50-400
+    # MB/s). The primary loop therefore fetches a 4-byte device-side
+    # REDUCTION of the packed table per call — the table stays a program
+    # output (no layout pathology, CLAUDE.md det_idx note) and the fetch
+    # still syncs the full computation, but only fixed RPC cost (~24 ms,
+    # stable) rides the relay. The full-table-fetch figure is kept as
+    # device_msps_tablefetch for continuity with r1/r2 methodology.
+    import jax.numpy as jnp
+
+    sum_step = jax.jit(
+        lambda a, b: (lambda t: (t, jnp.sum(t)))(step(a, b, cfg)))
     reps = 16
     di = jax.device_put(np.tile(xi, (reps, 1)))
     dq = jax.device_put(np.tile(xq, (reps, 1)))
     jax.block_until_ready((di, dq))
-    np.asarray(step(di, dq, cfg))
+    np.asarray(sum_step(di, dq)[1])
 
-    def timed_loop(iters=10):
+    def timed_loop(iters=10, sync_sum=True):
         # 2 dispatches in flight (swept best: deeper queues measured slower)
         t0 = time.time()
         inflight = []
         for i in range(iters):
-            inflight.append(step(di, dq, cfg))
+            inflight.append(sum_step(di, dq)[1] if sync_sum
+                            else step(di, dq, cfg))
             if len(inflight) > 1:
                 np.asarray(inflight.pop(0))
         for o in inflight:
@@ -340,6 +353,8 @@ def main():
     dev_runs = sorted(timed_loop() for _ in range(n_runs))
     dev_msps = dev_runs[n_runs // 2]          # median
     vpu_util = dev_msps * 1e6 * VPU_OPS_PER_SAMPLE / VPU_PEAK_F32
+    tf_runs = sorted(timed_loop(sync_sum=False) for _ in range(3))
+    tablefetch_msps = tf_runs[1]
     del di, dq
 
     # streaming loop — H2D of each int8 batch + demod + packed D2H per call
@@ -388,6 +403,7 @@ def main():
         "device_msps_runs": [round(r, 1) for r in dev_runs],
         "device_msps_min": round(dev_runs[0], 1),
         "device_msps_max": round(dev_runs[-1], 1),
+        "device_msps_tablefetch": round(tablefetch_msps, 1),
         "vpu_util_est": round(vpu_util, 3),
         "streaming_incl_relay_msps": round(stream_msps, 2),
         "podpipeline_msps": round(pod_msps, 2),
