@@ -207,6 +207,11 @@ class mlat_coordinator:
         self._pending = {}  # hex -> {station: timestamp}
         self._seen_t = {}   # hex -> first timestamp
         self._since_prune = 0
+        # internal times are relative to this whole-second anchor: an
+        # absolute unix-magnitude float64 has ~238 ns ulp (~70 m of
+        # pseudorange), which would discard the ns wire extension's
+        # precision right after parsing it
+        self._tbase_ns = None
 
     def report(self, station: str, message: str):
         """Feed one wire message from a named station; returns a position
@@ -219,10 +224,16 @@ class mlat_coordinator:
         try:
             hexframe, t = parts[1], float(parts[5])
             int(hexframe, 16)
-            if len(parts) > 6:   # ns extension: full counter precision
-                t = int(parts[6]) * 1e-9
+            ns = int(parts[6]) if len(parts) > 6 else None
         except ValueError:
             return None
+        if self._tbase_ns is None and math.isfinite(t):
+            base = ns if ns is not None else int(t) * 1_000_000_000
+            self._tbase_ns = base - base % 1_000_000_000
+        if ns is not None:       # ns extension: full counter precision
+            t = (ns - self._tbase_ns) * 1e-9
+        elif math.isfinite(t):
+            t -= self._tbase_ns * 1e-9
         if not math.isfinite(t):
             return None     # float('nan'/'inf') parses; NaN would sail
             # through every window/residual comparison (NaN > x is False)

@@ -85,7 +85,8 @@ class _PlanarSource:
     def __init__(self, cfg: DspConfig, P: int, *, path: Optional[str] = None,
                  fmt: str = "complex64", udp_host: str = "0.0.0.0",
                  udp_port: int = 10000, start_sample: int = 0,
-                 throttle_sps: float = 0.0, ring_samples: int = 1 << 24):
+                 throttle_sps: float = 0.0,
+                 ring_samples: Optional[int] = None):
         from ..native import IQStream
         self.P = P
         self.stream = IQStream(cfg, ring_samples=ring_samples)
@@ -228,7 +229,12 @@ def run_native_pipelined(
         except queue.Full:
             pass
         _drain_until_dead(out_q, th)
-        src.close()
+        if not fth.is_alive() and not th.is_alive():
+            src.close()
+        # else: a worker is still inside a native/device call (e.g. a
+        # minutes-long first compile) — freeing the stream under it
+        # would be a use-after-free; leak it and let the daemon thread
+        # hit the closed-handle guard when it returns
 
 
 def _drain_until_dead(out_q: queue.Queue, th: threading.Thread,
@@ -267,11 +273,14 @@ def run_native_channels(
     srcs = [_PlanarSource(cfg, P, path=p, fmt=fmt,
                           start_sample=start_sample) for p in paths]
     C = len(srcs)
+    feed_q: queue.Queue = queue.Queue(maxsize=2)
     out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
     _SENTINEL = object()
 
-    def dispatcher() -> None:
+    def feeder() -> None:
+        # C x per-step native conversion passes run here, overlapped
+        # with dispatch/decode (same split as run_native_pipelined)
         try:
             ended = [False] * C
             n_steps = 0
@@ -296,15 +305,33 @@ def run_native_channels(
                         live[c] = True
                 if not any(live):
                     break
-                out_q.put((step(xi, xq), starts, scales, live))
+                feed_q.put((xi, xq, starts, scales, live))
                 n_steps += 1
+        except BaseException as e:
+            feed_q.put(e)
+        finally:
+            feed_q.put(_SENTINEL)
+
+    def dispatcher() -> None:
+        try:
+            while not stop.is_set():
+                item = feed_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                xi, xq, starts, scales, live = item
+                out_q.put((step(xi, xq), starts, scales, live))
         except BaseException as e:
             out_q.put(e)
         finally:
             out_q.put(_SENTINEL)
 
+    fth = threading.Thread(target=feeder, daemon=True,
+                           name="airmodes-feeder-mc")
     th = threading.Thread(target=dispatcher, daemon=True,
                           name="airmodes-dispatch-mc")
+    fth.start()
     th.start()
     try:
         while True:
@@ -327,6 +354,12 @@ def run_native_channels(
             yield out
     finally:
         stop.set()
+        _drain_until_dead(feed_q, fth)
+        try:  # wake a dispatcher whose sentinel was consumed by the drain
+            feed_q.put_nowait(_SENTINEL)
+        except queue.Full:
+            pass
         _drain_until_dead(out_q, th)
-        for s in srcs:
-            s.close()
+        if not fth.is_alive() and not th.is_alive():
+            for s in srcs:          # freeing a stream under a live
+                s.close()           # worker would be a use-after-free

@@ -103,13 +103,23 @@ class IQStream:
     via next_block_i8 for the quantized device path.
     """
 
-    def __init__(self, cfg, ring_samples: int = 1 << 24):
+    def __init__(self, cfg, ring_samples: Optional[int] = None):
         lib = load()
         self._lib = lib
         self.cfg = cfg
         self.left, self.block, self.right = (
             cfg.left_halo, cfg.block_size, cfg.right_halo)
         self.total = self.left + self.block + self.right
+        if ring_samples is None:
+            # the framer needs block+right buffered to emit one block; a
+            # fixed 2^24 default would hang forever (next_block returns 0,
+            # "ring too small") for block sizes past it. +1M slack keeps
+            # the pump ahead; the C side rounds up to a power of two.
+            ring_samples = max(1 << 24, self.total + (1 << 20))
+        elif ring_samples < self.block + self.right:
+            raise ValueError(
+                f"ring_samples {ring_samples} < block+right_halo "
+                f"{self.block + self.right}: the framer could never emit")
         self._h = lib.iq_stream_create(ring_samples, self.left, self.block,
                                        self.right)
 
@@ -171,7 +181,7 @@ class IQStream:
         if out is None:
             out = np.empty((self.total, 2), np.float32)
         start = ctypes.c_int64(0)
-        while True:
+        while self._h:          # closed stream reads as end-of-stream
             rc = self._lib.iq_stream_next_block(
                 self._h, out.ctypes.data_as(ctypes.c_void_p),
                 ctypes.byref(start))
@@ -188,7 +198,7 @@ class IQStream:
         if out is None:
             out = np.empty((self.total, 2), np.int8)
         start = ctypes.c_int64(0)
-        while True:
+        while self._h:          # closed stream reads as end-of-stream
             rc = self._lib.iq_stream_next_block_i8(
                 self._h, out.ctypes.data_as(ctypes.c_void_p),
                 ctypes.byref(start), float(scale))
@@ -208,7 +218,7 @@ class IQStream:
         assert out_i.dtype == np.int8 and out_q.dtype == np.int8
         assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
         start = ctypes.c_int64(0)
-        while True:
+        while self._h:          # closed stream reads as end-of-stream
             rc = self._lib.iq_stream_next_block_planar_i8(
                 self._h, out_i.ctypes.data_as(ctypes.c_void_p),
                 out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
@@ -233,7 +243,7 @@ class IQStream:
         assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
         start = ctypes.c_int64(0)
         gain = ctypes.c_float(1.0)
-        while True:
+        while self._h:          # closed stream reads as end-of-stream
             rc = self._lib.iq_stream_next_block_planar_agc(
                 self._h, out_i.ctypes.data_as(ctypes.c_void_p),
                 out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,

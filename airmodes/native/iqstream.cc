@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cerrno>
 #include <cstring>
+#include <cmath>
 #include <thread>
 
 #include <arpa/inet.h>
@@ -105,7 +106,8 @@ void quantize_i8(const float* in, int8_t* out, uint64_t n_samples,
   for (uint64_t i = 0; i < 2 * n_samples; ++i) {
     float v = in[i] * scale;
     v = v > 127.f ? 127.f : (v < -127.f ? -127.f : v);
-    out[i] = static_cast<int8_t>(v + (v >= 0 ? 0.5f : -0.5f));
+    out[i] = static_cast<int8_t>(std::nearbyintf(v));  // half-to-even,
+    // matching numpy np.round in the Python quantize path
   }
 }
 
@@ -376,8 +378,8 @@ int iq_stream_next_block_planar_i8(void* h, int8_t* out_i, int8_t* out_q,
     float vq = buf[2 * i + 1] * scale;
     vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
     vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
-    out_i[i] = static_cast<int8_t>(vi + (vi >= 0 ? 0.5f : -0.5f));
-    out_q[i] = static_cast<int8_t>(vq + (vq >= 0 ? 0.5f : -0.5f));
+    out_i[i] = static_cast<int8_t>(std::nearbyintf(vi));  // half-to-even
+    out_q[i] = static_cast<int8_t>(std::nearbyintf(vq));
   }
   std::memset(out_i + total, 0, out_len - total);
   std::memset(out_q + total, 0, out_len - total);
@@ -410,8 +412,8 @@ int iq_stream_next_block_planar_agc(void* h, int8_t* out_i, int8_t* out_q,
     float vq = buf[2 * i + 1] * g;
     vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
     vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
-    out_i[i] = static_cast<int8_t>(vi + (vi >= 0 ? 0.5f : -0.5f));
-    out_q[i] = static_cast<int8_t>(vq + (vq >= 0 ? 0.5f : -0.5f));
+    out_i[i] = static_cast<int8_t>(std::nearbyintf(vi));  // half-to-even
+    out_q[i] = static_cast<int8_t>(std::nearbyintf(vq));
   }
   std::memset(out_i + total, 0, out_len - total);
   std::memset(out_q + total, 0, out_len - total);

@@ -224,29 +224,34 @@ class output_http:
         self._thread.start()
         self._last_snap: Optional[float] = None
         self._last_snap_wall: Optional[float] = None
+        self._last_doc_wall: float = 0.0
 
     def aircraft_doc(self) -> bytes:
         """Snapshot bytes for GET, re-serialized when the message stream
-        has gone quiet so 'seen' ages advance and stale aircraft prune.
+        has gone quiet so 'seen' ages advance.
 
-        Stream timestamps may be capture time (file replay), not wall
-        time, so the quiet-gap rebuild extrapolates stream time by the
-        wall-clock time elapsed since the last update_report snapshot."""
+        Stream timestamps may be capture time (file replay) or lag wall
+        clock (long first compile), so the quiet-gap rebuild extrapolates
+        stream time by the wall time elapsed since the last update_report
+        snapshot WITHOUT pruning or advancing the stream anchor: the
+        extrapolation is a display estimate, and destructively pruning
+        (or moving _last_snap ahead of the real stream) from it would
+        delete actively-tracked aircraft whenever stream time runs behind
+        wall time. Clients filter by the growing 'seen' field, dump1090
+        style; real pruning happens on stream-time snapshots."""
         import time as _time
         wall = _time.time()
         with self._lock:
             if self._last_snap is None or self._last_snap_wall is None \
-                    or wall - self._last_snap_wall < 1.0:
+                    or wall - self._last_snap_wall < 1.0 \
+                    or wall - self._last_doc_wall < 1.0:
                 return self._snapshot
             now = self._last_snap + (wall - self._last_snap_wall)
-        doc = json.dumps(build_doc(self._dash, now)).encode()
-        with self._lock:
-            self._snapshot = doc
-            # advance both clocks so many polling clients cost at most
-            # one re-serialize per second, not one per request
-            self._last_snap = now
-            self._last_snap_wall = wall
-        return doc
+            self._last_doc_wall = wall    # rate-limit client-driven
+            # rebuilds to one per second across all polling clients
+            self._snapshot = json.dumps(
+                build_doc(self._dash, now, prune=False)).encode()
+            return self._snapshot
 
     def stats_doc(self) -> dict:
         with self._lock:
@@ -297,15 +302,24 @@ class output_http:
             if rep.bearing_deg is not None and rep.range_nm is not None:
                 self._azm.add(rep.bearing_deg, rep.range_nm,
                               rep.altitude_ft)
-        self._dash.update(rep, trusted=trusted)
         now = rep.timestamp
-        # re-serialize at most once per second of stream time; requests
-        # only ever read the cached bytes
-        if self._last_snap is None or now - self._last_snap >= 1.0:
-            import time as _time
-            doc = json.dumps(build_doc(self._dash, now)).encode()
-            with self._lock:
-                self._snapshot = doc
+        with self._lock:
+            # dash mutation AND build_doc (which prunes, i.e. mutates)
+            # stay under the lock: GET threads also call build_doc via
+            # aircraft_doc, and unlocked concurrent iterate+delete over
+            # dash.aircraft is a crash
+            self._dash.update(rep, trusted=trusted)
+            # re-serialize at most once per second of stream time (also
+            # when stream time stepped BACKWARDS past the last snapshot:
+            # a wall-extrapolated quiet-gap snapshot may sit ahead of a
+            # stream that lags wall clock — e.g. during a long first
+            # compile — and must not suppress refreshes once decode
+            # resumes); requests only ever read the cached bytes
+            if self._last_snap is None or now - self._last_snap >= 1.0 \
+                    or now < self._last_snap:
+                import time as _time
+                self._snapshot = json.dumps(
+                    build_doc(self._dash, now)).encode()
                 self._last_snap = now
                 self._last_snap_wall = _time.time()
 

@@ -17,12 +17,15 @@ from ..exceptions import ADSBError
 from .gui_model import dashboard
 
 
-def build_doc(dash: dashboard, now: float) -> dict:
+def build_doc(dash: dashboard, now: float, prune: bool = True) -> dict:
     """dump1090 aircraft.json document from the live dashboard state.
 
-    Prunes stale aircraft first; shared by the file writer here and the
-    embedded HTTP server (outputs/httpd.py)."""
-    dash.prune(now)
+    Prunes stale aircraft first (prune=False for display-estimate
+    rebuilds whose `now` is wall-extrapolated, not stream time — see
+    httpd.aircraft_doc); shared by the file writer here and the embedded
+    HTTP server (outputs/httpd.py)."""
+    if prune:
+        dash.prune(now)
     return {
         "now": now,
         "aircraft": [

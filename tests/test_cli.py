@@ -250,11 +250,6 @@ def test_stats_json_output(capture, tmp_path, capsys):
             "crc_fail", "overflow"} <= set(final)
 
 
-def _collect_msgs(capsys_out):
-    import re
-    return capsys_out
-
-
 def test_cli_native_matches_python_path(capture, tmp_path):
     """The native C++ product path (default) and --no-native decode the
     same message set with identical timestamps on a uc8 capture."""

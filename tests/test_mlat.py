@@ -127,3 +127,28 @@ def test_mlat_msl_datum_roundtrip():
     assert abs(lat - lat_t) < 5e-3
     assert abs(lon - lon_t) < 5e-3
     assert abs(alt - alt_msl) < 50.0
+
+
+def test_coordinator_ns_extension_sub_50m():
+    """r3 review: the coordinator must keep the ns extension's precision
+    (relative timebase) instead of collapsing it back into a 238 ns-ulp
+    unix float — GPS-grade stamps at unix epoch solve < 50 m."""
+    from airmodes.decode.mlat import mlat_coordinator, llh2ecef, C
+    from airmodes.testing import encoder
+    target = (47.1, 8.25, 9144.0)
+    stations = {f"st{i}": s for i, s in enumerate(STATIONS4)}
+    coord = mlat_coordinator(stations, min_stations=4)
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("NSCO"))
+    t_ecef = llh2ecef(target)
+    unix_ns = 1_700_000_000_000_000_000
+    pos = None
+    for name, s in stations.items():
+        d = np.linalg.norm(llh2ecef(s) - t_ecef)
+        ns = unix_ns + int(round(float(d) / C * 1e9))
+        msg = f"17 {frame:028x} 000000 0 -20.0 {ns * 1e-9:.9f} {ns}"
+        pos = coord.report(name, msg) or pos
+    assert pos is not None
+    lat, lon, alt = pos
+    dlat = (lat - target[0]) * 111_320.0
+    dlon = (lon - target[1]) * 111_320.0 * np.cos(np.radians(target[0]))
+    assert float(np.hypot(dlat, dlon)) < 50.0

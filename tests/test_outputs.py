@@ -620,8 +620,11 @@ def test_output_http_coverage_endpoint():
 
 def test_output_http_quiet_gap_ages_and_prunes():
     """ADVICE r2: when the message stream goes quiet, GET must re-derive
-    the snapshot from elapsed wall time — 'seen' advances and stale
-    aircraft prune instead of being served frozen forever."""
+    the snapshot from elapsed wall time — 'seen' advances past stale_s
+    (clients filter on it, dump1090 style) instead of being served
+    frozen forever. The extrapolated rebuild must NOT destructively
+    prune (stream time may genuinely lag wall clock, e.g. during a long
+    compile), and real stream-time updates still prune."""
     import json as _json
     import urllib.request
     from airmodes.outputs.httpd import output_http
@@ -632,11 +635,23 @@ def test_output_http_quiet_gap_ages_and_prunes():
         doc = _json.load(urllib.request.urlopen(
             base + "/data/aircraft.json", timeout=5))
         assert len(doc["aircraft"]) == 1
+        seen0 = doc["aircraft"][0]["seen"]
         # simulate 10 s of wall-clock silence (past stale_s)
         plug._last_snap_wall -= 10.0
+        plug._last_doc_wall -= 10.0
         doc = _json.load(urllib.request.urlopen(
             base + "/data/aircraft.json", timeout=5))
-        assert doc["aircraft"] == []          # pruned during the gap
+        (ac,) = doc["aircraft"]               # still listed, aged
+        assert ac["seen"] >= seen0 + 9.0
+        # a stream-time update 10 s later DOES prune the stale aircraft
+        ident2 = IDENT.split()
+        later = float(ident2[5]) + 10.0
+        plug.output(" ".join(ident2[:5] + [f"{later:.9f}"]))
+        doc = _json.load(urllib.request.urlopen(
+            base + "/data/aircraft.json", timeout=5))
+        hexes = {a["hex"] for a in doc["aircraft"]}
+        assert hexes == {"4840d6"}            # re-added by the update
+        assert doc["aircraft"][0]["seen"] < 1.0
     finally:
         plug.close()
 
