@@ -365,7 +365,10 @@ def _detect_body(xi, xq, mask_ref, ref_ref, *, cfg, tile, wl, half, sps):
     pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
                        jnp.minimum(pulses[2], pulses[3]))
     ptol = jnp.float32(cfg.pulse_tolerance)
-    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # a > max(b, c) is boolean-identical to (a > b) & (a > c) for
+    # non-NaN floats (max returns one of b/c exactly) and saves a
+    # full-array compare+and per sample
+    ok &= pmin > jnp.maximum(nf * thresh, ref * ptol)
     # all-quiet tests fold into one max-compare
     qtol = jnp.float32(cfg.quiet_tolerance)
     quiet = sl(PREAMBLE_QUIET_CHIPS[0] * sps)
@@ -511,7 +514,10 @@ def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
     pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
                        jnp.minimum(pulses[2], pulses[3]))
     ptol = jnp.float32(cfg.pulse_tolerance)
-    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # a > max(b, c) is boolean-identical to (a > b) & (a > c) for
+    # non-NaN floats (max returns one of b/c exactly) and saves a
+    # full-array compare+and per sample
+    ok &= pmin > jnp.maximum(nf * thresh, ref * ptol)
     # all-quiet tests fold into one max-compare; consecutive-chip runs
     # ({3..6}, {10..15}) come from doubled running maxes of m:
     #   q2[r] = max(m@0, m@sps), q4 = max over 4 consecutive chips
@@ -595,7 +601,10 @@ def _prescreen_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
     ok &= pulses[0] > _shift2d(m, 1, 1, nrows)
     pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
                        jnp.minimum(pulses[2], pulses[3]))
-    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # a > max(b, c) is boolean-identical to (a > b) & (a > c) for
+    # non-NaN floats (max returns one of b/c exactly) and saves a
+    # full-array compare+and per sample
+    ok &= pmin > jnp.maximum(nf * thresh, ref * ptol)
     # early quiet chips {1} and {3,4,5,6} (q2/q4 doubled maxes — exact)
     qtol = jnp.float32(cfg.quiet_tolerance)
     nq2 = m.shape[0] - 1
@@ -1470,7 +1479,10 @@ def _stageb_full_check(w2, cfg: DspConfig):
     ok &= pulses[0] > at(1)
     pmin = jnp.minimum(jnp.minimum(pulses[0], pulses[1]),
                        jnp.minimum(pulses[2], pulses[3]))
-    ok &= (pmin > nf * thresh) & (pmin > ref * ptol)
+    # a > max(b, c) is boolean-identical to (a > b) & (a > c) for
+    # non-NaN floats (max returns one of b/c exactly) and saves a
+    # full-array compare+and per sample
+    ok &= pmin > jnp.maximum(nf * thresh, ref * ptol)
     quiet = at(PREAMBLE_QUIET_CHIPS[0] * sps)
     for q in PREAMBLE_QUIET_CHIPS[1:]:
         quiet = jnp.maximum(quiet, at(q * sps))
