@@ -309,3 +309,35 @@ def test_run_native_pipelined_early_close_cleans_up(tmp_path):
         time.sleep(0.05)
     alive = {t.name for t in threading.enumerate()} - before
     assert not any(n.startswith("airmodes-dispatch") for n in alive), alive
+
+
+def test_ring_autosizes_for_large_blocks():
+    """r3 review: a fixed 2^24 ring made block sizes past it hang forever
+    (framer needs block+right buffered). The ring now sizes from the
+    framer geometry."""
+    big = DspConfig(block_size=1 << 24, max_detections=16)
+    st = native.IQStream(big)        # would previously never emit
+    try:
+        n = big.block_size + big.right_halo
+        rng = np.random.default_rng(11)
+        # push in chunks to exercise ring wraparound paths
+        chunk = (1 << 20)
+        for off in range(0, n, chunk):
+            m = min(chunk, n - off)
+            x = (rng.standard_normal(2 * m) * 0.1).astype(np.float32)
+            assert st.push(x.view(np.complex64)) == m
+        st.set_eof()
+        T = big.left_halo + big.block_size + big.right_halo
+        P = -(-T // 128) * 128
+        xi = np.empty(P, np.int8)
+        xq = np.empty(P, np.int8)
+        s = st.next_block_planar_i8(xi, xq, scale=127.0)
+        assert s == 0
+    finally:
+        st.close()
+
+
+def test_ring_too_small_rejected():
+    with pytest.raises(ValueError, match="ring_samples"):
+        native.IQStream(DspConfig(block_size=1 << 20, max_detections=16),
+                        ring_samples=1 << 16)
