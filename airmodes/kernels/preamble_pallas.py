@@ -820,11 +820,16 @@ DEFAULT_NBUF = 2                           # TPU sweep: nbuf=2 >= nbuf=1 at
 def default_tile(cfg: DspConfig) -> int:
     """Largest swept-fastest tile that satisfies the planar constraints.
 
-    The TPU tile sweep (scripts/tpu_planar_nbuf_probe.py) shows throughput
-    rising with tile size (fewer grid steps -> less per-step DMA overhead);
-    candidate capacity scales with the tile (cand_capacity) so the
-    supported detection density is tile-independent."""
-    for t in (65536, 32768, 16384, 8192, 4096):
+    Throughput rises with tile size (fewer grid steps -> less per-step
+    DMA overhead); candidate capacity scales with the tile
+    (cand_capacity) so the supported detection density is
+    tile-independent. The r3 sum-synced re-sweep
+    (scripts/tpu_tile_resweep_probe.py, 0.2% timing spread) resolved
+    what the earlier relay-noise-limited sweeps called flat:
+    16384: 8.00, 32768: 9.27, 65536: 9.68, 131072: 9.78, 262144: 9.71
+    Gsps (decode-identical); 524288 exceeds the 16 MB VMEM scoped limit.
+    nbuf=2 beats 1/3/4 at 131072 (9.31/9.68/9.47 vs 9.78)."""
+    for t in (131072, 65536, 32768, 16384, 8192, 4096):
         if cfg.block_size % t == 0:
             return t
     raise ValueError(
