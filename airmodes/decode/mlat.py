@@ -130,27 +130,8 @@ def mlat_iter(stations_ecef: np.ndarray, prange_rel: np.ndarray,
     return xyz
 
 
-def mlat(replies: Dict[Tuple[float, float, float], float],
-         altitude_ft: Optional[float] = None,
-         alt_datum: str = "ellipsoid") -> Tuple[float, float, float]:
-    """Solve a position from {station_llh: timestamp_s} observations.
-
-    Seeds from the station centroid; with exactly 3 stations an altitude
-    constraint (decoded AC field, feet) substitutes for the missing fourth
-    observation. Returns (lat_deg, lon_deg, alt_m).
-
-    alt_datum: "ellipsoid" treats station altitudes (and the returned
-    altitude) as heights above the WGS-84 ellipsoid; "msl" treats them as
-    mean-sea-level heights and applies the llh2geoid undulation both ways
-    — surveyed station altitudes and the aircraft's baro altitude are
-    MSL-referenced, and the ~+-50 m geoid offset otherwise skews the
-    3-station constrained solve.
-    """
-    items = sorted(replies.items(), key=lambda kv: kv[1])
-    if len(items) < 3:
-        raise MlatNonConvergeError("need >= 3 stations")
-    msl = alt_datum == "msl"
-
+def _solve_items(items, altitude_ft, msl):
+    """Solve one station/arrival set; returns (xyz, max_abs_residual_m)."""
     def to_ell(s):
         return (s[0], s[1], s[2] + llh2geoid(s[0], s[1])) if msl else s
 
@@ -173,12 +154,82 @@ def mlat(replies: Dict[Tuple[float, float, float], float],
                             tol_m=5.0, raise_on_fail=False)
             la, lo, _ = ecef2llh(xyz)
             xyz = llh2ecef((la, lo, alt_m))
-        d = np.linalg.norm(stations - xyz, axis=1)
-        resid = (d - d[0]) - prange_rel
-        if np.max(np.abs(resid)) > 500.0:
-            raise MlatNonConvergeError()
     else:
         xyz = mlat_iter(stations, prange_rel, guess)
+    d = np.linalg.norm(stations - xyz, axis=1)
+    resid = (d - d[0]) - prange_rel
+    return xyz, float(np.max(np.abs(resid)))
+
+
+def mlat(replies: Dict[Tuple[float, float, float], float],
+         altitude_ft: Optional[float] = None,
+         alt_datum: str = "ellipsoid",
+         reject_outliers: bool = False,
+         max_resid_m: float = 300.0) -> Tuple[float, float, float]:
+    """Solve a position from {station_llh: timestamp_s} observations.
+
+    Seeds from the station centroid; with exactly 3 stations an altitude
+    constraint (decoded AC field, feet) substitutes for the missing fourth
+    observation. Returns (lat_deg, lon_deg, alt_m).
+
+    alt_datum: "ellipsoid" treats station altitudes (and the returned
+    altitude) as heights above the WGS-84 ellipsoid; "msl" treats them as
+    mean-sea-level heights and applies the llh2geoid undulation both ways
+    — surveyed station altitudes and the aircraft's baro altitude are
+    MSL-referenced, and the ~+-50 m geoid offset otherwise skews the
+    3-station constrained solve.
+
+    reject_outliers (beyond reference): an over-determined set whose
+    post-fit residual exceeds max_resid_m (one station's multipath copy /
+    garbled counter silently BIASES a least-squares solve rather than
+    failing it) is re-solved leaving each station out in turn; the best
+    leave-one-out solution is accepted if its residual passes the bound.
+    Identification needs the SUBSETS to stay over-determined (an exactly
+    determined 4-station subset fits ANY timestamps with zero residual),
+    so dropping requires n >= 6, or n >= 5 with an altitude constraint;
+    below that a failing bound refuses the fix rather than emitting a
+    confidently wrong one. Size max_resid_m to the timestamp grade
+    (~100 m for GPS/ns stamps; ~500 m for clock-sync-trained networks).
+    """
+    items = sorted(replies.items(), key=lambda kv: kv[1])
+    if len(items) < 3:
+        raise MlatNonConvergeError("need >= 3 stations")
+    msl = alt_datum == "msl"
+
+    try:
+        xyz, max_resid = _solve_items(items, altitude_ft, msl)
+        if altitude_ft is not None and len(items) == 3 \
+                and max_resid > 500.0:
+            raise MlatNonConvergeError()
+    except MlatNonConvergeError:
+        xyz, max_resid = None, float("inf")
+        if not reject_outliers:
+            raise
+    # a redundant set must also FIT: a biased converged solve is worse
+    # than no solve when rejection is requested
+    if reject_outliers and max_resid > max_resid_m:
+        n = len(items)
+        # subsets must stay over-determined or every exclusion fits with
+        # zero residual and the outlier is unidentifiable
+        can_drop = n >= 6 or (n >= 5 and altitude_ft is not None)
+        if not can_drop:
+            raise MlatNonConvergeError(
+                f"residual {max_resid:.0f} m with no redundancy to drop")
+        best = None
+        for i in range(n):
+            sub = items[:i] + items[i + 1:]
+            try:
+                cand = _solve_items(sub, altitude_ft, msl)
+            except MlatNonConvergeError:
+                continue
+            if best is None or cand[1] < best[1]:
+                best = cand
+        if best is None or best[1] > max_resid_m:
+            raise MlatNonConvergeError(
+                "no single-station exclusion fits the bound")
+        xyz, max_resid = best
+    if xyz is None:
+        raise MlatNonConvergeError()
     lat, lon, alt = ecef2llh(xyz)
     if msl:
         alt -= llh2geoid(lat, lon)
@@ -266,7 +317,7 @@ class mlat_coordinator:
             pass
         try:
             return mlat(replies, altitude_ft=alt_ft,
-                        alt_datum=self.alt_datum)
+                        alt_datum=self.alt_datum, reject_outliers=True)
         except MlatNonConvergeError:
             return None
 

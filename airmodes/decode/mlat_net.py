@@ -406,8 +406,16 @@ class mlat_correlator:
         replies = {self.stations[s]: t for s, t in arr.items()}
         alt_ft = _frame_altitude_ft(hexframe)
         try:
-            lat, lon, alt_m = mlat_mod.mlat(replies, alt_ft,
-                                            alt_datum=self.alt_datum)
+            # reject_outliers: with redundant stations, a single garbled
+            # counter / multipath copy silently BIASES least squares —
+            # leave-one-out re-solve keeps the fix honest (drops the
+            # group instead when nothing fits). The residual bound
+            # follows the timestamp grade: clock-sync-trained offsets
+            # leave ~0.1-0.2 km of genuine residual, GPS/ns stamps ~0.
+            lat, lon, alt_m = mlat_mod.mlat(
+                replies, alt_ft, alt_datum=self.alt_datum,
+                reject_outliers=True,
+                max_resid_m=500.0 if self.sync is not None else 100.0)
         except MlatNonConvergeError:
             return []         # drop-and-continue, like the parse loop
         nbits = len(hexframe) * 4
