@@ -130,8 +130,14 @@ def mlat_iter(stations_ecef: np.ndarray, prange_rel: np.ndarray,
     return xyz
 
 
-def _solve_items(items, altitude_ft, msl):
-    """Solve one station/arrival set; returns (xyz, max_abs_residual_m)."""
+def _solve_items(items, altitude_ft, msl, constrain_alt=False):
+    """Solve one station/arrival set; returns (xyz, max_abs_residual_m).
+
+    constrain_alt pins the altitude for ANY set size (not just the
+    3-station case): leave-one-out subsets need it so a 4-station subset
+    is over-determined (3 TDOAs + altitude for 2 remaining unknowns) and
+    its residual can identify an outlier — unconstrained it fits any
+    timestamps exactly."""
     def to_ell(s):
         return (s[0], s[1], s[2] + llh2geoid(s[0], s[1])) if msl else s
 
@@ -146,7 +152,7 @@ def _solve_items(items, altitude_ft, msl):
     alt_m = (altitude_ft * 0.3048 + und_c) if altitude_ft is not None \
         else 8000.0
     guess = llh2ecef((lat_c, lon_c, alt_m))
-    if altitude_ft is not None and len(items) == 3:
+    if altitude_ft is not None and (len(items) == 3 or constrain_alt):
         # alternating projection: Gauss-Newton step, then re-pin altitude
         xyz = guess.copy()
         for _ in range(25):
@@ -209,25 +215,61 @@ def mlat(replies: Dict[Tuple[float, float, float], float],
     # than no solve when rejection is requested
     if reject_outliers and max_resid > max_resid_m:
         n = len(items)
-        # subsets must stay over-determined or every exclusion fits with
-        # zero residual and the outlier is unidentifiable
-        can_drop = n >= 6 or (n >= 5 and altitude_ft is not None)
+        # Identification needs the subsets over-determined by >= 2:
+        # ground-station TDOA is near-singular in the vertical, and with
+        # a single excess constraint a garbled timestamp leaks into
+        # low-residual subset solves whose exclusion choice degenerates
+        # to noise (stress runs: n=5+alt / n=6-no-alt picked a wrong
+        # exclusion in ~20% of geometries; n=6+alt was right in 39/40).
+        # Below the floor a tripped bound REFUSES the group — for an
+        # online correlator stream, dropping an ambiguous group beats a
+        # confidently wrong fix.
+        can_drop = n >= 7 or (n >= 6 and altitude_ft is not None)
         if not can_drop:
             raise MlatNonConvergeError(
                 f"residual {max_resid:.0f} m with no redundancy to drop")
+        def to_ell(s):
+            return (s[0], s[1], s[2] + llh2geoid(s[0], s[1])) if msl else s
+
         best = None
         for i in range(n):
             sub = items[:i] + items[i + 1:]
             try:
-                cand = _solve_items(sub, altitude_ft, msl)
+                # constrain_alt: a 4-station subset must use the
+                # altitude pin or it is exactly determined (residual 0
+                # for any timestamps) and identification degenerates to
+                # float noise
+                cand_xyz, cand_resid = _solve_items(sub, altitude_ft, msl,
+                                                    constrain_alt=True)
             except MlatNonConvergeError:
                 continue
-            if best is None or cand[1] < best[1]:
-                best = cand
-        if best is None or best[1] > max_resid_m:
+            if cand_resid > max_resid_m:
+                continue
+            # held-out check: the EXCLUDED station must itself misfit
+            # the subset's solution (it has to look like the outlier) —
+            # a marginal geometry can absorb a garbled timestamp into a
+            # low-residual subset solve, but then the excluded GOOD
+            # station fits fine and this gate refuses the swap
+            anchor_s, anchor_t = sub[0]
+            d_i = float(np.linalg.norm(
+                llh2ecef(to_ell(items[i][0])) - cand_xyz))
+            d_a = float(np.linalg.norm(
+                llh2ecef(to_ell(anchor_s)) - cand_xyz))
+            heldout = abs((d_i - d_a) - (items[i][1] - anchor_t) * C)
+            # margin: near-singular vertical geometry lets a garbled
+            # timestamp leak into low-residual subsets whose excluded
+            # GOOD station misfits by a little over the bound; require
+            # the exclusion to look decisively outlier-sized (stress
+            # runs: 5x cuts wrong exclusions ~an order of magnitude
+            # while a real garble is typically 10x+ the bound)
+            if heldout <= 5.0 * max_resid_m:
+                continue
+            if best is None or heldout > best[2]:
+                best = (cand_xyz, cand_resid, heldout)
+        if best is None:
             raise MlatNonConvergeError(
                 "no single-station exclusion fits the bound")
-        xyz, max_resid = best
+        xyz, max_resid = best[0], best[1]
     if xyz is None:
         raise MlatNonConvergeError()
     lat, lon, alt = ecef2llh(xyz)
@@ -257,6 +299,7 @@ class mlat_coordinator:
         self.alt_datum = alt_datum
         self._pending = {}  # hex -> {station: timestamp}
         self._seen_t = {}   # hex -> first timestamp
+        self._all_ns = {}   # hex -> every arrival carried the ns field
         self._since_prune = 0
         # internal times are relative to this whole-second anchor: an
         # absolute unix-magnitude float64 has ~238 ns ulp (~70 m of
@@ -301,10 +344,14 @@ class mlat_coordinator:
             # stale duplicate from a much later retransmission: start over
             self._pending[hexframe] = obs = {}
             self._seen_t[hexframe] = first = t
+            self._all_ns.pop(hexframe, None)
         obs[station] = t
+        self._all_ns[hexframe] = self._all_ns.get(hexframe, True) \
+            and ns is not None
         if len(obs) < self.min_stations:
             return None
         replies = {self.stations[s]: ts for s, ts in obs.items()}
+        all_ns = self._all_ns.pop(hexframe, False)
         del self._pending[hexframe]
         del self._seen_t[hexframe]
         # altitude constraint from the frame itself when decodable
@@ -316,8 +363,12 @@ class mlat_coordinator:
         except Exception:
             pass
         try:
+            # residual bound follows the timestamp grade: ns-stamped
+            # feeds have ~0 genuine residual, float-only wires carry the
+            # ~238 ns quantization (~70 m pseudorange) per station
             return mlat(replies, altitude_ft=alt_ft,
-                        alt_datum=self.alt_datum, reject_outliers=True)
+                        alt_datum=self.alt_datum, reject_outliers=True,
+                        max_resid_m=100.0 if all_ns else 300.0)
         except MlatNonConvergeError:
             return None
 
@@ -326,3 +377,4 @@ class mlat_coordinator:
                   if now - t > 10 * self.window_s]:
             self._pending.pop(h, None)
             self._seen_t.pop(h, None)
+            self._all_ns.pop(h, None)

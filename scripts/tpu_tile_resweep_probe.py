@@ -125,12 +125,20 @@ def bench_variant(label, tile, nbuf):
     del di, dq
 
 
-for tile in (16384, 32768, 65536, 131072):
+# Full swept set (r3 measured): tiles at nbuf=2, then nbuf variants at
+# the winning tile. 524288 exceeds the 16 MB scoped-VMEM limit and is
+# expected to fail compile; it stays in the list so the boundary is
+# re-checked when the kernel or toolchain changes.
+VARIANTS = [(t, DEFAULT_NBUF) for t in
+            (16384, 32768, 65536, 131072, 262144, 524288)] + \
+           [(131072, n) for n in (1, 3, 4)]
+for tile, nbuf in VARIANTS:
     try:
-        bench_variant(f"tile={tile} nbuf={DEFAULT_NBUF}", tile, DEFAULT_NBUF)
+        bench_variant(f"tile={tile} nbuf={nbuf}", tile, nbuf)
     except Exception as e:
-        print(f"# tile={tile}: {type(e).__name__}: {e}", flush=True)
+        print(f"# tile={tile} nbuf={nbuf}: {type(e).__name__}: {e}",
+              flush=True)
 
-best_tile = max(results, key=lambda r: r[1])[0] if results else None
-print("RESULT", results, "best:", best_tile, flush=True)
+best = max(results, key=lambda r: r[1])[0] if results else None
+print("RESULT", results, "best:", best, flush=True)
 os._exit(0)

@@ -157,10 +157,12 @@ def test_coordinator_ns_extension_sub_50m():
 def test_mlat_outlier_rejection_leave_one_out():
     """A garbled arrival (multipath / counter glitch) silently biases
     plain least squares; with reject_outliers and identifiable
-    redundancy (n >= 6) the solver drops it and recovers the position.
-    Below the identifiability floor it refuses rather than emitting a
+    redundancy (subsets over-determined by >= 2: n >= 6 with altitude,
+    n >= 7 without) the solver drops it and recovers the position.
+    Below the floor it refuses a tripped bound rather than emitting a
     confidently wrong fix."""
     target = (47.1, 8.25, 9144.0)
+    alt_ft = target[2] / 0.3048
     stations6 = STATIONS4 + [(47.30, 8.35, 700.0), (46.90, 8.10, 550.0)]
     t_ecef = mlat.llh2ecef(target)
     replies = {}
@@ -174,18 +176,18 @@ def test_mlat_outlier_rejection_leave_one_out():
     err_b = np.hypot((lat_b - target[0]) * 111_320.0,
                      (lon_b - target[1]) * 111_320.0 *
                      np.cos(np.radians(target[0])))
-    lat_r, lon_r, _ = mlat.mlat(replies, reject_outliers=True,
-                                max_resid_m=100.0)
+    lat_r, lon_r, _ = mlat.mlat(replies, altitude_ft=alt_ft,
+                                reject_outliers=True, max_resid_m=100.0)
     err_r = np.hypot((lat_r - target[0]) * 111_320.0,
                      (lon_r - target[1]) * 111_320.0 *
                      np.cos(np.radians(target[0])))
     assert err_r < 50.0, err_r
     assert err_b > 10 * max(err_r, 1.0), (err_b, err_r)
 
-    # 5 stations without altitude: the subsets are exactly determined
-    # (unidentifiable) -- must refuse once the bound trips, not emit a
-    # confidently wrong fix
+    # below the identifiability floor (n=5, altitude known): refuse once
+    # the bound trips, never emit a confidently wrong fix
     sub = {s: replies[s] for s in stations6[:5]}   # keeps the bad one
     assert mlat.mlat(sub) is not None              # parity path solves
     with pytest.raises(MlatNonConvergeError):
-        mlat.mlat(sub, reject_outliers=True, max_resid_m=100.0)
+        mlat.mlat(sub, altitude_ft=alt_ft, reject_outliers=True,
+                  max_resid_m=50.0)
