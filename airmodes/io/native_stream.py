@@ -120,6 +120,88 @@ class _PlanarSource:
         self.stream.close()
 
 
+def _pipeline(produce, dispatch, depth, on_exit):
+    """Generic feeder -> dispatcher -> consumer pipeline.
+
+    produce(stop) is a generator of feed items, run on a FEEDER thread
+    (the native framing/AGC/quantize passes live there); dispatch(item)
+    runs on a DISPATCH thread (device calls only); the returned
+    generator yields dispatch results, in order, on the caller's thread.
+    Exceptions from either thread re-raise in the caller. on_exit(dead)
+    runs at teardown with whether both workers have exited — freeing
+    native resources under a live worker is a use-after-free, so callers
+    leak them instead when a worker is still inside a long native/device
+    call (it hits the closed-handle guard when it returns).
+    """
+    feed_q: queue.Queue = queue.Queue(maxsize=2)
+    out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
+    sentinel = object()
+
+    def feeder() -> None:
+        try:
+            for item in produce(stop):
+                feed_q.put(item)
+        except BaseException as e:
+            feed_q.put(e)
+        finally:
+            feed_q.put(sentinel)
+
+    def dispatcher() -> None:
+        try:
+            while not stop.is_set():
+                item = feed_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                out_q.put(dispatch(item))
+        except BaseException as e:  # surface in the consumer
+            out_q.put(e)
+        finally:
+            out_q.put(sentinel)
+
+    fth = threading.Thread(target=feeder, daemon=True,
+                           name="airmodes-feeder")
+    dth = threading.Thread(target=dispatcher, daemon=True,
+                           name="airmodes-dispatch")
+    fth.start()
+    dth.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        _drain_until_dead(feed_q, fth)
+        try:  # wake a dispatcher whose sentinel was consumed by the drain
+            feed_q.put_nowait(sentinel)
+        except queue.Full:
+            pass
+        _drain_until_dead(out_q, dth)
+        on_exit(not fth.is_alive() and not dth.is_alive())
+
+
+def _drain_until_dead(out_q: queue.Queue, th: threading.Thread,
+                      deadline_s: float = 10.0) -> None:
+    """Unblock a worker stuck in a full-queue put (including the sentinel
+    put in its finally) by draining REPEATEDLY while joining — one drain
+    is not enough: the unblocked put refills the bounded queue before
+    the thread reaches its stop check."""
+    import time as _t
+    deadline = _t.time() + deadline_s
+    while th.is_alive() and _t.time() < deadline:
+        try:
+            out_q.get_nowait()
+        except queue.Empty:
+            pass
+        th.join(timeout=0.05)
+
+
 def run_native_pipelined(
     cfg: DspConfig,
     *,
@@ -139,118 +221,52 @@ def run_native_pipelined(
     """Drive a file/UDP capture through the native runtime + planar demod.
 
     Generator yielding one wire-message list per owned block, in stream
-    order. Dispatch (native framing + device calls) runs on a background
-    thread with `depth` batches in flight; decode (table fetch + unpack +
-    message formatting) runs on the caller's thread, so plugin fan-out
-    never stalls the device."""
+    order. Native framing runs on a feeder thread, device calls on a
+    dispatch thread with `depth` batches in flight; decode (table fetch
+    + unpack + message formatting) runs on the caller's thread, so
+    plugin fan-out never stalls the device."""
     name, step, P = _planar_step(cfg)
     src = _PlanarSource(cfg, P, path=path, fmt=fmt, udp_host=udp_host,
                         udp_port=udp_port, start_sample=start_sample,
                         throttle_sps=throttle_sps)
-    feed_q: queue.Queue = queue.Queue(maxsize=2)
-    out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
-    stop = threading.Event()
-    _SENTINEL = object()
 
-    def feeder() -> None:
-        # The framing + AGC scan + quantize + planar split (the C++
-        # converter) runs HERE, overlapped with both the dispatcher's
-        # device calls and the consumer's decode — on the dispatch
-        # thread it serialized ~30-50 ms/block of host passes against
-        # the device (measured as an e2e drop when AGC landed).
-        try:
-            n_done = 0
-            while not stop.is_set():
-                if max_blocks is not None and n_done >= max_blocks:
+    def produce(stop):
+        n_done = 0
+        while not stop.is_set():
+            if max_blocks is not None and n_done >= max_blocks:
+                return
+            b = batch
+            if max_blocks is not None:
+                b = min(b, max_blocks - n_done)
+            xi = np.zeros((batch, P), np.int8)
+            xq = np.zeros((batch, P), np.int8)
+            rows: List[tuple] = []     # (start_sample, full_scale)
+            for j in range(b):
+                st = src.next_row(xi[j], xq[j], scale=scale)
+                if st is None:
                     break
-                b = batch
-                if max_blocks is not None:
-                    b = min(b, max_blocks - n_done)
-                xi = np.zeros((batch, P), np.int8)
-                xq = np.zeros((batch, P), np.int8)
-                rows: List[tuple] = []     # (start_sample, full_scale)
-                for j in range(b):
-                    st = src.next_row(xi[j], xq[j], scale=scale)
-                    if st is None:
-                        break
-                    rows.append(st)
-                if not rows:
-                    break
-                feed_q.put((xi, xq, rows))
-                n_done += len(rows)
-                if len(rows) < b:
-                    break
-        except BaseException as e:
-            feed_q.put(e)
-        finally:
-            feed_q.put(_SENTINEL)
+                rows.append(st)
+            if not rows:
+                return
+            # padding rows stay zero (silence): no detections, cheap
+            yield xi, xq, rows
+            n_done += len(rows)
+            if len(rows) < b:
+                return
 
-    def dispatcher() -> None:
-        try:
-            while not stop.is_set():
-                item = feed_q.get()
-                if item is _SENTINEL:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                xi, xq, rows = item
-                # padding rows stay zero (silence): no detections, cheap
-                out_q.put((step(xi, xq), rows))
-        except BaseException as e:  # surface in the consumer
-            out_q.put(e)
-        finally:
-            out_q.put(_SENTINEL)
-
-    fth = threading.Thread(target=feeder, daemon=True,
-                           name="airmodes-feeder")
-    th = threading.Thread(target=dispatcher, daemon=True,
-                          name="airmodes-dispatch")
-    fth.start()
-    th.start()
-    try:
-        while True:
-            item = out_q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            packed, rows = item
-            arr = np.asarray(packed)
-            for j, (start, fs) in enumerate(rows):
-                table = unpack_table(arr[j])
-                yield host_mod.table_to_messages(
-                    table, start, cfg.channel_rate, epoch=epoch,
-                    stats=stats, full_scale=fs)
-    finally:
-        stop.set()
-        _drain_until_dead(feed_q, fth)
-        try:  # wake a dispatcher whose sentinel was consumed by the drain
-            feed_q.put_nowait(_SENTINEL)
-        except queue.Full:
-            pass
-        _drain_until_dead(out_q, th)
-        if not fth.is_alive() and not th.is_alive():
+    def on_exit(dead: bool) -> None:
+        if dead:
             src.close()
-        # else: a worker is still inside a native/device call (e.g. a
-        # minutes-long first compile) — freeing the stream under it
-        # would be a use-after-free; leak it and let the daemon thread
-        # hit the closed-handle guard when it returns
 
-
-def _drain_until_dead(out_q: queue.Queue, th: threading.Thread,
-                      deadline_s: float = 10.0) -> None:
-    """Unblock a dispatcher stuck in a full-queue put (including the
-    sentinel put in its finally) by draining REPEATEDLY while joining —
-    one drain is not enough: the unblocked put refills the bounded
-    queue before the thread reaches its stop check."""
-    import time as _t
-    deadline = _t.time() + deadline_s
-    while th.is_alive() and _t.time() < deadline:
-        try:
-            out_q.get_nowait()
-        except queue.Empty:
-            pass
-        th.join(timeout=0.05)
+    for packed, rows in _pipeline(
+            produce, lambda it: (step(it[0], it[1]), it[2]), depth,
+            on_exit):
+        arr = np.asarray(packed)
+        for j, (start, fs) in enumerate(rows):
+            table = unpack_table(arr[j])
+            yield host_mod.table_to_messages(
+                table, start, cfg.channel_rate, epoch=epoch,
+                stats=stats, full_scale=fs)
 
 
 def run_native_channels(
@@ -273,93 +289,50 @@ def run_native_channels(
     srcs = [_PlanarSource(cfg, P, path=p, fmt=fmt,
                           start_sample=start_sample) for p in paths]
     C = len(srcs)
-    feed_q: queue.Queue = queue.Queue(maxsize=2)
-    out_q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
-    stop = threading.Event()
-    _SENTINEL = object()
 
-    def feeder() -> None:
-        # C x per-step native conversion passes run here, overlapped
-        # with dispatch/decode (same split as run_native_pipelined)
-        try:
-            ended = [False] * C
-            n_steps = 0
-            while not stop.is_set() and not all(ended):
-                if max_blocks is not None and n_steps >= max_blocks:
-                    break
-                xi = np.zeros((C, P), np.int8)
-                xq = np.zeros((C, P), np.int8)
-                starts = [0] * C
-                scales = [1.0] * C
-                live = [False] * C
-                for c in range(C):
-                    if ended[c]:
-                        continue
-                    st = srcs[c].next_row(xi[c], xq[c], scale=scale)
-                    if st is None:
-                        ended[c] = True
-                        xi[c] = 0
-                        xq[c] = 0
-                    else:
-                        starts[c], scales[c] = st
-                        live[c] = True
-                if not any(live):
-                    break
-                feed_q.put((xi, xq, starts, scales, live))
-                n_steps += 1
-        except BaseException as e:
-            feed_q.put(e)
-        finally:
-            feed_q.put(_SENTINEL)
-
-    def dispatcher() -> None:
-        try:
-            while not stop.is_set():
-                item = feed_q.get()
-                if item is _SENTINEL:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                xi, xq, starts, scales, live = item
-                out_q.put((step(xi, xq), starts, scales, live))
-        except BaseException as e:
-            out_q.put(e)
-        finally:
-            out_q.put(_SENTINEL)
-
-    fth = threading.Thread(target=feeder, daemon=True,
-                           name="airmodes-feeder-mc")
-    th = threading.Thread(target=dispatcher, daemon=True,
-                          name="airmodes-dispatch-mc")
-    fth.start()
-    th.start()
-    try:
-        while True:
-            item = out_q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            packed, starts, scales, live = item
-            arr = np.asarray(packed)
-            out: List[List[str]] = []
+    def produce(stop):
+        ended = [False] * C
+        n_steps = 0
+        while not stop.is_set() and not all(ended):
+            if max_blocks is not None and n_steps >= max_blocks:
+                return
+            xi = np.zeros((C, P), np.int8)
+            xq = np.zeros((C, P), np.int8)
+            starts = [0] * C
+            scales = [1.0] * C
+            live = [False] * C
             for c in range(C):
-                if not live[c]:
-                    out.append([])
+                if ended[c]:
                     continue
-                table = unpack_table(arr[c])
-                out.append(host_mod.table_to_messages(
-                    table, starts[c], cfg.channel_rate, epoch=epoch,
-                    stats=stats, full_scale=scales[c]))
-            yield out
-    finally:
-        stop.set()
-        _drain_until_dead(feed_q, fth)
-        try:  # wake a dispatcher whose sentinel was consumed by the drain
-            feed_q.put_nowait(_SENTINEL)
-        except queue.Full:
-            pass
-        _drain_until_dead(out_q, th)
-        if not fth.is_alive() and not th.is_alive():
-            for s in srcs:          # freeing a stream under a live
-                s.close()           # worker would be a use-after-free
+                st = srcs[c].next_row(xi[c], xq[c], scale=scale)
+                if st is None:
+                    ended[c] = True
+                    xi[c] = 0
+                    xq[c] = 0
+                else:
+                    starts[c], scales[c] = st
+                    live[c] = True
+            if not any(live):
+                return
+            yield xi, xq, starts, scales, live
+            n_steps += 1
+
+    def on_exit(dead: bool) -> None:
+        if dead:
+            for s in srcs:
+                s.close()
+
+    for packed, starts, scales, live in _pipeline(
+            produce, lambda it: (step(it[0], it[1]),) + it[2:], depth,
+            on_exit):
+        arr = np.asarray(packed)
+        out: List[List[str]] = []
+        for c in range(C):
+            if not live[c]:
+                out.append([])
+                continue
+            table = unpack_table(arr[c])
+            out.append(host_mod.table_to_messages(
+                table, starts[c], cfg.channel_rate, epoch=epoch,
+                stats=stats, full_scale=scales[c]))
+        yield out
