@@ -373,26 +373,36 @@ def main():
     # relay-ceiling proof: the SAME loop with no demod at all — ship each
     # int8 batch host->device and fetch an 8-lane touch. If this matches
     # the streaming figure, the transport (dev-harness relay), not the
-    # demod design, is the streaming ceiling.
-    import jax.numpy as jnp
+    # demod design, is the streaming ceiling. Measured TWICE, bracketing
+    # the e2e run below: the relay's bulk rate drifts within a session
+    # (r3 sessions measured e2e/h2d ratios 0.6-1.9 from mood alone), so
+    # the product-path ratio is only meaningful against near-in-time
+    # controls.
 
     @jax.jit
     def touch(a, b):
         return (a[0, :8].astype(jnp.int32).sum()
                 + b[0, :8].astype(jnp.int32).sum())
 
-    np.asarray(touch(xi, xq))
-    t0 = time.time()
-    for _ in range(4):
+    def h2d_control():
         np.asarray(touch(xi, xq))
-    h2d_msps = 4 * C * cfg.block_size / (time.time() - t0) / 1e6
+        t0 = time.time()
+        for _ in range(4):
+            np.asarray(touch(xi, xq))
+        return 4 * C * cfg.block_size / (time.time() - t0) / 1e6
+
+    h2d_msps = h2d_control()
 
     # production streaming driver, 1x1 mesh (VERDICT r2 #4)
     pod_msps, pod_ok = bench_podpipeline(
         airmodes.DspConfig(block_size=1 << 22, max_detections=256))
 
-    # product path end-to-end (modes_rx: disk -> ... -> parse -> SQLite)
+    # product path end-to-end (modes_rx: disk -> ... -> parse -> SQLite),
+    # bracketed by a second transport control
     e2e_msps, e2e_ok = bench_e2e(cfg)
+    h2d_msps2 = h2d_control()
+    h2d_near = (h2d_msps + h2d_msps2) / 2.0
+    e2e_vs_h2d = e2e_msps / h2d_near if h2d_near > 0 else 0.0
 
     baseline_msps = 10.0  # reference real-time ceiling on desktop CPU
     result = {
@@ -413,6 +423,8 @@ def main():
         "spurious_by_status": spurious_by_status,
         "e2e_modes_rx_msps": round(e2e_msps, 2),
         "h2d_only_msps": round(h2d_msps, 2),
+        "h2d_only_msps_post": round(h2d_msps2, 2),
+        "e2e_vs_h2d": round(e2e_vs_h2d, 3),
     }
     print(json.dumps(result))
     print(f"# backend={jax.default_backend()} kernel={kernel} "
