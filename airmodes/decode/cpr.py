@@ -212,14 +212,20 @@ class cpr_decoder:
                timestamp: Optional[float] = None):
         t = time.time() if timestamp is None else timestamp
         frames = self.lkplist.setdefault(icao, {})
-        frames[int(cpr_format)] = (encoded_lat, encoded_lon, t)
+        frames[int(cpr_format)] = (encoded_lat, encoded_lon, t,
+                                   bool(surface))
         # Prune the other parity once it can no longer pair with anything
         # current (the reference prunes stale frames inside decode): a stale
         # even/odd pair must not block the my_location local-decode fallback
         # below, and lkplist must not grow without bound in a long-running
-        # receiver. maintain() additionally evicts idle aircraft.
+        # receiver. maintain() additionally evicts idle aircraft. A parity
+        # cached from the OTHER format family is pruned too: an air/ground
+        # transition otherwise global-decodes a mixed airborne/surface pair
+        # (6 deg vs 1.5 deg zone sizes) into an arbitrary position that can
+        # pass every sanity gate.
         other = 1 - int(cpr_format)
-        if other in frames and abs(t - frames[other][2]) > PAIR_WINDOW_S:
+        if other in frames and (abs(t - frames[other][2]) > PAIR_WINDOW_S
+                                or frames[other][3] != bool(surface)):
             del frames[other]
         self._since_maintain += 1
         if self._since_maintain >= 128:

@@ -200,6 +200,12 @@ def mlat(replies: Dict[Tuple[float, float, float], float],
     items = sorted(replies.items(), key=lambda kv: kv[1])
     if len(items) < 3:
         raise MlatNonConvergeError("need >= 3 stations")
+    if len(items) == 3 and altitude_ft is None:
+        # 2 TDOAs cannot fix 3 unknowns: the "solution" is whichever
+        # point of the 1-D ambiguity curve lies nearest the 8 km seed —
+        # a fiction that passes every residual gate. Refuse instead.
+        raise MlatNonConvergeError(
+            "3 stations need an altitude constraint")
     msl = alt_datum == "msl"
 
     try:
@@ -321,12 +327,14 @@ class mlat_coordinator:
             ns = int(parts[6]) if len(parts) > 6 else None
         except ValueError:
             return None
-        if self._tbase_ns is None and math.isfinite(t):
+        if self._tbase_ns is None and (ns is not None or math.isfinite(t)):
+            # anchor from ns when present — a non-finite float field must
+            # not block (or crash) an otherwise ns-grade message
             base = ns if ns is not None else int(t) * 1_000_000_000
             self._tbase_ns = base - base % 1_000_000_000
         if ns is not None:       # ns extension: full counter precision
             t = (ns - self._tbase_ns) * 1e-9
-        elif math.isfinite(t):
+        elif math.isfinite(t) and self._tbase_ns is not None:
             t -= self._tbase_ns * 1e-9
         if not math.isfinite(t):
             return None     # float('nan'/'inf') parses; NaN would sail
@@ -355,13 +363,9 @@ class mlat_coordinator:
         del self._pending[hexframe]
         del self._seen_t[hexframe]
         # altitude constraint from the frame itself when decodable
-        alt_ft = None
-        try:
-            from .parse import parse as _parse
-            rep = _parse().parse(message)
-            alt_ft = rep.altitude_ft
-        except Exception:
-            pass
+        # (function-level import: mlat_net imports this module at top)
+        from .mlat_net import _frame_altitude_ft
+        alt_ft = _frame_altitude_ft(hexframe)
         try:
             # residual bound follows the timestamp grade: ns-stamped
             # feeds have ~0 genuine residual, float-only wires carry the

@@ -43,18 +43,26 @@ class MlatSolution:
 
 
 def _frame_altitude_ft(hexframe: str) -> Optional[float]:
-    """Decoded AC altitude when the frame carries one (DF0/4/16/20) —
-    the 3-station altitude constraint."""
+    """Decoded altitude when the frame carries one — the 3-station
+    altitude constraint: the 13-bit AC field (DF0/4/16/20) or the 12-bit
+    BDS0,5 airborne-position altitude (DF17/18 TC 9-18, 20-22)."""
     nbits = len(hexframe) * 4
     data = int(hexframe, 16)
     df = data >> (nbits - 5)
-    if df not in (0, 4, 16, 20):
-        return None
     try:
-        rep = modes_reply(data, nbits)
-        return decode_alt(rep["ac"], bit13=True)
+        if df in (0, 4, 16, 20):
+            rep = modes_reply(data, nbits)
+            return decode_alt(rep["ac"], bit13=True)
+        if df in (17, 18) and nbits == 112:
+            me = modes_reply(data, nbits)["me"]
+            tc = me >> 51
+            if 9 <= tc <= 18 or 20 <= tc <= 22:
+                alt12 = (me >> 36) & 0xFFF
+                if alt12:
+                    return decode_alt(alt12, bit13=False)
     except ADSBError:
-        return None
+        pass
+    return None
 
 
 C_LIGHT = 299792458.0
@@ -303,14 +311,23 @@ class mlat_correlator:
     def feed(self, station: int, message: str) -> List[MlatSolution]:
         """One wire message ("<df> <hex> ... <timestamp>") from a station;
         returns any solutions that became ready."""
+        # untrusted network input (remote stations over zmq/TCP):
+        # malformed messages drop, never crash the correlator — the same
+        # drop-and-continue contract the coordinator documents
+        import math
         parts = message.split()
-        hexframe, t_abs = parts[1], float(parts[5])
-        ns = None
-        if len(parts) > 6:
-            try:
-                ns = int(parts[6])
-            except ValueError:
-                ns = None
+        if len(parts) < 6:
+            return []
+        try:
+            hexframe = parts[1]
+            int(hexframe, 16)
+            t_abs = float(parts[5])
+            ns = int(parts[6]) if len(parts) > 6 else None
+        except ValueError:
+            return []
+        if ns is None and not math.isfinite(t_abs):
+            return []   # 'nan'/'inf' parses but poisons every window
+            # comparison (NaN > x is False) downstream
         if self._tbase_ns is None:
             base = ns if ns is not None else int(t_abs) * 1_000_000_000
             self._tbase_ns = base - base % 1_000_000_000

@@ -233,7 +233,12 @@ class parse:
             report.on_surface = True
             self._decode_position(rep, report, surface=True)
             mov = rep["mov"]
-            if 2 <= mov <= 124:
+            if mov == 1:
+                # "aircraft stopped" (GS < 0.125 kt) is a real speed
+                # report, distinct from mov=0 (no information)
+                report.speed_kt = 0.0
+                report.speed_type = "GS"
+            elif 2 <= mov <= 124:
                 report.speed_kt = self._surface_speed(mov)
                 report.speed_type = "GS"
             if rep["gts"]:

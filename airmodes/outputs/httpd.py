@@ -89,7 +89,7 @@ function draw(ac){
   resize();cx.clearRect(0,0,cv.width,cv.height);
   drawCoverage();
   cx.strokeStyle='#2a313a';cx.fillStyle='#8fa3b8';cx.font='10px sans-serif';
-  if(rx){
+  if(rx&&rx.lat!==undefined){
     const s=Math.min(cv.width,cv.height)/2/(ringNm*4);
     for(let r=ringNm;r<=ringNm*4;r+=ringNm){
       cx.beginPath();cx.arc(cv.width/2,cv.height/2,r*s,0,7);cx.stroke();
@@ -98,7 +98,7 @@ function draw(ac){
     cx.beginPath();cx.arc(cv.width/2,cv.height/2,3,0,7);cx.fill();
   }
   for(const a of ac){
-    if(a.lat===undefined||!rx)continue;
+    if(a.lat===undefined||!rx||rx.lat===undefined)continue;
     const tr=trails.get(a.hex)||[];
     if(tr.length>1){ // position trail accumulated client-side
       cx.strokeStyle='#2f6a94';cx.beginPath();

@@ -76,9 +76,13 @@ class output_json:
     def _write(self, now: float) -> None:
         doc = build_doc(self._dash, now)
         tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, self.path)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, self.path)
+        except OSError:
+            return  # monitoring output must never take down the receive
+            # chain (same policy as wx/_emit_stats_json); retry next tick
         self._last_write = now
         self.n_writes += 1
 

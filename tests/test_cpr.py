@@ -99,7 +99,7 @@ def test_decoder_range_check():
     far = (45.0, 45.0)
     even = cpr.cpr_encode(*far, odd=False, surface=False)
     odd = cpr.cpr_encode(*far, odd=True, surface=False)
-    dec.lkplist[1] = {0: (*even, 100.0)}
+    dec.lkplist[1] = {0: (*even, 100.0, False)}
     with pytest.raises(CPRNoPositionError):
         dec.decode(1, odd[0], odd[1], 1, timestamp=100.5)
 
@@ -113,7 +113,7 @@ def test_range_bearing():
 
 def test_maintain_evicts():
     dec = cpr.cpr_decoder()
-    dec.lkplist[1] = {0: (1, 2, 100.0)}
+    dec.lkplist[1] = {0: (1, 2, 100.0, False)}
     dec.poslist[1] = (1.0, 2.0, 100.0)
     dec.maintain(now=100.0 + 120.0)
     assert not dec.lkplist and not dec.poslist
@@ -177,3 +177,31 @@ def test_cache_bounded_by_periodic_maintain():
     # 60 s eviction + maintain every 128 decodes: far fewer than 4000 live
     assert len(dec.lkplist) < 300
     assert len(dec.poslist) < 300
+
+
+def test_air_ground_transition_does_not_mix_cpr_pair():
+    """Landing aircraft: a cached airborne even frame must not global-
+    pair with a fresh surface odd frame (6 deg vs 1.5 deg zone sizes
+    decode mixed pairs into arbitrary positions that can pass every
+    sanity gate)."""
+    truth = (47.3, 8.2)
+    dec = cpr.cpr_decoder(my_location=None)
+    ev_air = cpr.cpr_encode(*truth, odd=False, surface=False)
+    od_sur = cpr.cpr_encode(*truth, odd=True, surface=True)
+    with pytest.raises(CPRNoPositionError):   # single frame, no ref
+        dec.decode(1, ev_air[0], ev_air[1], 0, surface=False,
+                   timestamp=100.0)
+    # mixed pair with no reference: the cached airborne even must be
+    # invalidated (not paired) -> still no position, never garbage
+    with pytest.raises(CPRNoPositionError):
+        dec.decode(1, od_sur[0], od_sur[1], 1, surface=True,
+                   timestamp=103.0)
+    assert 0 not in dec.lkplist[1]            # stale airborne pruned
+    # a matching surface even completes a clean surface pair (with ref)
+    dec2 = cpr.cpr_decoder(my_location=(47.0, 8.0))
+    ev_sur = cpr.cpr_encode(*truth, odd=False, surface=True)
+    dec2.decode(2, ev_air[0], ev_air[1], 0, surface=False, timestamp=100.0)
+    dec2.decode(2, ev_sur[0], ev_sur[1], 0, surface=True, timestamp=102.0)
+    lat, lon, _, _ = dec2.decode(2, od_sur[0], od_sur[1], 1, surface=True,
+                                 timestamp=103.0)
+    assert abs(lat - truth[0]) < 0.01 and abs(lon - truth[1]) < 0.01

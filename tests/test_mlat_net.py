@@ -65,7 +65,10 @@ def test_correlator_3_station_altitude_constraint():
 def test_correlator_keeps_earliest_arrival_and_needs_min():
     corr = mlat_correlator(STATIONS, min_stations=3,
                            alt_datum="ellipsoid")
-    frame = encoder.df17_frame(0x111111, encoder.me_identification("X"))
+    # altitude-carrying position frame: 3-station groups need the
+    # altitude constraint (2 TDOAs cannot fix 3 unknowns)
+    frame = encoder.df17_frame(0x111111, encoder.me_airborne_position(
+        AIRCRAFT[2] / 0.3048, AIRCRAFT[0], AIRCRAFT[1], odd=False))
     ts = _arrivals(AIRCRAFT, STATIONS)
     corr.feed(0, _wire(frame, 112, ts[0]))
     corr.feed(0, _wire(frame, 112, ts[0] + 2e-6))  # multipath copy: later
@@ -97,7 +100,8 @@ def test_modes_mlat_app_over_zmq(capsys):
     th.start()
     time.sleep(1.0)                         # let SUB sockets connect
 
-    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("NET1"))
+    frame = encoder.df17_frame(0x4840D6, encoder.me_airborne_position(
+        AIRCRAFT[2] / 0.3048, AIRCRAFT[0], AIRCRAFT[1], odd=False))
     ts = _arrivals(AIRCRAFT, STATIONS[:3])
     for i in range(3):
         pubs[i].publish("dl_data", _wire(frame, 112, ts[i]))
