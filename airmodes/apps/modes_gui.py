@@ -147,8 +147,8 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
                 # coverage diagram (the curses twin of the Qt az_map)
                 from ..outputs.az_map import render_ascii
                 maxy, maxx = scr.getmaxyx()
-                scr.addstr(0, 0, "airmodes coverage — max range per "
-                                 "bearing (m: table, q: quit)",
+                scr.addstr(0, 0, ("airmodes coverage — max range per "
+                                  "bearing (m: table, q: quit)")[: maxx - 1],
                            curses.A_BOLD)
                 live = [(r[10], r[9], (r[1] or r[0]))
                         for r in rows if r[9] is not None]  # brg, rng, id
@@ -160,13 +160,17 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
                 dash.prune()
                 time.sleep(0.5)
                 continue
-            scr.addstr(0, 0, f"airmodes live — {len(rows)} aircraft "
-                             f"(m: coverage map, q: quit)", curses.A_BOLD)
+            maxy, maxx = scr.getmaxyx()
+            scr.addstr(0, 0, (f"airmodes live — {len(rows)} aircraft "
+                              f"(m: coverage map, q: quit)")[: maxx - 1],
+                       curses.A_BOLD)
             hdr = (f"{'icao':7s}{'ident':9s}{'sqk':5s}{'alt':>7s}{'spd':>5s}"
                    f"{'hdg':>5s}{'vs':>7s}{'lat':>10s}{'lon':>11s}"
                    f"{'rng':>7s}{'brg':>5s}{'dBFS':>7s}  emergency")
-            scr.addstr(2, 0, hdr, curses.A_UNDERLINE)
-            maxy, maxx = scr.getmaxyx()
+            # slice like the data rows: the 96-char header otherwise
+            # wraps over row 3 on an 80-column terminal (or aborts the
+            # UI entirely on a window too short for the wrapped line)
+            scr.addstr(2, 0, hdr[: maxx - 1], curses.A_UNDERLINE)
             for i, r in enumerate(rows[: maxy - 4]):
                 (icao, ident, sqk, alt, spd, hdg, vs, lat, lon, rng, brg,
                  emerg, rssi, _) = r
@@ -260,9 +264,8 @@ def main(argv=None) -> int:
                 cli.close()
             return
         from ..config import DspConfig
-        from ..dsp import host
-        from ..dsp.pipeline import demod_block_packed_jit, iq_to_device_layout, unpack_table
         from ..io import sources as src_mod
+        from ..io.stream import run_pipelined
         cfg = DspConfig(channel_rate=args.channel_rate,
                         threshold_db=args.threshold,
                         block_size=args.block_size,
@@ -275,13 +278,20 @@ def main(argv=None) -> int:
             blocks = src_mod.file_source(source, cfg,
                                          dtype=args.file_format)
         epoch = time.time()
-        for block, start in blocks:
+        # the same pipelined runner as modes_rx: per-block synchronous
+        # dispatch+fetch costs ~60-75 ms of dead relay time per block;
+        # run_pipelined keeps --depth steps in flight and honors
+        # --int8/--batch (batch auto-sizes like modes_rx)
+        batch = args.batch
+        if batch <= 0:
+            import jax
+            batch = 8 if jax.default_backend() == "tpu" else 1
+        for msgs in run_pipelined(blocks, cfg, epoch=epoch, batch=batch,
+                                  quantize_i8=args.int8,
+                                  depth=args.depth):
             if stop.is_set():
                 return
-            table = unpack_table(
-                demod_block_packed_jit(iq_to_device_layout(block), cfg))
-            for m in host.table_to_messages(table, start, cfg.channel_rate,
-                                            epoch=epoch):
+            for m in msgs:
                 emit(m)
             if args.throttle:
                 time.sleep(cfg.block_size / cfg.channel_rate)

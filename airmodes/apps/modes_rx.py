@@ -157,25 +157,15 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     from ..io import native_stream
     from ..io import sources as src_mod
     from ..io.stream import run_channels
-    from ..resample.polyphase import rational_rate, streaming_resampler
 
     needs_resample = abs(args.rate - cfg.channel_rate) > 1e-3
 
     def resampled_channel(path):
-        # per-channel streaming resampler, mirroring the single-channel
-        # path (each channel owns its filter state and framer)
-        p_up, q_dn = rational_rate(args.rate, cfg.channel_rate)
-        rs = streaming_resampler(p_up, q_dn)
-        in_skip = (args.start_sample * q_dn) // p_up
-
-        def blocks():
-            framer = src_mod.buffered_framer(cfg, args.start_sample)
-            for chunk in src_mod.raw_file_chunks(
-                    path, dtype=args.file_format, offset_samples=in_skip):
-                yield from framer.push(rs.push(chunk))
-            yield from framer.push(rs.flush())
-            yield from framer.flush()
-        return blocks()
+        # per-channel streaming resampler (each channel owns its filter
+        # state and framer); shared helper with the single-channel path
+        return src_mod.resampled_file_source(
+            path, cfg, dtype=args.file_format, rate_in=args.rate,
+            start_sample=args.start_sample)
 
     chans = []
     for s in srcs:
@@ -214,18 +204,29 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
         step_iter = native_stream.run_native_channels(
             list(srcs), cfg, fmt=args.file_format,
             start_sample=args.start_sample, epoch=epoch, stats=stats,
-            max_blocks=args.max_blocks, scale=args.i8_scale)
+            depth=args.depth, max_blocks=args.max_blocks,
+            scale=args.i8_scale)
     else:
         step_iter = run_channels(chans, cfg, epoch=epoch, stats=stats,
-                                 quantize_i8=args.int8)
+                                 depth=args.depth, quantize_i8=args.int8)
     try:
         for step_msgs in step_iter:
             for c, msgs in enumerate(step_msgs):
-                for m in msgs:
+                for m in msgs or []:
                     bus.publish("dl_data", m)
                     bus.publish(f"dl_data/ch{c}", m)
             n_steps += 1
-            samples_done += len(step_msgs) * cfg.block_size
+            # dead channels yield None: count only LIVE channels so the
+            # reported aggregate rate doesn't inflate after a shorter
+            # capture ends
+            samples_done += cfg.block_size * sum(
+                1 for m in step_msgs if m is not None)
+            if args.throttle:
+                # one step = one block of per-channel stream time
+                ahead = (n_steps * cfg.block_size / cfg.channel_rate
+                         - (time.time() - epoch))
+                if ahead > 0:
+                    time.sleep(ahead)
             ivl = args.stats_interval or (10.0 if args.stats_json else 0)
             if ivl and time.time() - t_stats > ivl:
                 rate = samples_done / (time.time() - epoch) / 1e6
@@ -406,7 +407,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..dsp import host
     from ..io import sources as src_mod
     from ..io.relay import local_pubsub
-    from ..resample.polyphase import rational_rate
 
     cfg = DspConfig(channel_rate=args.channel_rate,
                     threshold_db=args.threshold,
@@ -516,24 +516,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.source in ("udp", "synthetic"):
             print("resampling is only wired for file sources", file=sys.stderr)
             return 2
-        from ..resample.polyphase import streaming_resampler
-        p_up, q_dn = rational_rate(args.rate, cfg.channel_rate)
-        rs = streaming_resampler(p_up, q_dn)
-        # --start-sample is in OUTPUT (channel-rate) samples; seek the
-        # input to the corresponding raw offset (nearest sample — resume
-        # phase is approximate to < 1 chip, fine for re-acquisition) and
-        # resume the global counter so timestamps stay continuous
-        in_skip = (args.start_sample * q_dn) // p_up
-
-        def resampled_blocks():
-            framer = src_mod.buffered_framer(cfg, args.start_sample)
-            for chunk in src_mod.raw_file_chunks(
-                    args.source, dtype=args.file_format,
-                    offset_samples=in_skip):
-                yield from framer.push(rs.push(chunk))
-            yield from framer.push(rs.flush())
-            yield from framer.flush()
-        blocks = resampled_blocks()
+        blocks = src_mod.resampled_file_source(
+            args.source, cfg, dtype=args.file_format, rate_in=args.rate,
+            start_sample=args.start_sample)
     elif args.source == "udp":
         blocks = src_mod.udp_source(cfg, port=args.udp_port)
     elif args.source == "synthetic":

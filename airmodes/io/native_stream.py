@@ -284,7 +284,8 @@ def run_native_channels(
     """Native multi-channel loop: C file captures, one batched device call
     per time step down the channel axis (mirrors io.stream.run_channels
     with the native framer + planar kernel + threaded dispatch). Ended
-    channels ride along as silence until all end."""
+    channels ride along as silence until all end, yielding None per dead
+    channel (a live channel with no traffic yields [])."""
     name, step, P = _planar_step(cfg)
     srcs = [_PlanarSource(cfg, P, path=p, fmt=fmt,
                           start_sample=start_sample) for p in paths]
@@ -326,10 +327,10 @@ def run_native_channels(
             produce, lambda it: (step(it[0], it[1]),) + it[2:], depth,
             on_exit):
         arr = np.asarray(packed)
-        out: List[List[str]] = []
+        out: List[Optional[List[str]]] = []
         for c in range(C):
             if not live[c]:
-                out.append([])
+                out.append(None)
                 continue
             table = unpack_table(arr[c])
             out.append(host_mod.table_to_messages(

@@ -50,10 +50,12 @@ def frame_to_wire(hexframe: str, ref_dbfs: float = 0.0,
     nbits = len(hexframe) * 4
     if nbits not in (56, 112):
         return None
-    try:
-        data = int(hexframe, 16)
-    except ValueError:
+    # strict charset: int(x, 16) also accepts '0x' prefixes, '_'
+    # separators and sign characters, which would pass the length check
+    # while parsing a different bit count — garbled frames must drop
+    if any(c not in "0123456789abcdef" for c in hexframe):
         return None
+    data = int(hexframe, 16)
     df5 = data >> (nbits - 5)
     df = 24 if df5 >> 3 == 3 else df5
     # same DF whitelist as the slicer (dsp/pipeline.py crc_check_and_correct):
@@ -331,6 +333,12 @@ class net_client:
                     got = avr_to_hex(rec)
                     if got is not None:
                         self._emit(got[0], None, got[1])
+                if len(avr_buf) > 65536:
+                    # a record-less byte stream (wrong port, proxy
+                    # banner, binary feed) must not grow memory at line
+                    # rate forever; drop the garbage and keep listening
+                    self.n_dropped += 1
+                    avr_buf = b""
 
     def _run(self) -> None:
         while not self._stop.is_set():

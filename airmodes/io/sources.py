@@ -264,3 +264,28 @@ def open_source(src: SourceConfig, cfg: DspConfig) -> Iterator[Block]:
             f"SDR hardware source '{src.kind}' requires UHD/osmosdr drivers, "
             "which are not present on this system; use file/udp sources")
     raise ValueError(f"unknown source kind {src.kind}")
+
+
+def resampled_file_source(path: str, cfg: DspConfig, *, dtype: str,
+                          rate_in: float,
+                          start_sample: int = 0) -> Iterator[Block]:
+    """File capture at rate_in -> streaming polyphase resample to the
+    channel rate -> framed blocks (the resampling twin of file_source;
+    ref: the reference's pfb_arb_resampler front-end).
+
+    start_sample is in OUTPUT (channel-rate) samples; the input seek is
+    the nearest raw sample (resume phase approximate to < 1 chip, fine
+    for re-acquisition) and the global counter resumes there so
+    timestamps stay continuous. Shared by modes_rx's single- and
+    multi-channel paths.
+    """
+    from ..resample.polyphase import rational_rate, streaming_resampler
+    p_up, q_dn = rational_rate(rate_in, cfg.channel_rate)
+    rs = streaming_resampler(p_up, q_dn)
+    in_skip = (start_sample * q_dn) // p_up
+    framer = buffered_framer(cfg, start_sample)
+    for chunk in raw_file_chunks(path, dtype=dtype,
+                                 offset_samples=in_skip):
+        yield from framer.push(rs.push(chunk))
+    yield from framer.push(rs.flush())
+    yield from framer.flush()

@@ -64,6 +64,23 @@ def _batch_step(cfg: DspConfig):
     return step
 
 
+def _dev_layout(block, quantize_i8: bool):
+    """(device array, full_scale): quantization applies a per-block gain
+    of 120/peak and the kernels rescale int8 by 1/127, so the measured
+    ref_level is (gain/127)^2 times the float power — full_scale carries
+    that factor to table_to_messages so reported dBFS stays referenced
+    to the ORIGINAL float full scale, consistent across blocks (the
+    native C++ AGC path, iqstream.cc, applies the identical rule)."""
+    x = iq_to_device_layout(block)
+    fs = 1.0
+    if quantize_i8 and x.dtype == np.float32:
+        peak = float(np.max(np.abs(x))) or 1.0
+        gain = 120.0 / peak
+        x = np.clip(np.round(x * gain), -127, 127).astype(np.int8)
+        fs = gain / 127.0
+    return x, fs
+
+
 def run_pipelined(
     blocks: Iterable[Tuple[np.ndarray, int]],
     cfg: DspConfig,
@@ -90,19 +107,7 @@ def run_pipelined(
     inflight: deque = deque()
 
     def to_dev_layout(block):
-        """(device array, full_scale): quantization applies a per-block gain
-        of 120/peak and the kernels rescale int8 by 1/127, so the measured
-        ref_level is (gain/127)^2 times the float power — full_scale carries
-        that factor to table_to_messages so reported dBFS stays referenced
-        to the ORIGINAL float full scale, consistent across blocks."""
-        x = iq_to_device_layout(block)
-        fs = 1.0
-        if quantize_i8 and x.dtype == np.float32:
-            peak = float(np.max(np.abs(x))) or 1.0
-            gain = 120.0 / peak
-            x = np.clip(np.round(x * gain), -127, 127).astype(np.int8)
-            fs = gain / 127.0
-        return x, fs
+        return _dev_layout(block, quantize_i8)
 
     def drain_one():
         packed, starts, scales, n_real = inflight.popleft()
@@ -164,36 +169,34 @@ def run_channels(
     (one per SDR channel / capture) batched down the leading axis of ONE
     device call per time step — the single-chip realization of the mesh's
     "channel" data-parallel axis (SURVEY.md §2.7; BASELINE config 4's
-    multi-channel batch). Yields one List[List[str]] per step: entry c is
-    channel c's wire messages, timestamped by that channel's own sample
-    counter. Channels may end at different times; ended channels ride
-    along as silence (no messages) until all end."""
+    multi-channel batch). Yields one List[Optional[List[str]]] per step:
+    entry c is channel c's wire messages, timestamped by that channel's
+    own sample counter. Channels may end at different times; ended
+    channels ride along as silence until all end, yielding None
+    (distinct from a live channel's empty message list, so callers can
+    account throughput by live channels only)."""
     C = len(channel_blocks)
     if C == 0:
         return
     iters = [iter(cb) for cb in channel_blocks]
     step = step or _batch_step(cfg)
     inflight: deque = deque()
-    n_frame = cfg.left_halo + cfg.block_size + cfg.right_halo
-    zero = np.zeros(n_frame, np.complex64)
+    # converted silence for ended channels, built lazily PER LIVE DTYPE:
+    # a complex64 zero block stacked against live int8 blocks would
+    # upcast the whole batch to float32 — silently dropping the planar
+    # int8 kernel and breaking the 1/127 dBFS rescale for every channel
+    zero_dev: dict = {}
 
     def to_dev_layout(block):
-        x = iq_to_device_layout(block)
-        fs = 1.0
-        if quantize_i8 and x.dtype == np.float32:
-            peak = float(np.max(np.abs(x))) or 1.0
-            gain = 120.0 / peak
-            x = np.clip(np.round(x * gain), -127, 127).astype(np.int8)
-            fs = gain / 127.0
-        return x, fs
+        return _dev_layout(block, quantize_i8)
 
-    def drain_one() -> List[List[str]]:
+    def drain_one() -> List[Optional[List[str]]]:
         packed, starts, scales, live = inflight.popleft()
         arr = np.asarray(packed)
-        out: List[List[str]] = []
+        out: List[Optional[List[str]]] = []
         for c in range(C):
             if not live[c]:
-                out.append([])
+                out.append(None)
                 continue
             table = unpack_table(arr[c])
             out.append(host_mod.table_to_messages(
@@ -206,8 +209,17 @@ def run_channels(
         live = [it is not None for it in items]
         if not any(live):
             break
-        devs = [to_dev_layout(items[c][0] if live[c] else zero)
-                for c in range(C)]
+        devs: List = [None] * C
+        for c in range(C):
+            if live[c]:
+                devs[c] = to_dev_layout(items[c][0])
+        ref = next(d for d in devs if d is not None)
+        zkey = ref[0].dtype
+        if zkey not in zero_dev:
+            zero_dev[zkey] = (np.zeros_like(ref[0]), 1.0)
+        for c in range(C):
+            if devs[c] is None:
+                devs[c] = zero_dev[zkey]
         xb = np.stack([d for d, _ in devs])
         starts = [items[c][1] if live[c] else 0 for c in range(C)]
         inflight.append((step(xb, cfg), starts,

@@ -9,6 +9,7 @@ PyQt is absent).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, List, Optional
 
 from ..constants import AP_ADDRESS_DFS
@@ -60,6 +61,11 @@ class dashboard:
     def __init__(self, stale_s: float = 60.0, icao_gate: bool = True):
         self.stale_s = stale_s
         self.icao_gate = icao_gate
+        # update() runs on feed/net-client threads while rows()/prune()
+        # run on UI threads (modes_gui) — unlocked dict iterate+insert
+        # crashes with RuntimeError. RLock so build_doc (which prunes
+        # under this lock via callers) can nest.
+        self.lock = threading.RLock()
         self.aircraft: Dict[int, AircraftState] = {}
         self._validated: Dict[int, float] = {}  # icao -> last validated t
         self.n_gated = 0
@@ -72,6 +78,11 @@ class dashboard:
         mlat solution, which required the same bits at >= 3 stations."""
         if rep.icao is None:
             return None
+        with self.lock:
+            return self._update_locked(rep, trusted)
+
+    def _update_locked(self, rep: AircraftReport,
+                       trusted: bool) -> Optional[AircraftState]:
         if trusted or rep.df not in AP_ADDRESS_DFS:
             self._validated[rep.icao] = rep.timestamp
         elif self.icao_gate and rep.icao not in self.aircraft \
@@ -100,16 +111,18 @@ class dashboard:
         # wire-timestamp based, and file replays run with epoch 0.0 — a
         # wall-clock default would evict every aircraft immediately
         now = self._latest if now is None else now
-        for icao in [k for k, v in self.aircraft.items()
-                     if now - v.last_seen > self.stale_s]:
-            del self.aircraft[icao]
-        for icao in [k for k, t in self._validated.items()
-                     if now - t > self.stale_s]:
-            del self._validated[icao]
+        with self.lock:
+            for icao in [k for k, v in self.aircraft.items()
+                         if now - v.last_seen > self.stale_s]:
+                del self.aircraft[icao]
+            for icao in [k for k, t in self._validated.items()
+                         if now - t > self.stale_s]:
+                del self._validated[icao]
 
     def rows(self) -> List[List]:
-        return [st.row() for st in
-                sorted(self.aircraft.values(), key=lambda s: s.icao)]
+        with self.lock:
+            return [st.row() for st in
+                    sorted(self.aircraft.values(), key=lambda s: s.icao)]
 
 
 class output_dashboard:

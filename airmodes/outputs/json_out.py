@@ -24,8 +24,13 @@ def build_doc(dash: dashboard, now: float, prune: bool = True) -> dict:
     rebuilds whose `now` is wall-extrapolated, not stream time — see
     httpd.aircraft_doc); shared by the file writer here and the embedded
     HTTP server (outputs/httpd.py)."""
-    if prune:
-        dash.prune(now)
+    with dash.lock:
+        if prune:
+            dash.prune(now)
+        return _doc_locked(dash, now)
+
+
+def _doc_locked(dash: dashboard, now: float) -> dict:
     return {
         "now": now,
         "aircraft": [

@@ -36,7 +36,7 @@ def test_run_channels_matches_single_channel_runs():
                               frame_blocks(iq_b, CFG)], CFG):
         assert len(step) == 2
         for c in range(2):
-            per_channel[c].extend(step[c])
+            per_channel[c].extend(step[c] or [])
 
     assert per_channel[0] == _single(iq_a)
     assert per_channel[1] == _single(iq_b)

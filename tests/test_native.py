@@ -242,7 +242,7 @@ def test_run_native_channels_multi(tmp_path):
     per_chan = [set(), set()]
     for step_msgs in run_native_channels(paths, cfg):
         for c, msgs in enumerate(step_msgs):
-            per_chan[c] |= {m.split()[1] for m in msgs}
+            per_chan[c] |= {m.split()[1] for m in (msgs or [])}
     assert wants[0] <= per_chan[0], f"ch0 missing {wants[0] - per_chan[0]}"
     assert wants[1] <= per_chan[1], f"ch1 missing {wants[1] - per_chan[1]}"
 
