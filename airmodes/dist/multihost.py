@@ -19,7 +19,6 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DspConfig
 from ..dsp import host as host_mod
@@ -192,8 +191,6 @@ class PodPipeline:
         pending = np.zeros((self.n_channel, 0), np.complex64)
 
         if self.planar:
-            fs = self.gain / 127.0
-
             def conv(x):
                 return (np.clip(np.round(x.real * self.gain), -127, 127)
                         .astype(np.int8),
@@ -290,7 +287,10 @@ def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],
     from ..testing import encoder
     out = []
     for n_ch, n_t in meshes:
-        pipe = PodPipeline(cfg, n_channel=n_ch, n_time=n_t)
+        # planar=False: this report drives run_step (the f32 path); the
+        # TPU auto-select would otherwise build a planar pipeline whose
+        # run_step raises by design
+        pipe = PodPipeline(cfg, n_channel=n_ch, n_time=n_t, planar=False)
         total = pipe.samples_per_step
         frames = encoder.random_df17_frames(16, seed=seed)
         iq, _ = encoder.make_capture(frames, snr_db=18.0,

@@ -28,9 +28,20 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> str:
+    # build to a temp path and os.replace into place: two processes
+    # racing the first build must never dlopen a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+           "-pthread", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return _LIB
 
 
@@ -217,6 +228,8 @@ class IQStream:
         import time as _t
         assert out_i.dtype == np.int8 and out_q.dtype == np.int8
         assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
+        # the C side writes BOTH buffers up to out_len (= out_i.size)
+        assert out_q.size >= out_i.size
         start = ctypes.c_int64(0)
         while self._h:          # closed stream reads as end-of-stream
             rc = self._lib.iq_stream_next_block_planar_i8(
@@ -241,6 +254,8 @@ class IQStream:
         import time as _t
         assert out_i.dtype == np.int8 and out_q.dtype == np.int8
         assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
+        # the C side writes BOTH buffers up to out_len (= out_i.size)
+        assert out_q.size >= out_i.size
         start = ctypes.c_int64(0)
         gain = ctypes.c_float(1.0)
         while self._h:          # closed stream reads as end-of-stream

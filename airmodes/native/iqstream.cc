@@ -266,7 +266,19 @@ int iq_stream_start_udp(void* h, const char* host, int port,
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons(static_cast<uint16_t>(port));
-  addr.sin_addr.s_addr = host ? ::inet_addr(host) : INADDR_ANY;
+  if (host && host[0]) {
+    // numeric IPs only: inet_addr returns INADDR_NONE (=broadcast) for
+    // anything it cannot parse, and binding 255.255.255.255 "succeeds"
+    // while receiving nothing — fail loudly instead
+    in_addr parsed{};
+    if (::inet_pton(AF_INET, host, &parsed) != 1) {
+      ::close(fd);
+      return -3;
+    }
+    addr.sin_addr = parsed;
+  } else {
+    addr.sin_addr.s_addr = INADDR_ANY;
+  }
   if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) < 0) {
     ::close(fd);
     return -2;
@@ -324,13 +336,19 @@ int iq_stream_next_block(void* h, float* out, int64_t* start_sample) {
     if (ring_avail(s->ring) < need) return 0;  // ring too small (shouldn't happen)
   }
   std::memcpy(out, s->carry, 2 * s->left * sizeof(float));
-  // peek block+right without consuming right (it belongs to the next block)
+  // peek block+right without consuming right (it belongs to the next
+  // block) — two memcpy spans at the wrap point, not an elementwise
+  // masked loop (this is the per-block hot copy of the consumer thread)
   uint64_t t = s->ring.tail.load(std::memory_order_relaxed);
   uint64_t cap = s->ring.capacity;
-  for (uint64_t i = 0; i < need; ++i) {
-    uint64_t idx = (t + i) & s->ring.mask();
-    out[2 * (s->left + i)] = s->ring.data[2 * idx];
-    out[2 * (s->left + i) + 1] = s->ring.data[2 * idx + 1];
+  {
+    uint64_t idx = t & s->ring.mask();
+    uint64_t first = std::min(need, cap - idx);
+    std::memcpy(out + 2 * s->left, s->ring.data + 2 * idx,
+                first * 2 * sizeof(float));
+    if (need > first)
+      std::memcpy(out + 2 * (s->left + first), s->ring.data,
+                  (need - first) * 2 * sizeof(float));
   }
   // carry = last `left` samples of the owned block
   for (uint64_t i = 0; i < s->left; ++i) {

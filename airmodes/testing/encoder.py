@@ -300,6 +300,13 @@ def make_capture(
     from ..constants import CHIP_RATE
     sps = int(round(rate / CHIP_RATE))
     assert sps >= 1
+    if abs(sps * CHIP_RATE - rate) > 1e-6 * rate:
+        # silently rounding 2.4e6 to 2 Msps would hand the caller a
+        # capture at a rate they did not ask for (and a later resample
+        # of it decodes nothing); DspConfig.sps rejects identically
+        raise ValueError(
+            f"rate {rate:g} is not an integer multiple of the 2 MHz "
+            f"chip rate; generate at a supported rate and resample")
     rng = np.random.default_rng(seed)
 
     positions = []

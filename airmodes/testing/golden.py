@@ -66,7 +66,12 @@ def reference_decode(iq: np.ndarray, cfg: Optional[DspConfig] = None
             # NMS window check (earliest max of ref within +-nms window)
             half = cfg.nms_chips * sps
             best = True
-            for j in range(max(i - half, 0), i + half + 1):
+            # clamp to j >= w: cs[j - w] would wrap to the cumsum tail
+            # for j < w, minting a NEGATIVE noise floor whose threshold
+            # test passes on pure noise and wrongly suppresses a genuine
+            # detection near the stream start (j < w+1 cannot itself be
+            # a candidate, so excluding it matches the candidate loop)
+            for j in range(max(i - half, w), i + half + 1):
                 if j == i:
                     continue
                 pj = [m[j + c * sps] for c in PREAMBLE_PULSE_CHIPS]
@@ -158,7 +163,8 @@ def snr_sweep(snrs: Sequence[float], n_msgs: int = 40, seed: int = 0,
     for snr in snrs:
         frames = encoder.random_df17_frames(n_msgs, seed=seed)
         iq, truth = encoder.make_capture(frames, snr_db=snr, spacing=3000,
-                                         seed=seed + int(snr * 10))
+                                         seed=seed + abs(int(snr * 10)))  # negative-SNR points
+                                         # need a valid seed
         got = set()
         for block, start in sources.frame_blocks(iq, cfg):
             table = demod_block_jit(block, cfg)
