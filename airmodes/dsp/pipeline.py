@@ -160,9 +160,9 @@ def preamble_detect(mag2: jax.Array, noise: jax.Array, cfg: DspConfig,
     nf = _shifted(noise, base, n_ext)
     thresh = jnp.float32(cfg.threshold)
 
-    ok = pulses[0] > nf * thresh
-    # local peak on the first pulse (chip-energy domain)
-    ok &= pulses[0] >= _shifted(m, base - 1, n_ext)
+    # local peak on the first pulse (chip-energy domain); the pulse
+    # loop below applies the threshold test to pulses[0] too
+    ok = pulses[0] >= _shifted(m, base - 1, n_ext)
     ok &= pulses[0] > _shifted(m, base + 1, n_ext)
     # all four pulses above threshold and within tolerance of the reference
     ptol = jnp.float32(cfg.pulse_tolerance)
@@ -416,6 +416,14 @@ def demod_block(iq: jax.Array, cfg: DspConfig) -> DetectionTable:
     the same in float32 (N, 2) I/Q layout -> DetectionTable.
     jit-specialized on cfg (static)."""
     left, n = cfg.left_halo, cfg.block_size
+    need = left + n + cfg.right_halo
+    if iq.shape[0] < need:
+        # dynamic_slice CLAMPS out-of-bounds starts: a short block would
+        # demodulate misaligned garbage silently, not fail. The framers
+        # always zero-pad to the full frame; reject anything shorter.
+        raise ValueError(
+            f"block length {iq.shape[0]} < left+block+right {need}: "
+            "frame with io.sources (zero-padded halos)")
     mag2 = magnitude_squared(iq).astype(jnp.float32)
     noise = noise_floor(mag2, cfg.noise_window)
     mask, ref = preamble_detect(mag2, noise, cfg, left, n)

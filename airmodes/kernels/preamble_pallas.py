@@ -61,7 +61,7 @@ def _detect_kernel(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
     wl = _LOOKBACK + tile + _halo_r(cfg, tile)
 
     i = pl.program_id(0)
-    # absolute DMA origin: tile_start - LOOKBACK == i * tile (left halo = 258);
+    # absolute DMA origin: tile_start - LOOKBACK == i * tile (lookback = 256);
     # planar I/Q 1D streams keep the window slice 128-lane aligned
     origin = pl.multiple_of(i * tile, 1024)
     dma_i = pltpu.make_async_copy(
@@ -94,10 +94,7 @@ def preamble_detect_pallas(iq, cfg: DspConfig, tile: int = 16384,
     wl = _LOOKBACK + tile + _halo_r(cfg, tile)
     needed = (n // tile - 1) * tile + wl
 
-    iq = jnp.asarray(iq)
-    if iq.dtype in (jnp.int8, jnp.int16):
-        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
-        iq = iq.astype(jnp.float32) * scale
+    iq = _to_f32(iq)
     if iq.shape[0] < needed:
         # 128-alignment rounding of the DMA window can exceed the block's
         # right halo by a few samples; zero-pad (the stream-tail semantics)
@@ -174,6 +171,21 @@ def demod_block_packed_pallas_jit(iq, cfg: DspConfig, tile: int = 16384,
 
 _HALO_R2 = 1792  # (256 + tile + 1792) % 1024 == 0; covers ws margin + frames
 
+
+
+def _to_f32(iq):
+    """int8/int16 wire samples -> float32 at unit full scale.
+
+    The 1/127 (1/32767) factor is load-bearing for dBFS reporting: the
+    host quantizers (io.stream._dev_layout, native iqstream.cc) carry
+    gain/127 as full_scale on the assumption the kernels rescale by
+    exactly this — keep every conversion on this one helper.
+    """
+    iq = jnp.asarray(iq)
+    if iq.dtype in (jnp.int8, jnp.int16):
+        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
+        iq = iq.astype(jnp.float32) * scale
+    return iq
 
 def _shift2d(x, k: int, row0: int, nrows: int):
     """(nrows, 128) view of x at sample offset k from rows [row0, row0+nrows).
@@ -270,10 +282,7 @@ def preamble_detect_pallas_2d(iq, cfg: DspConfig, tile: int = 16384,
     rows_w = (_LOOKBACK + tile + _HALO_R2) // 128
     needed_rows = (n // tile - 1) * (tile // 128) + rows_w
 
-    iq = jnp.asarray(iq)
-    if iq.dtype in (jnp.int8, jnp.int16):
-        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
-        iq = iq.astype(jnp.float32) * scale
+    iq = _to_f32(iq)
     pad_rows = needed_rows - iq.shape[0] // 128
     xi = iq[: (iq.shape[0] // 128) * 128, 0].reshape(-1, 128)
     xq = iq[: (iq.shape[0] // 128) * 128, 1].reshape(-1, 128)
@@ -400,10 +409,7 @@ def preamble_detect_pallas_batch(iq, cfg: DspConfig, tile: int = 16384,
     wl = _LOOKBACK + tile + _halo_r(cfg, tile)
     needed = (n // tile - 1) * tile + wl
 
-    iq = jnp.asarray(iq)
-    if iq.dtype in (jnp.int8, jnp.int16):
-        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
-        iq = iq.astype(jnp.float32) * scale
+    iq = _to_f32(iq)
     if iq.shape[1] < needed:
         iq = jnp.pad(iq, ((0, 0), (0, needed - iq.shape[1]), (0, 0)))
     batch = iq.shape[0]
@@ -460,15 +466,15 @@ def _detect_body_2d(xi, xq, mask_ref, ref_ref, *, cfg: DspConfig, tile: int):
     ref_ref[:] = ref_owned
 
 
-def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
-    """Shared 2D detect logic: (rows_w, 128) f32 I/Q windows ->
-    (keep bool (trows, 128), ref f32 (trows, 128)) over the owned tile."""
-    sps = cfg.sps
-    half = cfg.nms_chips * sps
-    trows = tile // 128
-    m = xi * xi + xq * xq                           # (rows_w, 128)
 
-    # trailing 128-sample window sum: ws[r, c] = sum m[128r+c : 128r+c+128]
+def _m_and_ws(xi, xq, cfg: DspConfig):
+    """|IQ|^2 (chip-energy integrated at sps > 1) and the trailing
+    128-sample window sum, in the EXACT fold orders both the one-stage
+    detect and the stage-A prescreen must share: the prescreen's
+    superset guarantee rests on these terms being bit-identical between
+    the two kernels, so they live in one helper."""
+    sps = cfg.sps
+    m = xi * xi + xq * xq
     mraw = m
     if cfg.mxu_window_sum:
         # two MXU matmuls instead of 7 shifted adds on the VPU:
@@ -488,12 +494,20 @@ def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
         for s in (1, 2, 4, 8, 16, 32, 64):
             nr = ws.shape[0] - 1
             ws = ws[:nr] + _shift2d(ws, s, 0, nr)
-
     if sps > 1:
         # chip-energy integration (see _detect_body)
         nr_ce = mraw.shape[0] - 1
         m = sum(_shift2d(mraw, s, 0, nr_ce)
                 for s in range(sps)) * (1.0 / sps)
+    return m, ws
+
+def _detect_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
+    """Shared 2D detect logic: (rows_w, 128) f32 I/Q windows ->
+    (keep bool (trows, 128), ref f32 (trows, 128)) over the owned tile."""
+    sps = cfg.sps
+    half = cfg.nms_chips * sps
+    trows = tile // 128
+    m, ws = _m_and_ws(xi, xq, cfg)                  # (rows_w, 128)
 
     # candidate tests for rows [1, 1 + nrows); the owned tile is rows
     # [2, 2 + trows) of m-space = rows [1, 1 + trows) of the test arrays.
@@ -566,28 +580,7 @@ def _prescreen_keep_2d(xi, xq, *, cfg: DspConfig, tile: int):
     stage B, so only nf needs it)."""
     sps = cfg.sps
     trows = tile // 128
-    m = xi * xi + xq * xq
-
-    mraw = m
-    if cfg.mxu_window_sum:
-        t_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        c_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-        a_up = (t_i >= c_i).astype(jnp.float32)
-        a_lo = (t_i < c_i).astype(jnp.float32)
-        nr = m.shape[0] - 1
-        hi = jax.lax.Precision.HIGHEST
-        ws = (jax.lax.dot(m[:nr], a_up, precision=hi) +
-              jax.lax.dot(m[1:nr + 1], a_lo, precision=hi))
-    else:
-        ws = m
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            nr = ws.shape[0] - 1
-            ws = ws[:nr] + _shift2d(ws, s, 0, nr)
-
-    if sps > 1:
-        nr_ce = mraw.shape[0] - 1
-        m = sum(_shift2d(mraw, s, 0, nr_ce)
-                for s in range(sps)) * (1.0 / sps)
+    m, ws = _m_and_ws(xi, xq, cfg)
 
     nrows = trows + 2
     pulses = [_shift2d(m, c * sps, 1, nrows) for c in PREAMBLE_PULSE_CHIPS]
@@ -634,10 +627,7 @@ def preamble_detect_pallas_2d_batch(iq, cfg: DspConfig, tile: int = 16384,
     needed_rows = (n // tile - 1) * (tile // 128) + rows_w
     stride_rows = -(-needed_rows // 8) * 8
 
-    iq = jnp.asarray(iq)
-    if iq.dtype in (jnp.int8, jnp.int16):
-        scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
-        iq = iq.astype(jnp.float32) * scale
+    iq = _to_f32(iq)
     batch = iq.shape[0]
     want = stride_rows * 128
     if iq.shape[1] < want:
@@ -845,6 +835,9 @@ def cand_capacity(tile: int):
     (~2000 detections/s at 2 Msps); NMS spacing plus the overflow counters
     make spills beyond that pathological and visible, never silent."""
     per_tile = min(512, max(16, (16 * tile) // 16384))
+    # per_lane applies to the ORDERED candidate layout; the unordered
+    # layout (production path) physically caps at _COUNT_ROW (= 4) rows
+    # and its consumers clamp accordingly
     per_lane = CAND_PER_LANE if tile <= 65536 else 8
     return per_tile, per_lane
 
@@ -1083,6 +1076,8 @@ def preamble_detect_cands_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
     pt, pll = cand_capacity(tile)
     per_tile = pt if per_tile is None else per_tile
     per_lane = pll if per_lane is None else per_lane
+    if not ordered:
+        per_lane = min(per_lane, _COUNT_ROW)  # unordered layout's row cap
     ri = xi8.reshape(batch * stride_rows, 128)
     rq = xq8.reshape(batch * stride_rows, 128)
     if nbuf > 1:
@@ -1198,7 +1193,7 @@ def compact_candidates_unordered(cands, cfg: DspConfig, tile: int,
     tiles = cands.shape[0]
     sent = trows * 128
     if per_lane is None:
-        per_lane = cand_capacity(tile)[1]
+        per_lane = min(cand_capacity(tile)[1], _COUNT_ROW)
     assert per_lane <= _COUNT_ROW
     n_t = per_lane * 128
     ec = cands[:, 0:per_lane, :].reshape(tiles, n_t)    # encoded, or sent
@@ -1550,7 +1545,9 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
         per_tile = cand_capacity(tile)[0]
     if per_lane is None:
         per_lane = cand_capacity(tile)[1]
-    if not ordered:
+    if not ordered or prescreen:
+        # the unordered candidate layout (which prescreen always uses)
+        # physically caps per-lane extraction at _COUNT_ROW rows
         per_lane = min(per_lane, _COUNT_ROW)
     if prescreen:
         return _demod_batch_planar_prescreen(
