@@ -102,3 +102,37 @@ def test_multichannel_resampled_files(tmp_path):
     assert wants[0] <= got[0] and wants[1] <= got[1]
     # channel isolation: ch0's frames don't appear on ch1's topic
     assert not (wants[0] & got[1]) and not (wants[1] & got[0])
+
+
+def test_run_channels_keeps_int8_after_channel_ends():
+    """r3 review: the ended-channel silence pad must match the live
+    blocks' dtype — a complex64 zero upcast the whole np.stack to
+    float32, silently dropping the planar int8 kernel on TPU and
+    breaking the 1/127 dBFS rescale."""
+    from airmodes.dsp.pipeline import demod_block, pack_table
+    import functools
+    import jax
+
+    seen_dtypes = []
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _steP(xb, cfg):
+        return jax.vmap(lambda x: pack_table(demod_block(x, cfg)))(xb)
+
+    def spy_step(xb, cfg):
+        seen_dtypes.append(xb.dtype)
+        return _steP(xb.astype(np.float32) / (127.0 if xb.dtype == np.int8
+                                              else 1.0), cfg)
+
+    def i8_blocks(n):
+        T = CFG.left_halo + CFG.block_size + CFG.right_halo
+        rng = np.random.default_rng(n)
+        for k in range(n):
+            yield (rng.integers(-20, 20, size=(T, 2)).astype(np.int8),
+                   k * CFG.block_size)
+
+    steps = list(run_channels([i8_blocks(3), i8_blocks(1)], CFG,
+                              step=spy_step))
+    assert len(steps) == 3
+    assert steps[1][1] is None and steps[2][1] is None   # ch1 ended
+    assert all(d == np.int8 for d in seen_dtypes), seen_dtypes
