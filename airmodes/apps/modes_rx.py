@@ -147,7 +147,7 @@ def parse_location(s: Optional[str]):
     return (parts[0], parts[1], parts[2] if len(parts) > 2 else 0.0)
 
 
-def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
+def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
     """Multi-channel operation (BASELINE config 4): every -s source is one
     channel of a single batched device call per step (the single-chip
     realization of the mesh "channel" axis). Merged messages publish on
@@ -189,7 +189,7 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
     if args.max_blocks:
         chans = [itertools.islice(c, args.max_blocks) for c in chans]
 
-    stats = host.BlockStats()
+    stats = stats if stats is not None else host.BlockStats()
     epoch = time.time()
     t_stats = time.time()
     n_steps = 0
@@ -231,10 +231,13 @@ def _run_multichannel(args, srcs, cfg, bus, closers) -> int:
             if ivl and time.time() - t_stats > ivl:
                 rate = samples_done / (time.time() - epoch) / 1e6
                 if args.stats_interval:
+                    drop = (f" | RING-DROP {stats.ring_dropped}"
+                            if stats.ring_dropped else "")
                     print(f"# {rate:.1f} Msps aggregate over {len(chans)} "
                           f"channels | preambles {stats.preambles} | "
                           f"ok {stats.crc_ok} | corrected {stats.corrected}"
-                          f" | emitted {stats.emitted}", file=sys.stderr)
+                          f" | emitted {stats.emitted}{drop}",
+                          file=sys.stderr)
                 _emit_stats_json(args.stats_json, rate, stats, n_steps)
                 t_stats = time.time()
     except KeyboardInterrupt:
@@ -265,7 +268,7 @@ def _emit_stats_json(path, rate_msps, stats, n_blocks) -> None:
         "blocks": n_blocks, "preambles": stats.preambles,
         "crc_ok": stats.crc_ok, "corrected": stats.corrected,
         "crc_fail": stats.crc_fail, "emitted": stats.emitted,
-        "overflow": stats.overflow,
+        "overflow": stats.overflow, "ring_dropped": stats.ring_dropped,
     })
     if path == "-":
         print(rec, flush=True)
@@ -416,6 +419,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     loc = parse_location(args.location)
     my_pos = (loc[0], loc[1]) if loc else None
 
+    # shared pipeline counters: created before the plugins so observability
+    # outputs (httpd /data/stats.json) can read them live
+    stats = host.BlockStats()
+
     # --- plugins ---------------------------------------------------------
     bus = local_pubsub()
     closers = []
@@ -464,7 +471,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         closers.append(plug.close)
     if args.http is not None:
         from ..outputs.httpd import output_http
-        plug = output_http(args.http, parse_cls(my_pos), my_position=my_pos)
+        plug = output_http(args.http, parse_cls(my_pos), my_position=my_pos,
+                           block_stats=stats)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.flightgear:
@@ -505,7 +513,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return 2
         return _run_aggregator(args, srcs, bus, closers)
     if len(srcs) > 1:
-        return _run_multichannel(args, srcs, cfg, bus, closers)
+        return _run_multichannel(args, srcs, cfg, bus, closers, stats)
     args.source = srcs[0]
     needs_resample = abs(args.rate - cfg.channel_rate) > 1e-3
     if args.source in ("uhd", "osmocom"):
@@ -533,7 +541,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     from ..io import native_stream
     from ..utils.profiling import trace
     import itertools
-    stats = host.BlockStats()
     epoch = time.time()
     t_stats = time.time()
     n_blocks = 0
@@ -606,11 +613,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             if ivl and time.time() - t_stats > ivl:
                 rate = samples_done / (time.time() - epoch) / 1e6
                 if args.stats_interval:
+                    drop = (f" | RING-DROP {stats.ring_dropped}"
+                            if stats.ring_dropped else "")
                     print(f"# {rate:.1f} Msps | preambles {stats.preambles}"
                           f" | ok {stats.crc_ok} | corrected "
                           f"{stats.corrected} | rejected {stats.crc_fail} |"
                           f" emitted {stats.emitted} | overflow "
-                          f"{stats.overflow}", file=sys.stderr)
+                          f"{stats.overflow}{drop}", file=sys.stderr)
                 _emit_stats_json(args.stats_json, rate, stats, n_blocks)
                 t_stats = time.time()
     except KeyboardInterrupt:

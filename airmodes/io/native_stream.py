@@ -86,7 +86,8 @@ class _PlanarSource:
                  fmt: str = "complex64", udp_host: str = "0.0.0.0",
                  udp_port: int = 10000, start_sample: int = 0,
                  throttle_sps: float = 0.0,
-                 ring_samples: Optional[int] = None):
+                 ring_samples: Optional[int] = None,
+                 udp_timeout_s: float = 5.0):
         from ..native import IQStream
         self.P = P
         self.stream = IQStream(cfg, ring_samples=ring_samples)
@@ -95,7 +96,13 @@ class _PlanarSource:
                                    throttle_sps=throttle_sps,
                                    offset_samples=start_sample)
         else:
-            self.stream.start_udp(udp_host, udp_port)
+            self.stream.start_udp(udp_host, udp_port,
+                                  timeout_s=udp_timeout_s)
+
+    @property
+    def dropped(self) -> int:
+        """Cumulative samples lost to real-time ring overrun (UDP)."""
+        return self.stream.dropped
 
     def next_row(self, out_i: np.ndarray, out_q: np.ndarray,
                  scale: Optional[float] = I8_SCALE
@@ -217,6 +224,8 @@ def run_native_pipelined(
     depth: int = 2,
     max_blocks: Optional[int] = None,
     scale: Optional[float] = None,
+    ring_samples: Optional[int] = None,
+    udp_timeout_s: float = 5.0,
 ) -> Iterator[List[str]]:
     """Drive a file/UDP capture through the native runtime + planar demod.
 
@@ -228,7 +237,9 @@ def run_native_pipelined(
     name, step, P = _planar_step(cfg)
     src = _PlanarSource(cfg, P, path=path, fmt=fmt, udp_host=udp_host,
                         udp_port=udp_port, start_sample=start_sample,
-                        throttle_sps=throttle_sps)
+                        throttle_sps=throttle_sps,
+                        ring_samples=ring_samples,
+                        udp_timeout_s=udp_timeout_s)
 
     def produce(stop):
         n_done = 0
@@ -246,6 +257,8 @@ def run_native_pipelined(
                 if st is None:
                     break
                 rows.append(st)
+            if stats is not None:      # overrun gauge (real-time sources)
+                stats.ring_dropped = src.dropped
             if not rows:
                 return
             # padding rows stay zero (silence): no detections, cheap
@@ -313,6 +326,8 @@ def run_native_channels(
                 else:
                     starts[c], scales[c] = st
                     live[c] = True
+            if stats is not None:      # overrun gauge (real-time sources)
+                stats.ring_dropped = sum(s.dropped for s in srcs)
             if not any(live):
                 return
             yield xi, xq, starts, scales, live

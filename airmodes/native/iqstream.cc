@@ -111,6 +111,19 @@ void quantize_i8(const float* in, int8_t* out, uint64_t n_samples,
   }
 }
 
+// Write up to n samples into the ring without drop accounting; returns
+// samples taken. The pumps decide the overrun policy themselves: the file
+// pump blocks and retries (a file is not real-time — nothing is lost), the
+// UDP pump drops the datagram tail and counts it (a real-time source that
+// cannot be paused — the reference prints "O" on the equivalent USRP
+// overrun, SURVEY.md §5.3).
+uint64_t push_f32_take(Stream* s, const float* iq, uint64_t n) {
+  uint64_t take = std::min(n, ring_free(s->ring));
+  if (take) ring_write(s->ring, iq, take);
+  s->real_pushed.fetch_add(take);
+  return take;
+}
+
 }  // namespace
 
 extern "C" {
@@ -145,13 +158,13 @@ void iq_stream_destroy(void* h) {
 
 // ---- producer side ---------------------------------------------------------
 
-// Push float32 I/Q pairs. Returns samples accepted (may be < n when full).
+// Push float32 I/Q pairs. Returns samples accepted (may be < n when full);
+// the shortfall is counted as dropped (this is the one-shot non-blocking
+// API — a caller that does not retry has lost those samples).
 uint64_t iq_stream_push_f32(void* h, const float* iq, uint64_t n) {
   auto* s = static_cast<Stream*>(h);
-  uint64_t take = std::min(n, ring_free(s->ring));
-  if (take) ring_write(s->ring, iq, take);
+  uint64_t take = push_f32_take(s, iq, n);
   if (take < n) s->ring.dropped.fetch_add(n - take);
-  s->real_pushed.fetch_add(take);
   return take;
 }
 
@@ -226,7 +239,9 @@ int iq_stream_start_file(void* h, const char* path, int format,
       }
       uint64_t off = 0;
       while (off < n && !s->stop.load()) {
-        uint64_t took = iq_stream_push_f32(s, src + 2 * off, n - off);
+        // blocking retry, NO drop accounting: a file source pauses until
+        // the consumer catches up; nothing is ever lost
+        uint64_t took = push_f32_take(s, src + 2 * off, n - off);
         off += took;
         if (took == 0)
           std::this_thread::sleep_for(std::chrono::microseconds(200));
@@ -257,6 +272,11 @@ int iq_stream_start_udp(void* h, const char* host, int port,
   if (fd < 0) return -1;
   int one = 1;
   ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  // absorb bursts while the consumer compiles / catches up: losses the
+  // kernel takes here are invisible to the app, so make them rare and let
+  // the ring's counted drop policy be the overrun authority
+  int rcvbuf = 8 << 20;
+  ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
   if (timeout_s > 0) {
     timeval tv{};
     tv.tv_sec = static_cast<long>(timeout_s);
@@ -296,13 +316,15 @@ int iq_stream_start_udp(void* h, const char* host, int port,
       if (n == 0) continue;
       uint64_t samples = static_cast<uint64_t>(n) / 8;
       const float* src = reinterpret_cast<const float*>(buf);
-      uint64_t off = 0;
-      while (off < samples && !s->stop.load()) {
-        uint64_t took = iq_stream_push_f32(s, src + 2 * off, samples - off);
-        off += took;
-        if (took == 0)
-          std::this_thread::sleep_for(std::chrono::microseconds(200));
-      }
+      // real-time overrun policy: take what fits, DROP the rest of the
+      // datagram and count it (iq_stream_dropped). Blocking here would
+      // only move the loss into the kernel socket buffer where it is
+      // invisible; the counted ring drop is what --stats surfaces.
+      // (Dropped samples vanish from the sample counter, so downstream
+      // timestamps compress across an overrun — same loss the reference
+      // has on a USRP "O"; the drop counter is the operator's signal.)
+      uint64_t took = push_f32_take(s, src, samples);
+      if (took < samples) s->ring.dropped.fetch_add(samples - took);
     }
     delete[] buf;
     s->ring.eof.store(true);

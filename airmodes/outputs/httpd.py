@@ -158,9 +158,14 @@ class output_http:
 
     def __init__(self, port: int = 8080, parser: Optional[parse] = None,
                  my_position: Optional[Tuple[float, float]] = None,
-                 host: str = "0.0.0.0", stale_s: float = 60.0):
+                 host: str = "0.0.0.0", stale_s: float = 60.0,
+                 block_stats=None):
         # a default parser knows the receiver position so range/bearing
         # (and thus the coverage endpoint) work out of the box
+        # block_stats: an optional dsp.host.BlockStats shared with the
+        # demod loop — surfaces pipeline counters (incl. the native ring's
+        # real-time overrun gauge) on /data/stats.json
+        self._block_stats = block_stats
         self._parser = parser or parse(my_position)
         self._dash = dashboard(stale_s=stale_s)
         self._lock = threading.Lock()
@@ -270,6 +275,14 @@ class output_http:
         span = (doc["latest"] or 0) - (doc["start"] or 0)
         doc["rate_msg_s"] = round(doc["messages"] / span, 2) if span > 0 \
             else None
+        bs = self._block_stats
+        if bs is not None:
+            doc["pipeline"] = {
+                "preambles": bs.preambles, "crc_ok": bs.crc_ok,
+                "corrected": bs.corrected, "crc_fail": bs.crc_fail,
+                "emitted": bs.emitted, "overflow": bs.overflow,
+                "ring_dropped": bs.ring_dropped,
+            }
         return doc
 
     def output(self, msg: str) -> None:

