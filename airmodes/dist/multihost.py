@@ -82,14 +82,32 @@ class PodPipeline:
         # (C, T, K+1, 9) int32 fetch instead of 10 per-field transfers
         # (each np.asarray costs ~24 ms fixed on relay/DCN paths)
         pack2 = jax.vmap(jax.vmap(pack_table))
+        left, right = self.cfg.left_halo, self.cfg.right_halo
         if self.planar:
             base = sharded.make_sharded_demod_planar_ctx(self.mesh, self.cfg)
             self.step_fn = jax.jit(
                 lambda xi, xq, li, lq, ri, rq:
                 pack2(base(xi, xq, li, lq, ri, rq)))
+
+            # device-resident stream context (VERDICT r3 #2): step n's left
+            # context IS the tail of step n-1's input and its right context
+            # the head of step n+1's — both already on device when run_stream
+            # ships each step exactly once. Slicing them INSIDE the jit
+            # removes the 4 per-step ctx H2D round trips the host-carried
+            # form paid (zeros only at the true stream edges).
+            def _step3(pi, pq, ci, cq, ni, nq):
+                return pack2(base(ci, cq, pi[:, -left:], pq[:, -left:],
+                                  ni[:, :right], nq[:, :right]))
+
+            self.step3_fn = jax.jit(_step3)
         else:
             base = sharded.make_sharded_demod_ctx(self.mesh, self.cfg)
             self.step_fn = jax.jit(lambda x, l, r: pack2(base(x, l, r)))
+
+            def _step3(pv, cur, nx):
+                return pack2(base(cur, pv[:, -left:], nx[:, :right]))
+
+            self.step3_fn = jax.jit(_step3)
         self.samples_per_step = self.n_time * self.cfg.block_size
 
     def _emit(self, packed, step_start_sample: int, epoch: float,
@@ -171,22 +189,23 @@ class PodPipeline:
                    depth: int = 2) -> Iterable[List[str]]:
         """Drive a (n_channel, N) complex64 chunk iterator through steps.
 
-        Steps are emitted once the FOLLOWING right_halo samples are also
-        buffered, so each step's last shard sees real stream data as its
-        right halo and each step's first shard gets the previous step's
-        tail as its left halo — a frame straddling two steps decodes
-        exactly once (owned by the step containing its preamble start).
-        A tail of any length drains step by step, zero-padded only past
-        the true stream end. In planar mode chunks are quantized to int8
-        with self.gain before shipping.
+        Each step's input ships to the device exactly ONCE; the step
+        program slices its left context from the PREVIOUS step's (still
+        device-resident) input and its right context from the NEXT step's
+        (VERDICT r3 #2 — the host-carried context form paid 4 extra H2D
+        round trips per step for data the device already had). A single
+        cached device-zeros step serves both true stream edges, so a
+        frame straddling two consecutive steps still decodes exactly
+        once (owned by the step containing its preamble start) and a
+        tail of any length drains zero-padded only past the stream end.
+        In planar mode chunks are quantized to int8 with self.gain
+        before shipping.
 
-        `depth` steps stay in flight: step i+1's quantize + H2D dispatch
-        overlaps step i's device compute and table fetch (without this
-        the driver serializes dispatch -> fetch -> dispatch and pays the
-        full relay/DCN round trip per step — measured 2.3x slower on the
-        1x1 bench)."""
+        Step n dispatches once step n+1's input is buffered (one step of
+        look-ahead — this is a throughput driver; the live low-latency
+        path is io.native_stream), and `depth` dispatched steps stay in
+        flight so step i+1's H2D overlaps step i's compute and fetch."""
         from collections import deque
-        left, right = self.cfg.left_halo, self.cfg.right_halo
         S = self.samples_per_step
         pending = np.zeros((self.n_channel, 0), np.complex64)
 
@@ -197,26 +216,32 @@ class PodPipeline:
                         np.clip(np.round(x.imag * self.gain), -127, 127)
                         .astype(np.int8))
 
-            def dispatch(step, l, r):
-                di, dq = sharded.shard_input_planar(step[0], step[1],
-                                                    self.mesh)
-                return self.step_fn(di, dq, l[0], l[1], r[0], r[1])
+            def ship(step):
+                return sharded.shard_input_planar(step[0], step[1],
+                                                  self.mesh)
+
+            def dispatch(pv, cu, nx):
+                return self.step3_fn(pv[0], pv[1], cu[0], cu[1],
+                                     nx[0], nx[1])
         else:
             def conv(x):
                 return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
 
-            def dispatch(step, l, r):
-                return self.step_fn(
-                    sharded.shard_input(step, self.mesh), l, r)
+            def ship(step):
+                return sharded.shard_input(step, self.mesh)
+
+            dispatch = self.step3_fn
 
         full_scale = (self.gain / 127.0) if self.planar else 1.0
-        carry_l = conv(np.zeros((self.n_channel, left), np.complex64))
+        zeros = ship(conv(np.zeros((self.n_channel, S), np.complex64)))
+        prev = zeros                      # device tail provider for step 0
+        cur = None                        # (shipped device step, start)
         start = 0
         done = False
         chunks = iter(chunks)
         inflight: deque = deque()
         while True:
-            while not done and pending.shape[1] < S + right:
+            while not done and pending.shape[1] < S:
                 try:
                     pending = np.concatenate([pending, next(chunks)], axis=1)
                 except StopIteration:
@@ -224,21 +249,22 @@ class PodPipeline:
             n_real = pending.shape[1]
             if n_real == 0:
                 break
-            if n_real < S + right:  # only at EOF: zero-pad past stream end
-                pad = np.zeros((self.n_channel, S + right - n_real),
-                               np.complex64)
+            if n_real < S:      # only at EOF: zero-pad past stream end
+                pad = np.zeros((self.n_channel, S - n_real), np.complex64)
                 pending = np.concatenate([pending, pad], axis=1)
-            inflight.append((dispatch(conv(pending[:, :S]), carry_l,
-                                      conv(pending[:, S: S + right])),
-                             start))
-            carry_l = conv(pending[:, S - left: S])
-            # keep only the REAL unconsumed tail (drop any EOF padding)
-            pending = pending[:, S: max(n_real, S)]
+            dev = ship(conv(pending[:, :S]))
+            if cur is not None:           # step k runs once k+1 is shipped
+                inflight.append((dispatch(prev, cur[0], dev), cur[1]))
+                prev = cur[0]
+            cur = (dev, start)
+            pending = pending[:, S:]
             start += S
             if len(inflight) >= max(depth, 1):
                 packed, st = inflight.popleft()
                 yield self._emit(packed, st, epoch, stats,
                                  full_scale=full_scale)
+        if cur is not None:               # last step: silence to the right
+            inflight.append((dispatch(prev, cur[0], zeros), cur[1]))
         while inflight:
             packed, st = inflight.popleft()
             yield self._emit(packed, st, epoch, stats,
