@@ -299,6 +299,8 @@ def run_native_channels(
     with the native framer + planar kernel + threaded dispatch). Ended
     channels ride along as silence until all end, yielding None per dead
     channel (a live channel with no traffic yields [])."""
+    from concurrent.futures import ThreadPoolExecutor
+
     name, step, P = _planar_step(cfg)
     srcs = [_PlanarSource(cfg, P, path=p, fmt=fmt,
                           start_sample=start_sample) for p in paths]
@@ -307,31 +309,47 @@ def run_native_channels(
     def produce(stop):
         ended = [False] * C
         n_steps = 0
-        while not stop.is_set() and not all(ended):
-            if max_blocks is not None and n_steps >= max_blocks:
-                return
-            xi = np.zeros((C, P), np.int8)
-            xq = np.zeros((C, P), np.int8)
-            starts = [0] * C
-            scales = [1.0] * C
-            live = [False] * C
-            for c in range(C):
-                if ended[c]:
-                    continue
-                st = srcs[c].next_row(xi[c], xq[c], scale=scale)
-                if st is None:
-                    ended[c] = True
-                    xi[c] = 0
-                    xq[c] = 0
+        # per-channel framing (file read + AGC + quantize + planar split)
+        # is a C call that RELEASES the GIL — a pool parallelizes the C
+        # channels' host work instead of serializing it on this thread
+        # (within one channel rows are stateful-stream-ordered, so the
+        # parallelism axis is channels, not rows)
+        pool = ThreadPoolExecutor(max_workers=min(C, 8)) if C > 1 else None
+        try:
+            while not stop.is_set() and not all(ended):
+                if max_blocks is not None and n_steps >= max_blocks:
+                    return
+                xi = np.zeros((C, P), np.int8)
+                xq = np.zeros((C, P), np.int8)
+                starts = [0] * C
+                scales = [1.0] * C
+                live = [False] * C
+
+                def fill(c):
+                    if ended[c]:
+                        return
+                    st = srcs[c].next_row(xi[c], xq[c], scale=scale)
+                    if st is None:
+                        ended[c] = True
+                        xi[c] = 0
+                        xq[c] = 0
+                    else:
+                        starts[c], scales[c] = st
+                        live[c] = True
+
+                if pool is None:
+                    fill(0)
                 else:
-                    starts[c], scales[c] = st
-                    live[c] = True
-            if stats is not None:      # overrun gauge (real-time sources)
-                stats.ring_dropped = sum(s.dropped for s in srcs)
-            if not any(live):
-                return
-            yield xi, xq, starts, scales, live
-            n_steps += 1
+                    list(pool.map(fill, range(C)))
+                if stats is not None:  # overrun gauge (real-time sources)
+                    stats.ring_dropped = sum(s.dropped for s in srcs)
+                if not any(live):
+                    return
+                yield xi, xq, starts, scales, live
+                n_steps += 1
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def on_exit(dead: bool) -> None:
         if dead:
