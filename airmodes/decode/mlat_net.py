@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from ..constants import STATUS_ADDR
 from ..exceptions import ADSBError, MlatNonConvergeError
 from . import mlat as mlat_mod
 from .altitude import decode_alt
@@ -60,7 +61,10 @@ def _frame_altitude_ft(hexframe: str) -> Optional[float]:
                 alt12 = (me >> 36) & 0xFFF
                 if alt12:
                     return decode_alt(alt12, bit13=False)
-    except ADSBError:
+    except (ADSBError, ValueError):
+        # ValueError: a DF whose layout disagrees with the frame length
+        # (fields.data_field raises plain ValueError) — remote stations
+        # are untrusted input, so drop, don't crash
         pass
     return None
 
@@ -181,6 +185,18 @@ class clock_sync:
             else:
                 return
         pos = mlat_mod.llh2ecef(pos_llh)
+        if ref != self.anchor:
+            # Serving as the relay reference IS activity: rebase the
+            # ref's own offset to its arrival time (value continuous via
+            # the drift extrapolation, then re-anchored). Without this a
+            # dead anchor freezes offset_t[ref] — after max_age_s every
+            # group containing the relay is staleness-rejected while its
+            # converged state blocks anchor promotion, a permanent silent
+            # blackout; and the frozen base would make _offset_at
+            # extrapolate over an ever-growing gap.
+            tref = arrivals[ref]
+            self.offset[ref] = self._offset_at(ref, tref)
+            self.offset_t[ref] = tref
         for s, t in arrivals.items():
             if s == ref:
                 continue
@@ -278,11 +294,20 @@ class mlat_correlator:
             raise ValueError(f"{len(stations)} stations < min_stations "
                              f"{min_stations}")
         self.stations = [tuple(s) for s in stations]
+        if len(set(self.stations)) != len(self.stations):
+            # _finish keys replies by position, so duplicate coordinates
+            # would silently collapse (dict-last wins), shrinking the
+            # observation set while n_stations still reports the larger
+            # count — a misconfiguration, fail loudly at startup
+            raise ValueError("duplicate station coordinates (same site "
+                             "listed twice?)")
         self.min_stations = min_stations
         self.window_s = window_s
         self.alt_datum = alt_datum
-        # hexframe -> {station_index: arrival_time}
+        # hexframe -> {station_index: arrival_time}; _first tracks each
+        # group's creation time for the insertion-ordered flush scan
         self._pending: Dict[str, Dict[int, float]] = {}
+        self._first: Dict[str, float] = {}
         self._icao_hint: Dict[str, int] = {}
         # Internal arrival times are EPOCH-RELATIVE seconds against this
         # whole-second anchor (set by the first message): absolute float64
@@ -322,12 +347,26 @@ class mlat_correlator:
             hexframe = parts[1]
             int(hexframe, 16)
             t_abs = float(parts[5])
-            ns = int(parts[6]) if len(parts) > 6 else None
         except ValueError:
             return []
-        if ns is None and not math.isfinite(t_abs):
+        try:
+            # the 7th field is the OPTIONAL int64-ns extension; a feed
+            # appending some other trailing token must not lose the whole
+            # message (wire convention: consumers accept >= 6 fields and
+            # ignore what they don't understand)
+            ns = int(parts[6]) if len(parts) > 6 else None
+        except ValueError:
+            ns = None
+        if not math.isfinite(t_abs):
             return []   # 'nan'/'inf' parses but poisons every window
-            # comparison (NaN > x is False) downstream
+            # comparison (NaN > x is False) downstream — and in clock-sync
+            # mode the message is re-parsed into the shared CPR cache,
+            # where a NaN timestamp corrupts pair-window/eviction checks
+            # even when the ns field supplies the arrival time
+        if len(hexframe) not in (14, 28):
+            return []   # only 56/112-bit Mode S frames exist on the wire;
+            # other lengths would reach layout extraction (negative shift
+            # counts, fields ValueError) in _frame_altitude_ft/_finish
         if self._tbase_ns is None:
             base = ns if ns is not None else int(t_abs) * 1_000_000_000
             self._tbase_ns = base - base % 1_000_000_000
@@ -337,7 +376,7 @@ class mlat_correlator:
         # in the wire syndrome (status ADDR) — recover it so their TDOA
         # solutions are attributable, not anonymous
         try:
-            if int(parts[3]) == 3:
+            if int(parts[3]) == STATUS_ADDR:
                 if len(self._icao_hint) >= 4096:  # bound at INSERT time: a
                     # run that never solves (unconverged sync, sparse
                     # overlap) must not grow this dict without limit
@@ -354,11 +393,20 @@ class mlat_correlator:
             # a new transmission — resolve the old group instead of mixing
             # arrival times across transmissions
             del self._pending[hexframe]
+            self._first.pop(hexframe, None)
             out += self._finish(hexframe, arr)
             arr = None
+        elif arr is not None and min(arr.values()) - t > self.window_s:
+            # the mirror case: a lagged feed delivering a copy of an
+            # EARLIER transmission (whose group already resolved) must not
+            # merge into the current one — the keep-earliest rule would
+            # replace this station's arrival with a time from the wrong
+            # transmission, poisoning the solve. Drop the stale copy.
+            return out
         new_group = arr is None
         if arr is None:
             arr = self._pending[hexframe] = {}
+            self._first[hexframe] = t
         # keep the EARLIEST arrival per station (a station can see its own
         # multipath copy later)
         if station not in arr or t < arr[station]:
@@ -369,7 +417,10 @@ class mlat_correlator:
                 and hexframe not in self._refpos:
             try:
                 rep = self._parser.parse(message)
-            except ADSBError:
+            except (ADSBError, ValueError):
+                # ValueError: parse() int()/float()s wire fields this
+                # method does not itself validate (df, syndrome, dbfs) —
+                # remote garbage must drop, not kill the correlator
                 rep = None
             if rep is not None and rep.lat is not None \
                     and not rep.on_surface and rep.altitude_ft is not None:
@@ -378,17 +429,39 @@ class mlat_correlator:
                         del self._refpos[k]
                 self._refpos[hexframe] = (rep.lat, rep.lon,
                                           rep.altitude_ft * 0.3048)
-        return out + self.flush(now=t)
+        return out + self._flush_rel(now=t)
 
     def flush(self, now: float, force: bool = False) -> List[MlatSolution]:
         """Solve and clear entries whose window has aged out (or all,
-        with force=True at end of stream)."""
+        with force=True at end of stream). `now` is in the WIRE timestamp
+        domain (absolute seconds, the 6th field) — internal group times
+        are tbase-relative, so convert here; before r4 an absolute `now`
+        only worked by accident (any far-future value flushed everything).
+        """
+        if self._tbase_ns is not None:
+            now = now - self._tbase_ns * 1e-9
+        return self._flush_rel(now, force)
+
+    def _flush_rel(self, now: float,
+                   force: bool = False) -> List[MlatSolution]:
+        """flush() against the internal tbase-relative clock (what feed's
+        arrival times use).
+
+        Runs on every feed() call, so it must not rescan every pending
+        group per message: groups age from their CREATION time (tracked
+        in _first), are visited in insertion order, and the scan STOPS at
+        the first in-window one. Aging from creation rather than from
+        min(arr) delays a flush by at most window_s (early in-window
+        copies can lower min below the creation time); station clock
+        offsets make creation times only roughly monotonic across
+        groups, and an inversion likewise only delays that group's flush
+        by the offset magnitude (~ms against a >=10 ms window)."""
         out: List[MlatSolution] = []
         for hexframe in list(self._pending):
-            arr = self._pending[hexframe]
-            if not force and now - min(arr.values()) <= self.window_s:
-                continue
-            del self._pending[hexframe]
+            if not force and now - self._first[hexframe] <= self.window_s:
+                break
+            arr = self._pending.pop(hexframe)
+            self._first.pop(hexframe, None)
             out += self._finish(hexframe, arr)
         return out
 

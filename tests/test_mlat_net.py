@@ -614,3 +614,119 @@ def test_ns_and_float_stations_mix_consistently():
     err = float(np.hypot(dlat, dlon))
     assert err < 500.0, err        # float-station quantization bounds it
     assert abs(sol.timestamp - unix_ns * 1e-9) < 1.0
+
+
+# ---- r4 review-sweep regressions -------------------------------------------
+
+def test_malformed_remote_messages_never_crash():
+    """Untrusted network input: non-numeric wire fields, wrong-length
+    frames, and NaN timestamps drop instead of raising (r4 review: parse()
+    and the layout extractors raise plain ValueError past the old guard)."""
+    corr = mlat_correlator(STATIONS, window_s=0.05,
+                           clock_sync_enabled=True)
+    bad = [
+        "17 8d4840d6202cc371c32ce0576098 zz 0 -3.0 1.5",     # bad syndrome
+        "xx 8d4840d6202cc371c32ce0576098 000000 0 -3.0 1.5",  # bad df
+        "17 8d4840d6202cc371c32ce0576098 000000 0 nope 1.5",  # bad dbfs
+        "4 0 000000 0 -3.0 1.5",                    # 4-bit frame
+        "4 20010380b60fc6aa 000000 0 -3.0 1.5",     # 64-bit frame
+        "16 8d4840d6202cc3 000000 0 -3.0 1.6",      # 112-bit DF in 56 bits
+        "17 8d4840d6202cc371c32ce0576098 000000 0 -3.0 nan "
+        "1755700000123456789",                      # NaN ts despite ns
+    ]
+    for s in range(3):
+        for m in bad:
+            assert corr.feed(s, m) == []
+    # the wrong-length frames must also never reach the solver layouts
+    corr2 = mlat_correlator(STATIONS, window_s=0.001)
+    for s in range(4):
+        corr2.feed(s, f"4 {0:01x} 000000 0 -3.0 {10.0 + s * 1e-6:.9f}")
+        corr2.feed(s, f"16 8d4840d6202cc3 000000 0 -3.0 "
+                   f"{10.0 + s * 1e-6:.9f}")
+    assert corr2.flush(now=20.0, force=True) == []
+
+
+def test_trailing_nonint_field_still_accepted():
+    """The 7th wire field is the OPTIONAL ns extension; a feed appending
+    some other token must not lose the message (consumers accept >= 6
+    fields — r4 review: the old combined try rejected the whole line)."""
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    frame = encoder.df17_frame(0x4840D6,
+                               encoder.me_identification("MLAT02"))
+    ts = _arrivals(AIRCRAFT, STATIONS)
+    for i in range(4):
+        corr.feed(i, _wire(frame, 112, ts[i]) + " sig=-12")
+    sols = corr.flush(now=ts[0] + 1.0)
+    assert len(sols) == 1 and sols[0].n_stations == 4
+
+
+def test_lagged_copy_of_earlier_transmission_dropped():
+    """A feed lagging by more than the window delivers a copy of an
+    EARLIER transmission after a newer group formed: it must not merge
+    (the keep-earliest rule would adopt the wrong transmission's time)."""
+    from airmodes.decode.altitude import encode_alt_q
+    frame = encoder.df4_frame(0xABCDEF,
+                              encode_alt_q(AIRCRAFT[2] / 0.3048))
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    ts = _arrivals(AIRCRAFT, STATIONS, t_emit=10.0)
+    for i in range(3):
+        corr.feed(i, _wire(frame, 56, ts[i]))
+    # station 3's copy of a transmission from 2 s earlier arrives late
+    corr.feed(3, _wire(frame, 56, ts[3] - 2.0))
+    sols = corr.flush(now=ts[0] + 1.0)
+    assert len(sols) == 1
+    assert sols[0].n_stations == 3          # the stale copy stayed out
+    assert abs(sols[0].lat - AIRCRAFT[0]) < 0.01
+
+
+def test_duplicate_station_coordinates_rejected():
+    with pytest.raises(ValueError, match="duplicate"):
+        mlat_correlator([STATIONS[0], STATIONS[1], STATIONS[0]])
+
+
+def test_flush_insertion_order_aging():
+    """Groups age from creation in insertion order (r4 review: the per-
+    message full rescan was O(pending); the scan now early-stops)."""
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid", window_s=0.01)
+    f1 = encoder.df17_frame(0x111111, encoder.me_identification("AAA"))
+    f2 = encoder.df17_frame(0x222222, encoder.me_identification("BBB"))
+    ts = _arrivals(AIRCRAFT, STATIONS, t_emit=10.0)
+    for i in range(4):
+        corr.feed(i, _wire(f1, 112, ts[i]))
+    for i in range(4):
+        corr.feed(i, _wire(f2, 112, ts[i] + 0.005))
+    out = corr.flush(now=ts[0] + 0.012)
+    assert [s.icao for s in out] == [0x111111]      # f2 still in window
+    out = corr.flush(now=ts[0] + 0.02)
+    assert [s.icao for s in out] == [0x222222]
+
+
+def test_relay_reference_survives_dead_anchor():
+    """With the anchor feed dead, the converged relay station serves as
+    reference; serving must count as activity (r4 review: its frozen
+    offset_t staleness-rejected every group containing it after
+    max_age_s, while its converged state blocked anchor promotion — a
+    permanent silent blackout)."""
+    from airmodes.decode.mlat_net import clock_sync
+    sync = clock_sync(STATIONS, min_updates=3, max_age_s=60.0)
+    ref_ac = (47.05, 8.10, 9000.0)
+    t_emit = 100.0
+    # converge everyone with the anchor alive
+    for _ in range(4):
+        t = _arrivals(ref_ac, STATIONS, t_emit)
+        sync.update({s: t[s] for s in range(4)}, ref_ac)
+        t_emit += 1.0
+    # anchor (0) dies; references keep flowing for > max_age_s
+    for _ in range(70):
+        t = _arrivals(ref_ac, STATIONS, t_emit)
+        sync.update({s: t[s] for s in range(1, 4)}, ref_ac)
+        t_emit += 1.0
+    t = _arrivals(AIRCRAFT, STATIONS, t_emit)
+    corrected = sync.correct({s: t[s] for s in range(1, 4)})
+    assert corrected is not None, \
+        "groups containing the relay reference must keep solving"
+    vals = list(corrected.values())
+    # and the corrections stay mutually consistent (sub-us spread of a
+    # same-emission arrival set)
+    spread = (max(vals) - min(vals)) - (max(t[1:]) - min(t[1:]))
+    assert abs(spread) < 2e-6
