@@ -80,7 +80,8 @@ def _planar_step(cfg: DspConfig):
 
 
 class _PlanarSource:
-    """One channel's native framer producing planar int8 rows."""
+    """One channel's native framer producing planar int8 rows (P is the
+    padded row length callers size their buffers to)."""
 
     def __init__(self, cfg: DspConfig, P: int, *, path: Optional[str] = None,
                  fmt: str = "complex64", udp_host: str = "0.0.0.0",
@@ -89,7 +90,6 @@ class _PlanarSource:
                  ring_samples: Optional[int] = None,
                  udp_timeout_s: float = 5.0):
         from ..native import IQStream
-        self.P = P
         self.stream = IQStream(cfg, ring_samples=ring_samples)
         if path is not None:
             self.stream.start_file(path, fmt=fmt,
@@ -105,20 +105,23 @@ class _PlanarSource:
         return self.stream.dropped
 
     def next_row(self, out_i: np.ndarray, out_q: np.ndarray,
-                 scale: Optional[float] = I8_SCALE
-                 ) -> Optional[tuple]:
+                 scale: Optional[float] = I8_SCALE,
+                 stop=None) -> Optional[tuple]:
         """Fill one planar row pair; returns (start_sample, full_scale)
         or None at end of stream. scale=None selects per-block AGC
         (gain = 120/peak — the Python quantize_i8 semantics); a float
-        fixes the gain (full_scale = scale/127)."""
+        fixes the gain (full_scale = scale/127). A set `stop` event ends
+        the wait early (returns None) so teardown never races a live
+        native call."""
         if scale is None:
             nxt = self.stream.next_block_planar_agc(out_i, out_q,
-                                                    target=120.0)
+                                                    target=120.0, stop=stop)
             if nxt is None:
                 return None
             start, gain = nxt
             return start, gain / 127.0
-        nxt = self.stream.next_block_planar_i8(out_i, out_q, scale=scale)
+        nxt = self.stream.next_block_planar_i8(out_i, out_q, scale=scale,
+                                               stop=stop)
         if nxt is None:
             return None
         return nxt, scale / 127.0
@@ -234,7 +237,7 @@ def run_native_pipelined(
     dispatch thread with `depth` batches in flight; decode (table fetch
     + unpack + message formatting) runs on the caller's thread, so
     plugin fan-out never stalls the device."""
-    name, step, P = _planar_step(cfg)
+    _, step, P = _planar_step(cfg)
     src = _PlanarSource(cfg, P, path=path, fmt=fmt, udp_host=udp_host,
                         udp_port=udp_port, start_sample=start_sample,
                         throttle_sps=throttle_sps,
@@ -253,7 +256,7 @@ def run_native_pipelined(
             xq = np.zeros((batch, P), np.int8)
             rows: List[tuple] = []     # (start_sample, full_scale)
             for j in range(b):
-                st = src.next_row(xi[j], xq[j], scale=scale)
+                st = src.next_row(xi[j], xq[j], scale=scale, stop=stop)
                 if st is None:
                     break
                 rows.append(st)
@@ -293,6 +296,7 @@ def run_native_channels(
     depth: int = 2,
     max_blocks: Optional[int] = None,
     scale: Optional[float] = None,
+    ring_samples: Optional[int] = None,
 ) -> Iterator[List[List[str]]]:
     """Native multi-channel loop: C file captures, one batched device call
     per time step down the channel axis (mirrors io.stream.run_channels
@@ -301,9 +305,10 @@ def run_native_channels(
     channel (a live channel with no traffic yields [])."""
     from concurrent.futures import ThreadPoolExecutor
 
-    name, step, P = _planar_step(cfg)
+    _, step, P = _planar_step(cfg)
     srcs = [_PlanarSource(cfg, P, path=p, fmt=fmt,
-                          start_sample=start_sample) for p in paths]
+                          start_sample=start_sample,
+                          ring_samples=ring_samples) for p in paths]
     C = len(srcs)
 
     def produce(stop):
@@ -328,7 +333,8 @@ def run_native_channels(
                 def fill(c):
                     if ended[c]:
                         return
-                    st = srcs[c].next_row(xi[c], xq[c], scale=scale)
+                    st = srcs[c].next_row(xi[c], xq[c], scale=scale,
+                                          stop=stop)
                     if st is None:
                         ended[c] = True
                         xi[c] = 0
@@ -349,7 +355,11 @@ def run_native_channels(
                 n_steps += 1
         finally:
             if pool is not None:
-                pool.shutdown(wait=False)
+                # wait=True is bounded: stop is set (or the stream ended),
+                # so in-flight next_row calls exit their retry loops
+                # within ~1 ms — and no worker can still be inside a C
+                # call when on_exit frees the native streams
+                pool.shutdown(wait=True)
 
     def on_exit(dead: bool) -> None:
         if dead:

@@ -78,6 +78,8 @@ def load() -> ctypes.CDLL:
         lib.iq_stream_set_eof.argtypes = [vp]
         lib.iq_stream_dropped.restype = u64
         lib.iq_stream_dropped.argtypes = [vp]
+        lib.iq_stream_rcvbuf.restype = ip
+        lib.iq_stream_rcvbuf.argtypes = [vp]
         lib.iq_stream_start_file.restype = ip
         lib.iq_stream_start_file.argtypes = [vp, cp, ip, ctypes.c_double,
                                              u64]
@@ -121,6 +123,13 @@ class IQStream:
         self.left, self.block, self.right = (
             cfg.left_halo, cfg.block_size, cfg.right_halo)
         self.total = self.left + self.block + self.right
+        if self.block < self.left:
+            # the carry (previous block's tail) is read from the ring
+            # slots of ONE block; block < left would index below tail
+            # (uint64 wrap in C) into producer-writable slots
+            raise ValueError(
+                f"block_size {self.block} < left_halo {self.left}: "
+                "unsupported framer geometry")
         if ring_samples is None:
             # the framer needs block+right buffered to emit one block; a
             # fixed 2^24 default would hang forever (next_block returns 0,
@@ -159,6 +168,8 @@ class IQStream:
         rc = self._lib.iq_stream_start_file(
             self._h, path.encode(), _FMT[fmt], float(throttle_sps),
             int(offset_samples))
+        if rc == -5:
+            raise OSError("stream already started")
         if rc != 0:
             raise OSError(f"cannot open {path}")
 
@@ -168,6 +179,8 @@ class IQStream:
         (parity with io.sources.udp_source)."""
         rc = self._lib.iq_stream_start_udp(self._h, host.encode(), port,
                                            float(timeout_s))
+        if rc == -5:
+            raise OSError("stream already started")
         if rc != 0:
             raise OSError(f"cannot bind udp {host}:{port}")
 
@@ -179,20 +192,29 @@ class IQStream:
         return int(self._lib.iq_stream_dropped(self._h))
 
     @property
+    def rcvbuf(self) -> int:
+        """Effective UDP socket receive buffer (bytes): the kernel may
+        silently clamp the requested 8 MB to net.core.rmem_max."""
+        return int(self._lib.iq_stream_rcvbuf(self._h))
+
+    @property
     def available(self) -> int:
         return int(self._lib.iq_stream_available(self._h))
 
     # --- consumer -----------------------------------------------------------
 
-    def next_block(self, out: Optional[np.ndarray] = None
+    def next_block(self, out: Optional[np.ndarray] = None, stop=None
                    ) -> Optional[Tuple[np.ndarray, int]]:
-        """Next framed block as float32 (total, 2), or None at end of stream.
-        Blocks (with a short sleep loop) until data is available."""
+        """Next framed block as float32 (total, 2), or None at end of
+        stream. Blocks (with a short sleep loop) until data is available;
+        a set `stop` threading.Event ends the wait early (returns None) —
+        without it a consumer waiting on a quiet live source could never
+        be torn down safely."""
         import time as _t
         if out is None:
             out = np.empty((self.total, 2), np.float32)
         start = ctypes.c_int64(0)
-        while self._h:          # closed stream reads as end-of-stream
+        while self._h and not (stop is not None and stop.is_set()):
             rc = self._lib.iq_stream_next_block(
                 self._h, out.ctypes.data_as(ctypes.c_void_p),
                 ctypes.byref(start))
@@ -203,13 +225,13 @@ class IQStream:
             _t.sleep(0.001)
 
     def next_block_i8(self, scale: float = 127.0,
-                      out: Optional[np.ndarray] = None
+                      out: Optional[np.ndarray] = None, stop=None
                       ) -> Optional[Tuple[np.ndarray, int]]:
         import time as _t
         if out is None:
             out = np.empty((self.total, 2), np.int8)
         start = ctypes.c_int64(0)
-        while self._h:          # closed stream reads as end-of-stream
+        while self._h and not (stop is not None and stop.is_set()):
             rc = self._lib.iq_stream_next_block_i8(
                 self._h, out.ctypes.data_as(ctypes.c_void_p),
                 ctypes.byref(start), float(scale))
@@ -220,7 +242,8 @@ class IQStream:
             _t.sleep(0.001)
 
     def next_block_planar_i8(self, out_i: np.ndarray, out_q: np.ndarray,
-                             scale: float = 127.0) -> Optional[int]:
+                             scale: float = 127.0, stop=None
+                             ) -> Optional[int]:
         """Fill planar int8 I and Q rows (each len >= left+block+right,
         zero-padded past the frame) in one fused native pass; returns the
         start sample, or None at end of stream. Blocks until data is
@@ -231,7 +254,7 @@ class IQStream:
         # the C side writes BOTH buffers up to out_len (= out_i.size)
         assert out_q.size >= out_i.size
         start = ctypes.c_int64(0)
-        while self._h:          # closed stream reads as end-of-stream
+        while self._h and not (stop is not None and stop.is_set()):
             rc = self._lib.iq_stream_next_block_planar_i8(
                 self._h, out_i.ctypes.data_as(ctypes.c_void_p),
                 out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
@@ -246,7 +269,7 @@ class IQStream:
             _t.sleep(0.001)
 
     def next_block_planar_agc(self, out_i: np.ndarray, out_q: np.ndarray,
-                              target: float = 120.0
+                              target: float = 120.0, stop=None
                               ) -> Optional[Tuple[int, float]]:
         """Planar int8 framing with per-block AGC (gain = target/peak over
         the framed block, Python quantize_i8 semantics); returns
@@ -258,7 +281,7 @@ class IQStream:
         assert out_q.size >= out_i.size
         start = ctypes.c_int64(0)
         gain = ctypes.c_float(1.0)
-        while self._h:          # closed stream reads as end-of-stream
+        while self._h and not (stop is not None and stop.is_set()):
             rc = self._lib.iq_stream_next_block_planar_agc(
                 self._h, out_i.ctypes.data_as(ctypes.c_void_p),
                 out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,

@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <vector>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
@@ -48,7 +49,7 @@ struct Stream {
   uint64_t next_start = 0;      // global sample index of next owned block
   uint64_t start_offset = 0;    // resume offset (file seek, samples)
   float* carry = nullptr;       // last `left` samples of the previous block
-  bool first_block = true;
+  int rcvbuf = 0;               // effective UDP SO_RCVBUF (bytes)
   // producer
   std::thread pump;
   std::atomic<bool> stop{false};
@@ -168,22 +169,21 @@ uint64_t iq_stream_push_f32(void* h, const float* iq, uint64_t n) {
   return take;
 }
 
+// thread_local std::vector scratch (NOT raw new[]: a raw pointer has no
+// thread-exit destructor, so every short-lived worker thread — e.g. the
+// multichannel framing pool — would leak its block-sized buffer)
 uint64_t iq_stream_push_uc8(void* h, const uint8_t* raw, uint64_t n) {
-  auto* s = static_cast<Stream*>(h);
-  static thread_local float* buf = nullptr;
-  static thread_local uint64_t buf_n = 0;
-  if (buf_n < n) { delete[] buf; buf = new float[2 * n]; buf_n = n; }
-  convert_uc8(raw, buf, n);
-  return iq_stream_push_f32(h, buf, n);
+  static thread_local std::vector<float> buf;
+  if (buf.size() < 2 * n) buf.resize(2 * n);
+  convert_uc8(raw, buf.data(), n);
+  return iq_stream_push_f32(h, buf.data(), n);
 }
 
 uint64_t iq_stream_push_sc16(void* h, const int16_t* raw, uint64_t n) {
-  auto* s = static_cast<Stream*>(h);
-  static thread_local float* buf = nullptr;
-  static thread_local uint64_t buf_n = 0;
-  if (buf_n < n) { delete[] buf; buf = new float[2 * n]; buf_n = n; }
-  convert_sc16(raw, buf, n);
-  return iq_stream_push_f32(h, buf, n);
+  static thread_local std::vector<float> buf;
+  if (buf.size() < 2 * n) buf.resize(2 * n);
+  convert_sc16(raw, buf.data(), n);
+  return iq_stream_push_f32(h, buf.data(), n);
 }
 
 void iq_stream_set_eof(void* h) {
@@ -192,6 +192,10 @@ void iq_stream_set_eof(void* h) {
 
 uint64_t iq_stream_dropped(void* h) {
   return static_cast<Stream*>(h)->ring.dropped.load();
+}
+
+int iq_stream_rcvbuf(void* h) {
+  return static_cast<Stream*>(h)->rcvbuf;
 }
 
 // ---- background pumps ------------------------------------------------------
@@ -205,6 +209,8 @@ uint64_t iq_stream_dropped(void* h) {
 int iq_stream_start_file(void* h, const char* path, int format,
                          double throttle_sps, uint64_t offset_samples) {
   auto* s = static_cast<Stream*>(h);
+  if (s->pump.joinable()) return -5;   // already started: re-assigning a
+  // joinable std::thread calls std::terminate — fail as an error instead
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   if (offset_samples) {
@@ -268,6 +274,7 @@ int iq_stream_start_file(void* h, const char* path, int format,
 int iq_stream_start_udp(void* h, const char* host, int port,
                         double timeout_s) {
   auto* s = static_cast<Stream*>(h);
+  if (s->pump.joinable()) return -5;   // already started (see start_file)
   int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
   int one = 1;
@@ -276,11 +283,19 @@ int iq_stream_start_udp(void* h, const char* host, int port,
   // kernel takes here are invisible to the app, so make them rare and let
   // the ring's counted drop policy be the overrun authority
   int rcvbuf = 8 << 20;
-  ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  if (::setsockopt(fd, SOL_SOCKET, SO_RCVBUFFORCE, &rcvbuf,
+                   sizeof(rcvbuf)) != 0)   // CAP_NET_ADMIN only
+    ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  socklen_t rblen = sizeof(rcvbuf);
+  if (::getsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, &rblen) == 0)
+    s->rcvbuf = rcvbuf;  // effective size (kernel may clamp to rmem_max
+    // silently; expose it so operators can see what they actually got)
   if (timeout_s > 0) {
     timeval tv{};
     tv.tv_sec = static_cast<long>(timeout_s);
     tv.tv_usec = static_cast<long>((timeout_s - tv.tv_sec) * 1e6);
+    if (tv.tv_sec == 0 && tv.tv_usec == 0)
+      tv.tv_usec = 1;   // a {0,0} timeval DISABLES the timeout entirely
     ::setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
   }
   sockaddr_in addr{};
@@ -351,10 +366,9 @@ int iq_stream_next_block(void* h, float* out, int64_t* start_sample) {
     // zero-pad the stream tail so the remaining real samples frame into
     // full blocks; termination is by real_pushed, not ring emptiness
     uint64_t pad = need - avail;
-    static thread_local float* zeros = nullptr;
-    static thread_local uint64_t zn = 0;
-    if (zn < pad) { delete[] zeros; zeros = new float[2 * pad](); zn = pad; }
-    ring_write(s->ring, zeros, std::min(pad, ring_free(s->ring)));
+    static thread_local std::vector<float> zeros;
+    if (zeros.size() < 2 * pad) zeros.resize(2 * pad, 0.f);
+    ring_write(s->ring, zeros.data(), std::min(pad, ring_free(s->ring)));
     if (ring_avail(s->ring) < need) return 0;  // ring too small (shouldn't happen)
   }
   std::memcpy(out, s->carry, 2 * s->left * sizeof(float));
@@ -381,7 +395,6 @@ int iq_stream_next_block(void* h, float* out, int64_t* start_sample) {
   s->ring.tail.store(t + s->block, std::memory_order_release);
   *start_sample = static_cast<int64_t>(s->next_start);
   s->next_start += s->block;
-  (void)cap;
   return 1;
 }
 
@@ -390,11 +403,10 @@ int iq_stream_next_block_i8(void* h, int8_t* out, int64_t* start_sample,
                             float scale) {
   auto* s = static_cast<Stream*>(h);
   const uint64_t total = s->left + s->block + s->right;
-  static thread_local float* buf = nullptr;
-  static thread_local uint64_t buf_n = 0;
-  if (buf_n < total) { delete[] buf; buf = new float[2 * total]; buf_n = total; }
-  int rc = iq_stream_next_block(h, buf, start_sample);
-  if (rc == 1) quantize_i8(buf, out, total, scale);
+  static thread_local std::vector<float> buf;
+  if (buf.size() < 2 * total) buf.resize(2 * total);
+  int rc = iq_stream_next_block(h, buf.data(), start_sample);
+  if (rc == 1) quantize_i8(buf.data(), out, total, scale);
   return rc;
 }
 
@@ -408,9 +420,9 @@ int iq_stream_next_block_planar_i8(void* h, int8_t* out_i, int8_t* out_q,
   auto* s = static_cast<Stream*>(h);
   const uint64_t total = s->left + s->block + s->right;
   if (out_len < total) return -2;
-  static thread_local float* buf = nullptr;
-  static thread_local uint64_t buf_n = 0;
-  if (buf_n < total) { delete[] buf; buf = new float[2 * total]; buf_n = total; }
+  static thread_local std::vector<float> bufv;
+  if (bufv.size() < 2 * total) bufv.resize(2 * total);
+  float* buf = bufv.data();
   int rc = iq_stream_next_block(h, buf, start_sample);
   if (rc != 1) return rc;
   for (uint64_t i = 0; i < total; ++i) {
@@ -435,9 +447,9 @@ int iq_stream_next_block_planar_agc(void* h, int8_t* out_i, int8_t* out_q,
   auto* s = static_cast<Stream*>(h);
   const uint64_t total = s->left + s->block + s->right;
   if (out_len < total) return -2;
-  static thread_local float* buf = nullptr;
-  static thread_local uint64_t buf_n = 0;
-  if (buf_n < total) { delete[] buf; buf = new float[2 * total]; buf_n = total; }
+  static thread_local std::vector<float> bufv;
+  if (bufv.size() < 2 * total) bufv.resize(2 * total);
+  float* buf = bufv.data();
   int rc = iq_stream_next_block(h, buf, start_sample);
   if (rc != 1) return rc;
   float peak = 0.f;

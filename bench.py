@@ -344,8 +344,14 @@ def bench_sps5(n_runs: int = 5, seed: int = 100):
 def bench_sharded_resample(seed: int = 55):
     """One real-chip 1x1 execution of the fused sharded resample+demod
     (VERDICT r3 #3): 6 Msps raw capture -> group-matmul polyphase
-    resample -> demod in ONE shard_map program. Returns
-    (msps_channel_rate, ok) — parity is the gate, the rate a bonus."""
+    resample to 4 Msps (sps=2) -> demod in ONE shard_map program.
+    Returns (msps_channel_rate, ok) — parity is the gate, the rate a
+    bonus. 4 Msps is the ROBUST operating point (polyphase.py): the r4
+    debug probes showed decimating all the way to 2 Msps (1 sample/chip)
+    drops every frame whose preamble lands at the wrong 1-of-q sub-chip
+    phase (exactly 1/3 of random placements at q=3 — a physics limit of
+    1 sps after a narrow anti-alias filter, identical on CPU and TPU,
+    not a kernel defect)."""
     import jax
     import jax.numpy as jnp
     import airmodes
@@ -354,9 +360,10 @@ def bench_sharded_resample(seed: int = 55):
     from airmodes.dsp.pipeline import iq_to_device_layout
     from airmodes.testing import encoder
 
-    cfgr = airmodes.DspConfig(block_size=1 << 20, max_detections=64)
-    p_up, q_dn = 1, 3
-    raw_total = cfgr.block_size * q_dn
+    cfgr = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 20,
+                              max_detections=64)
+    p_up, q_dn = 2, 3
+    raw_total = cfgr.block_size * q_dn // p_up
     frames = encoder.random_df17_frames(24, seed=seed)
     iq_raw, truth = encoder.make_capture(
         frames, rate=6e6, snr_db=25.0, spacing=raw_total // 25, seed=seed,

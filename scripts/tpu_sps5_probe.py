@@ -101,9 +101,12 @@ bail("fused resample")
 from airmodes.dist import sharded
 from airmodes.dsp.pipeline import iq_to_device_layout
 
-cfgr = airmodes.DspConfig(block_size=1 << 20, max_detections=64)
-p_up, q_dn = 1, 3                       # 6 Msps capture -> 2 Msps channel
-raw_total = cfgr.block_size * q_dn
+cfgr = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 20,
+                          max_detections=64)
+p_up, q_dn = 2, 3    # 6 Msps capture -> 4 Msps channel (the robust sps=2
+#                      operating point: decimating to 1 sps drops frames
+#                      at 1-of-q sub-chip phases — see bench_sharded_resample)
+raw_total = cfgr.block_size * q_dn // p_up
 frames = encoder.random_df17_frames(24, seed=55)
 iq_raw, truth_r = encoder.make_capture(
     frames, rate=6e6, snr_db=25.0, spacing=raw_total // 25, seed=55,

@@ -447,3 +447,95 @@ def test_ring_dropped_surfaces_in_stats():
     th.join(timeout=5)
     assert not err, err
     assert stats.ring_dropped > 0
+
+
+def test_double_start_raises_not_aborts():
+    """Re-starting a started stream must be an OSError, not the
+    std::terminate a joinable-thread move-assign causes (r4 review)."""
+    import os
+    import tempfile
+    iq = c64(CFG.block_size, seed=11)
+    fd, path = tempfile.mkstemp(suffix=".c64")
+    os.close(fd)
+    try:
+        iq.tofile(path)
+        st = native.IQStream(CFG)
+        st.start_file(path)
+        with pytest.raises(OSError, match="already started"):
+            st.start_file(path)
+        with pytest.raises(OSError, match="already started"):
+            st.start_udp("127.0.0.1", _free_udp_port())
+        st.close()
+    finally:
+        os.remove(path)
+
+
+def test_block_smaller_than_left_halo_rejected():
+    """block < left_halo would uint64-underflow the C carry indexing into
+    producer-writable ring slots (r4 review) — reject at construction."""
+    with pytest.raises(ValueError, match="left_halo"):
+        native.IQStream(DspConfig(block_size=128, max_detections=4))
+
+
+def test_tiny_udp_timeout_still_times_out():
+    """A positive sub-us timeout used to truncate to a {0,0} timeval,
+    which DISABLES the socket timeout (recv blocks forever)."""
+    st = native.IQStream(CFG)
+    try:
+        st.start_udp("127.0.0.1", _free_udp_port(), timeout_s=1e-7)
+    except OSError:
+        st.close()
+        pytest.skip("port busy")
+    deadline = time.time() + 5
+    blk = None
+    got_end = False
+    while time.time() < deadline:
+        import threading
+        ev = threading.Event()
+        r = st.next_block(stop=ev)   # returns None at EOF
+        if r is None:
+            got_end = True
+            break
+        time.sleep(0.01)
+    st.close()
+    assert got_end, "silent UDP stream with tiny timeout never ended"
+
+
+def test_rcvbuf_reports_effective_size():
+    st = native.IQStream(CFG)
+    try:
+        st.start_udp("127.0.0.1", _free_udp_port())
+    except OSError:
+        st.close()
+        pytest.skip("port busy")
+    time.sleep(0.05)
+    assert st.rcvbuf > 0     # kernel-clamped value, still nonzero
+    st.close()
+
+
+def test_stop_event_ends_quiet_wait_promptly():
+    """The teardown path's bounded-drain guarantee rests on a set stop
+    event ending next_row's wait on a quiet live source (r4 review: a
+    feeder/pool worker inside the retry loop outlived the 10 s drain
+    deadline and the native streams leaked)."""
+    import threading
+    from airmodes.io.native_stream import _PlanarSource
+    from airmodes.kernels.preamble_pallas import planar_length
+
+    P = planar_length(CFG)
+    src = _PlanarSource(CFG, P, udp_port=_free_udp_port(),
+                        udp_timeout_s=30.0)
+    xi = np.zeros(P, np.int8)
+    xq = np.zeros(P, np.int8)
+    ev = threading.Event()
+    out = []
+    th = threading.Thread(
+        target=lambda: out.append(src.next_row(xi, xq, stop=ev)),
+        daemon=True)
+    th.start()
+    time.sleep(0.3)
+    assert th.is_alive()          # quietly waiting (30 s UDP timeout)
+    ev.set()
+    th.join(timeout=2.0)
+    assert not th.is_alive() and out == [None]
+    src.close()
