@@ -305,9 +305,11 @@ class mlat_correlator:
         self.window_s = window_s
         self.alt_datum = alt_datum
         # hexframe -> {station_index: arrival_time}; _first tracks each
-        # group's creation time for the insertion-ordered flush scan
+        # group's creation time, _heap orders (creation_time, hexframe)
+        # for the O(expired)-per-message flush scan
         self._pending: Dict[str, Dict[int, float]] = {}
         self._first: Dict[str, float] = {}
+        self._heap: List[Tuple[float, str]] = []
         self._icao_hint: Dict[str, int] = {}
         # Internal arrival times are EPOCH-RELATIVE seconds against this
         # whole-second anchor (set by the first message): absolute float64
@@ -405,8 +407,10 @@ class mlat_correlator:
             return out
         new_group = arr is None
         if arr is None:
+            import heapq
             arr = self._pending[hexframe] = {}
             self._first[hexframe] = t
+            heapq.heappush(self._heap, (t, hexframe))
         # keep the EARLIEST arrival per station (a station can see its own
         # multipath copy later)
         if station not in arr or t < arr[station]:
@@ -449,20 +453,30 @@ class mlat_correlator:
 
         Runs on every feed() call, so it must not rescan every pending
         group per message: groups age from their CREATION time (tracked
-        in _first), are visited in insertion order, and the scan STOPS at
-        the first in-window one. Aging from creation rather than from
-        min(arr) delays a flush by at most window_s (early in-window
-        copies can lower min below the creation time); station clock
-        offsets make creation times only roughly monotonic across
-        groups, and an inversion likewise only delays that group's flush
-        by the offset magnitude (~ms against a >=10 ms window)."""
+        in _first) and expire off a creation-time min-heap — O(expired)
+        per call and robust to arbitrarily out-of-order creation times
+        (a lagged feed replaying old-timestamped frames must not stall
+        newer groups behind it; an insertion-order early-stop scan did,
+        caught by test_mlat_over_beastgps_feeds). Aging from creation
+        rather than from min(arr) delays a flush by at most window_s
+        (early in-window copies can lower min below the creation time).
+        A heap entry is stale once its group resolved early via the
+        retransmission path; the _first equality check skips it."""
+        import heapq
         out: List[MlatSolution] = []
-        for hexframe in list(self._pending):
-            if not force and now - self._first[hexframe] <= self.window_s:
-                break
+        while self._heap and (force
+                              or now - self._heap[0][0] > self.window_s):
+            t0, hexframe = heapq.heappop(self._heap)
+            if self._first.get(hexframe) != t0:
+                continue            # stale: group resolved or re-created
             arr = self._pending.pop(hexframe)
             self._first.pop(hexframe, None)
             out += self._finish(hexframe, arr)
+        if force and self._pending:   # anything the heap lost track of
+            for hexframe in list(self._pending):
+                arr = self._pending.pop(hexframe)
+                self._first.pop(hexframe, None)
+                out += self._finish(hexframe, arr)
         return out
 
     def _finish(self, hexframe: str,
