@@ -126,6 +126,11 @@ def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):
     slice_bits + CRC/ECC -> DetectionTable (one block)."""
     from ..dsp import pipeline as P
 
+    # short stream-tail inputs: pad like dsp.pipeline.demod_block does, so
+    # the bit gathers near the block end read zeros instead of clamping
+    need = cfg.left_halo + cfg.block_size + cfg.right_halo
+    if iq_c.shape[0] < need:
+        iq_c = jnp.pad(iq_c, ((0, need - iq_c.shape[0]), (0, 0)))
     mag2 = P.magnitude_squared(iq_c)
     noise = P.noise_floor(mag2, cfg.noise_window)
     det_idx, valid, n_det, overflow = P.compact_detections(
@@ -687,11 +692,13 @@ def gather_tail(iq, det_idx, valid, ref, n_det, overflow, cfg: DspConfig):
     left = cfg.left_halo
     nw = cfg.noise_window
     iq = jnp.asarray(iq)
-    scale = None
-    if iq.dtype == jnp.int8:
-        scale = 1.0 / 127.0
-    elif iq.dtype == jnp.int16:
-        scale = 1.0 / 32767.0
+    # stream-tail inputs may be SHORT (the detect half zero-pads them):
+    # pad here too, or dynamic_slice would CLAMP an end-of-block slab's
+    # start downward and slice bits from the wrong offsets — a silent
+    # misdecode instead of decoding against zeros like dsp.pipeline
+    need = left + cfg.block_size + cfg.right_halo
+    if iq.shape[0] < need:
+        iq = jnp.pad(iq, ((0, need - iq.shape[0]), (0, 0)))
 
     W = nw + 242 * sps
     safe_idx = jnp.where(valid, det_idx, 0)
@@ -702,9 +709,7 @@ def gather_tail(iq, det_idx, valid, ref, n_det, overflow, cfg: DspConfig):
     # production alternative)
     win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(iq, (s, 0), (W, 2)))(start)
-    win = win.astype(jnp.float32)
-    if scale is not None:
-        win = win * scale
+    win = _to_f32(win)   # the ONE int->f32 unit-scale conversion helper
     w2 = win[..., 0] ** 2 + win[..., 1] ** 2           # (K, W)
     return _tail_from_power(w2, det_idx, valid, n_det, overflow, cfg)
 
@@ -868,7 +873,16 @@ def planar_length(cfg: DspConfig, tile: int = None) -> int:
 
 def to_planar_i8(blocks: np.ndarray, cfg: DspConfig, tile: int = None):
     """Host-side: (C, L+N+R, 2) int8 (or (L+N+R, 2)) -> padded planar
-    (C, P) int8 I and Q arrays for demod_batch_packed_planar_jit."""
+    (C, P) int8 I and Q arrays for demod_batch_packed_planar_jit.
+
+    Input must already be int8 (quantized): a silent C-cast of a
+    unit-scale float block would truncate every sample to {-1, 0, 1} and
+    the pipeline would report zero detections with no error."""
+    if np.asarray(blocks).dtype != np.int8:
+        raise TypeError(
+            f"to_planar_i8 takes int8 (quantized) blocks, got "
+            f"{np.asarray(blocks).dtype}; quantize first "
+            "(io.stream quantize / native quantize_planar_i8)")
     x = np.asarray(blocks, dtype=np.int8)
     if x.ndim == 2:
         x = x[None]
@@ -923,8 +937,13 @@ def _extract_cands_unordered(keep, trows: int, per_lane: int):
     lifts the per-tile capacity cap to per_lane*128."""
     assert per_lane <= _COUNT_ROW, "unordered rows 0..3 cap per_lane at 4"
     e, count = _extract_perlane(keep, trows, per_lane)
+    # unused candidate rows carry the SENTINEL, not zeros: 0 is a valid
+    # encoding ("hit at row 0 lane 0"), so a consumer reading more rows
+    # than the kernel emitted would mint phantom detections at the tile
+    # base; sentinel rows read as self-evidently empty
+    sent_fill = jnp.full_like(count, trows * 128)
     zero = jnp.zeros_like(count)
-    rows = ([e] + [zero] * (_COUNT_ROW - per_lane) + [count]
+    rows = ([e] + [sent_fill] * (_COUNT_ROW - per_lane) + [count]
             + [zero] * (CAND_ROWS - _COUNT_ROW - 1))
     return jnp.concatenate(rows, axis=0)                   # (8, 128)
 
@@ -957,8 +976,10 @@ def _extract_cands(keep, trows: int, per_tile: int = CAND_PER_TILE,
         ordered = jnp.where((orow == k // 128) & (olane == k % 128), m,
                             ordered)
         e = jnp.where(e == m, sent, e)
+    # unused candidate rows carry the SENTINEL (see _extract_cands_unordered)
+    sent_fill = jnp.full_like(count, trows * 128)
     zero = jnp.zeros_like(count)
-    rows = ([ordered] + [zero] * (_COUNT_ROW - rows_o) + [count]
+    rows = ([ordered] + [sent_fill] * (_COUNT_ROW - rows_o) + [count]
             + [zero] * (CAND_ROWS - _COUNT_ROW - 1))
     return jnp.concatenate(rows, axis=0)                   # (8, 128)
 
@@ -1537,8 +1558,16 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
     the peak + pulse-threshold subset of the rule (~1/3 the VPU passes),
     emitting up to k2 (default 2*max_detections) candidates per block;
     the quiet-chip + NMS remainder of the rule is applied XLA-side on the
-    gathered candidate windows (_stageb_full_check) — decision-identical
-    to the one-stage kernel, cheaper per sample."""
+    gathered candidate windows (_stageb_full_check). NON-DEFAULT: r3
+    measured it 0.824x the one-stage kernel (CLAUDE.md), kept for A/B
+    reference. Caveats vs the one-stage path: (a) stage-B computes the
+    noise floor with the shifted-add fold, so with mxu_window_sum=True
+    (default) a threshold decision within ~1 ulp of summation-order
+    jitter can differ — decision parity is exact only with
+    mxu_window_sum=False (which the stage-A kernel then shares); (b)
+    n_detected/n_overflow count stage-A CANDIDATES (a superset of
+    full-rule detections), so overflow can read nonzero when no real
+    detection was dropped."""
     if tile is None:
         tile = default_tile(cfg)
     if per_tile is None:

@@ -198,6 +198,22 @@ int iq_stream_rcvbuf(void* h) {
   return static_cast<Stream*>(h)->rcvbuf;
 }
 
+// Standalone fused quantize + planar split: interleaved f32 I/Q pairs
+// (= the memory layout of a complex64 array) -> planar int8 I and Q.
+// One pass; used by the pod streaming driver where the framed-ring path
+// does not apply (the chunks arrive as host complex64 arrays).
+void iq_quantize_planar_i8(const float* iq, int8_t* out_i, int8_t* out_q,
+                           uint64_t n_samples, float scale) {
+  for (uint64_t i = 0; i < n_samples; ++i) {
+    float vi = iq[2 * i] * scale;
+    float vq = iq[2 * i + 1] * scale;
+    vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
+    vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
+    out_i[i] = static_cast<int8_t>(std::nearbyintf(vi));  // half-to-even,
+    out_q[i] = static_cast<int8_t>(std::nearbyintf(vq));  // = np.round
+  }
+}
+
 // ---- background pumps ------------------------------------------------------
 
 // Pump a recorded file through the ring. format: 0=f32 pairs, 1=sc16, 2=uc8.

@@ -539,3 +539,18 @@ def test_stop_event_ends_quiet_wait_promptly():
     th.join(timeout=2.0)
     assert not th.is_alive() and out == [None]
     src.close()
+
+
+def test_quantize_planar_i8_bit_exact():
+    """The fused native quantize+planar-split (pod streaming's per-step
+    host conversion) matches the numpy round-half-even + clip rule bit
+    for bit."""
+    rng = np.random.default_rng(7)
+    x = ((rng.standard_normal(65536) + 1j * rng.standard_normal(65536))
+         .astype(np.complex64) * 0.03)
+    for gain in (1333.3, 127.0, 37.3):
+        i8, q8 = native.quantize_planar_i8(x, gain)
+        np.testing.assert_array_equal(
+            i8, np.clip(np.round(x.real * gain), -127, 127).astype(np.int8))
+        np.testing.assert_array_equal(
+            q8, np.clip(np.round(x.imag * gain), -127, 127).astype(np.int8))

@@ -532,3 +532,70 @@ def test_vpu_opcount_pinned_to_evidence():
     c = opcount.count_ops(
         lambda a, b: _detect_keep_2d(a, b, cfg=cfg, tile=tile), aval, aval)
     assert not c["unknown"], c["unknown"]
+
+
+def test_short_tail_input_decodes_near_end():
+    """r4 review: the detect half zero-pads SHORT stream-tail inputs but
+    the decode tails sliced the un-padded array, so dynamic_slice clamped
+    end-of-block slabs and frames near the tail end misdecoded silently."""
+    from airmodes.dsp import host
+    from airmodes.kernels.preamble_pallas import demod_block_pallas_fast
+    cfg = DspConfig(block_size=1 << 15, max_detections=16)
+    # one frame whose body extends past the short input's end region
+    n_short = cfg.left_halo + cfg.block_size  # NO right halo
+    frames = encoder.random_df17_frames(2, seed=77)
+    iq, truth = encoder.make_capture(
+        frames, snr_db=25.0, spacing=cfg.block_size - 300, seed=77,
+        start=cfg.block_size - 290,      # preamble starts near block end
+        total_samples=cfg.block_size)
+    block, _ = next(sources.frame_blocks(iq, cfg))
+    x = np.stack([block.real, block.imag], -1).astype(np.float32)
+    short = x[:n_short]                  # stream tail: no right halo
+    t = demod_block_pallas_fast(short, cfg, tile=4096, interpret=True)
+    got = {m.split()[1] for m in
+           host.table_to_messages(t, 0, cfg.channel_rate)}
+    # the frame's preamble is owned by this block; its body reads the
+    # zero padding, decoding whatever CRC allows — the invariant is that
+    # it matches the zero-padded oracle EXACTLY (no clamped mis-slicing)
+    full = np.zeros_like(x)
+    full[:n_short] = short
+    from airmodes.dsp.pipeline import demod_block_jit
+    t2 = demod_block_jit(full, cfg)
+    want = {m.split()[1] for m in
+            host.table_to_messages(t2, 0, cfg.channel_rate)}
+    assert got == want
+
+
+def test_unordered_candidate_padding_is_sentinel():
+    """r4 review: unused candidate rows padded with ZEROS decode as 'hit
+    at row 0 lane 0' — a per_lane mismatch between kernel and compaction
+    minted phantom detections. Sentinel padding reads as empty."""
+    import jax
+    from airmodes.kernels.preamble_pallas import (
+        _extract_cands_unordered, _extract_cands, compact_candidates_unordered)
+    tile = 4096
+    trows = tile // 128
+    keep = np.zeros((trows, 128), bool)
+    keep[3, 17] = True                     # one real hit
+    cfg = DspConfig(block_size=tile, max_detections=8)
+    # kernel emits per_lane=2; compaction reads its default per_lane=4
+    cands = np.asarray(_extract_cands_unordered(jax.numpy.asarray(keep),
+                                                trows, 2))[None]
+    det_idx, valid, n_det, ovf = compact_candidates_unordered(
+        cands, cfg, tile)
+    idx = np.asarray(det_idx)[np.asarray(valid)]
+    assert list(idx) == [3 * 128 + 17]
+    assert int(np.asarray(n_det)) == 1 and int(np.asarray(ovf)) == 0
+    # ordered layout: same guarantee
+    c2 = np.asarray(_extract_cands(jax.numpy.asarray(keep), trows,
+                                   per_tile=128, per_lane=4))
+    assert (c2[1:4] == trows * 128).all()
+
+
+def test_to_planar_i8_rejects_float():
+    from airmodes.kernels.preamble_pallas import to_planar_i8
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    x = np.zeros((cfg.left_halo + cfg.block_size + cfg.right_halo, 2),
+                 np.float32)
+    with pytest.raises(TypeError, match="int8"):
+        to_planar_i8(x, cfg)
