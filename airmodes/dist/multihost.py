@@ -31,11 +31,13 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize passthrough.
 
-    With explicit args, passes them through. With no args, falls back to
-    jax.distributed's standard environment-based auto-configuration when a
-    coordinator is configured (JAX_COORDINATOR_ADDRESS / TPU metadata) —
-    a plain no-op would silently leave each pod host with a local-only
-    mesh, each demodulating the full stream independently.
+    With explicit args, passes them through (including a bare process_id
+    — dropping it would let jax guess a different coordination slot).
+    With no args, falls back to jax.distributed's standard
+    environment-based auto-configuration when a coordinator is configured
+    (JAX_COORDINATOR_ADDRESS / TPU metadata) — a plain no-op would
+    silently leave each pod host with a local-only mesh, each
+    demodulating the full stream independently.
     """
     import os
     if num_processes is not None:
@@ -46,7 +48,8 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes, process_id=process_id)
         return
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   process_id=process_id)
 
 
 @dataclasses.dataclass
@@ -73,6 +76,15 @@ class PodPipeline:
         if self.n_time is None:
             self.n_time = max(n_dev // self.n_channel, 1)
         self.mesh = sharded.make_mesh(self.n_channel, self.n_time)
+        if self.n_time * self.cfg.block_size >= (1 << 31):
+            # detection indices are step-global int32 on the wire
+            # (pack_table): past 2^31 samples/step they wrap negative and
+            # frames silently vanish. Shard such workloads over "channel"
+            # instead (indices stay per-channel-step).
+            raise ValueError(
+                f"samples_per_step {self.n_time * self.cfg.block_size} "
+                ">= 2^31 overflows the int32 detection index; use more "
+                "channel shards / smaller blocks")
         if self.planar is None:
             self.planar = (jax.default_backend() == "tpu"
                            and self.cfg.noise_window == 128
@@ -207,7 +219,30 @@ class PodPipeline:
         flight so step i+1's H2D overlaps step i's compute and fetch."""
         from collections import deque
         S = self.samples_per_step
-        pending = np.zeros((self.n_channel, 0), np.complex64)
+        # chunk buffer as a LIST of arrays, concatenated once per step:
+        # repeated np.concatenate on a growing array is O(buffered) per
+        # chunk — ~500x write amplification at UDP-sized chunks into a
+        # multi-Msample step (r4 review)
+        parts: List[np.ndarray] = []
+        buffered = 0
+
+        def take_step():
+            """Pop exactly S samples (zero-padded past stream end)."""
+            nonlocal parts, buffered
+            have = min(buffered, S)
+            out = np.zeros((self.n_channel, S), np.complex64)
+            pos = 0
+            while pos < have:
+                p = parts[0]
+                n = min(p.shape[1], have - pos)
+                out[:, pos: pos + n] = p[:, :n]
+                if n == p.shape[1]:
+                    parts.pop(0)
+                else:
+                    parts[0] = p[:, n:]
+                pos += n
+            buffered -= have
+            return out
 
         if self.planar:
             # one fused native pass when the toolchain is present (the
@@ -221,10 +256,7 @@ class PodPipeline:
                     return _q(x, self.gain)
             except Exception:
                 def conv(x):
-                    return (np.clip(np.round(x.real * self.gain),
-                                    -127, 127).astype(np.int8),
-                            np.clip(np.round(x.imag * self.gain),
-                                    -127, 127).astype(np.int8))
+                    return host_mod.quantize_planar_i8_np(x, self.gain)
 
             def ship(step):
                 return sharded.shard_input_planar(step[0], step[1],
@@ -251,23 +283,20 @@ class PodPipeline:
         chunks = iter(chunks)
         inflight: deque = deque()
         while True:
-            while not done and pending.shape[1] < S:
+            while not done and buffered < S:
                 try:
-                    pending = np.concatenate([pending, next(chunks)], axis=1)
+                    c = np.ascontiguousarray(next(chunks))
+                    parts.append(c)
+                    buffered += c.shape[1]
                 except StopIteration:
                     done = True
-            n_real = pending.shape[1]
-            if n_real == 0:
+            if buffered == 0:
                 break
-            if n_real < S:      # only at EOF: zero-pad past stream end
-                pad = np.zeros((self.n_channel, S - n_real), np.complex64)
-                pending = np.concatenate([pending, pad], axis=1)
-            dev = ship(conv(pending[:, :S]))
+            dev = ship(conv(take_step()))   # zero-pads only at EOF
             if cur is not None:           # step k runs once k+1 is shipped
                 inflight.append((dispatch(prev, cur[0], dev), cur[1]))
                 prev = cur[0]
             cur = (dev, start)
-            pending = pending[:, S:]
             start += S
             if len(inflight) >= max(depth, 1):
                 packed, st = inflight.popleft()
@@ -295,7 +324,9 @@ def ici_scaling_model(cfg: DspConfig, device_msps: float,
     chip count (weak scaling) —
 
         eff = t_compute / (t_compute + t_halo)
-        t_halo = 2 hops * (halo_bytes / ICI_BW + hop_latency)
+        t_halo = halo_bytes / ICI_BW + n_msgs * hop_latency
+        n_msgs = 4 planar (I and Q exchange separately, both directions)
+                 2 interleaved f32
 
     Defaults are conservative public v4-generation per-link numbers; the
     production planar halos are ~1 KB against ~450 us of compute, so eff
@@ -304,7 +335,8 @@ def ici_scaling_model(cfg: DspConfig, device_msps: float,
     bytes_per_sample = 2 if planar else 8      # I+Q int8 vs (N, 2) f32
     halo_samples = cfg.left_halo + cfg.right_halo
     halo_bytes = halo_samples * bytes_per_sample
-    t_halo = 2 * (halo_bytes / ici_bytes_per_s + hop_latency_s)
+    n_msgs = 4 if planar else 2
+    t_halo = halo_bytes / ici_bytes_per_s + n_msgs * hop_latency_s
     t_compute = cfg.block_size / (device_msps * 1e6)
     eff = t_compute / (t_compute + t_halo)
     return {"halo_bytes": halo_bytes, "t_halo_s": t_halo,

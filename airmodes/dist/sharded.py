@@ -37,13 +37,29 @@ from ..dsp.pipeline import DetectionTable, demod_block
 
 def make_mesh(n_channel: int = 1, n_time: int = 1,
               devices=None) -> Mesh:
-    """Build a ("channel", "time") mesh over the available devices."""
+    """Build a ("channel", "time") mesh over the available devices.
+
+    When the mesh uses ALL devices, lay it out with
+    mesh_utils.create_device_mesh so time-axis ring neighbors are
+    ICI-adjacent on a real pod (a naive jax.devices() reshape follows
+    process/device ids, not torus coordinates — each ppermute halo hop
+    could cross multiple links). Partial meshes / explicit device lists
+    keep the caller's order."""
     import numpy as np
+    explicit = devices is not None
     devices = devices if devices is not None else jax.devices()
     n = n_channel * n_time
     if n > len(devices):
         raise ValueError(f"mesh {n_channel}x{n_time} needs {n} devices, "
                          f"have {len(devices)}")
+    if not explicit and n == len(devices) and n > 1:
+        try:
+            from jax.experimental import mesh_utils
+            devs = mesh_utils.create_device_mesh((n_channel, n_time),
+                                                 devices=devices)
+            return Mesh(devs, ("channel", "time"))
+        except Exception:
+            pass          # fall back to the naive layout
     devs = np.asarray(devices[:n]).reshape(n_channel, n_time)
     return Mesh(devs, ("channel", "time"))
 
@@ -143,7 +159,9 @@ def make_sharded_demod_ctx(mesh: Mesh, cfg: DspConfig):
     their outer halo from the provided context instead of zeros — without
     this, a frame straddling two consecutive steps of a long stream is
     silently lost (its body reads zeros). Used by dist.multihost.PodPipeline,
-    which carries the context between steps host-side.
+    whose run_stream slices the context from the neighboring steps'
+    device-resident inputs inside the jit (r4; run_step still takes host
+    arrays).
     """
     left, right = cfg.left_halo, cfg.right_halo
 

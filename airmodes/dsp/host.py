@@ -44,6 +44,17 @@ class BlockStats:
     #                     sample loss was VERDICT r3 weak #3)
 
 
+def quantize_planar_i8_np(iq: np.ndarray, gain: float):
+    """THE int8 quantization rule (numpy form): planar int8 I, Q =
+    round(f32 * gain) clipped to +-127, np.round half-to-even. The
+    native runtime (iqstream.cc quantize_i8 / iq_quantize_planar_i8)
+    implements the identical rule in C; keep every Python-side
+    quantizer on this one helper so the full_scale = gain/127 dBFS
+    referencing can never drift between paths."""
+    return (np.clip(np.round(iq.real * gain), -127, 127).astype(np.int8),
+            np.clip(np.round(iq.imag * gain), -127, 127).astype(np.int8))
+
+
 def _bits_to_int(bits: np.ndarray, nbits: int) -> int:
     # nbits is always byte-aligned (56/112); packbits is ~10x the Python
     # shift/or loop this replaced, on the per-message product hot path

@@ -158,3 +158,43 @@ def test_pod_stream_tail_longer_than_one_step():
         for m in out:
             ts = float(m.split()[5])
             assert i * S <= ts * cfg.channel_rate < (i + 1) * S
+
+
+def test_pod_samples_per_step_int32_guard():
+    """Step-global detection indices are int32 on the wire: a step past
+    2^31 samples must fail loudly at construction (r4 review), not wrap
+    negative and silently drop frames."""
+    import pytest
+    from airmodes.config import DspConfig
+    with pytest.raises(ValueError, match="2\\^31|int32"):
+        PodPipeline(DspConfig(block_size=1 << 30, max_detections=16),
+                    n_channel=1, n_time=2, planar=False)
+
+
+def test_pod_stream_many_tiny_chunks():
+    """UDP-sized chunk feeds (hundreds per step) decode identically —
+    the chunk buffer must assemble steps without O(buffered) re-copies
+    (r4 review) and without losing samples at chunk splits."""
+    import numpy as np
+    from airmodes.config import DspConfig
+    from airmodes.testing import encoder
+    cfg = DspConfig(block_size=1 << 14, max_detections=32)
+    pipe = PodPipeline(cfg, n_channel=1, n_time=2, planar=False)
+    S = pipe.samples_per_step
+    total = 2 * S + 777                 # ragged tail
+    frames = encoder.random_df17_frames(12, seed=21)
+    iq, truth = encoder.make_capture(frames, snr_db=20.0,
+                                     spacing=total // 13, seed=21,
+                                     total_samples=total)
+    rng = np.random.default_rng(4)
+    chunks = []
+    pos = 0
+    while pos < total:
+        n = int(rng.integers(1, 700))   # tiny ragged chunks
+        chunks.append(iq[None, pos: pos + n])
+        pos += n
+    got = set()
+    for msgs in pipe.run_stream(iter(chunks)):
+        got |= {m.split()[1] for m in msgs}
+    want = {t.hex for t in truth}
+    assert want <= got, want - got
