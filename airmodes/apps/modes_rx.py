@@ -420,8 +420,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     my_pos = (loc[0], loc[1]) if loc else None
 
     # shared pipeline counters: created before the plugins so observability
-    # outputs (httpd /data/stats.json) can read them live
+    # outputs (httpd /data/stats.json) can read them live. Only the DSP
+    # paths update them — frame-replay/aggregator modes must NOT wire
+    # them into httpd (a permanently-zero pipeline section reads as "the
+    # pipeline is dead", worse than absent).
     stats = host.BlockStats()
+    srcs = args.source or ["synthetic"]
+    dsp_mode = (args.file_format not in ("beast", "beastgps", "avr")
+                and not any(s.startswith(("beast://", "beastgps://",
+                                          "avr://")) for s in srcs))
 
     # --- plugins ---------------------------------------------------------
     bus = local_pubsub()
@@ -472,7 +479,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.http is not None:
         from ..outputs.httpd import output_http
         plug = output_http(args.http, parse_cls(my_pos), my_position=my_pos,
-                           block_stats=stats)
+                           block_stats=stats if dsp_mode else None)
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.flightgear:
@@ -488,7 +495,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         closers.append(relay.close)
 
     # --- source ----------------------------------------------------------
-    srcs = args.source or ["synthetic"]
     if args.file_format in ("beast", "beastgps", "avr"):
         if len(srcs) != 1 or srcs[0] in ("udp", "synthetic", "uhd",
                                          "osmocom") or "://" in srcs[0]:

@@ -403,8 +403,12 @@ class mlat_correlator:
             # EARLIER transmission (whose group already resolved) must not
             # merge into the current one — the keep-earliest rule would
             # replace this station's arrival with a time from the wrong
-            # transmission, poisoning the solve. Drop the stale copy.
-            return out
+            # transmission, poisoning the solve. Drop the stale copy but
+            # run the regular flush like every other feed path (analysis:
+            # a stale t is the oldest time in play, so this flush can
+            # never catch a group the fresher traffic's flushes missed —
+            # kept purely so no path skips the aging step)
+            return out + self._flush_rel(now=t)
         new_group = arr is None
         if arr is None:
             import heapq

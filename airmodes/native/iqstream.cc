@@ -304,8 +304,10 @@ int iq_stream_start_udp(void* h, const char* host, int port,
     ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
   socklen_t rblen = sizeof(rcvbuf);
   if (::getsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, &rblen) == 0)
-    s->rcvbuf = rcvbuf;  // effective size (kernel may clamp to rmem_max
-    // silently; expose it so operators can see what they actually got)
+    s->rcvbuf = rcvbuf / 2;  // effective size; Linux getsockopt returns
+    // the kernel's DOUBLED bookkeeping value, so halve it back to usable
+    // bytes (kernel may clamp to rmem_max silently; expose what
+    // operators actually got)
   if (timeout_s > 0) {
     timeval tv{};
     tv.tv_sec = static_cast<long>(timeout_s);

@@ -243,23 +243,30 @@ def bench_e2e_multichannel(cfg, n_channels: int = 4, n_blocks: int = 8,
         p = os.path.join(d, f"ch{c}.uc8")
         icaos |= write_uc8_capture(cfg, p, n_blocks, seed=seed * 100 + c)
         paths.append(p)
+    import sqlite3
+    db = os.path.join(d, "out.db")
     srcs = []
     for p in paths:
         srcs += ["-s", p]
     args = srcs + ["--file-format", "uc8", "--int8",
                    "--block-size", str(cfg.block_size),
                    "--max-detections", str(cfg.max_detections),
-                   "-n", "--stats-interval", "0",
+                   "-n", "-d", db, "--stats-interval", "0",
                    "--compile-cache", "/root/repo/.jax_cache"]
     rx_main(args + ["--max-blocks", "1"])      # warm the (C, P) jit
     t0 = time.time()
     rc = rx_main(args)
     dt = time.time() - t0
     msps = n_channels * n_blocks * cfg.block_size / dt / 1e6
-    ok = rc == 0
+    con = sqlite3.connect(db)
+    n_aircraft = con.execute("SELECT COUNT(*) FROM aircraft").fetchone()[0]
+    con.close()
+    # decode gate, like bench_e2e: a multichannel path regression that
+    # decodes nothing must FAIL the bench, not just exit 0
+    ok = rc == 0 and n_aircraft >= int(0.9 * len(icaos))
     print(f"# e2e multichannel: {msps:.1f} Msps aggregate over "
-          f"{n_channels} channels x {n_blocks} blocks (wall {dt:.2f}s)",
-          file=sys.stderr)
+          f"{n_channels} channels x {n_blocks} blocks (wall {dt:.2f}s), "
+          f"{n_aircraft}/{len(icaos)} aircraft in DB", file=sys.stderr)
     for p in paths:
         try:
             os.remove(p)
@@ -378,7 +385,12 @@ def bench_sharded_resample(seed: int = 55):
     want = {t.hex for t in truth}
     ok = len(want - got) <= max(1, len(want) // 100)
 
-    sum_fn = jax.jit(lambda a: (lambda t: jnp.sum(t.index))(fn(a)))
+    # sum the PACKED table: summing only t.index would let XLA dead-code-
+    # eliminate the slice/CRC/ECC stages from the timed program (bench
+    # protocol: compare full paths only — CLAUDE.md det_idx note)
+    from airmodes.dsp.pipeline import pack_table
+    pack2 = jax.vmap(jax.vmap(pack_table))
+    sum_fn = jax.jit(lambda a: jnp.sum(pack2(fn(a))))
     dx = jax.device_put(x)
     np.asarray(sum_fn(dx))
     t0 = time.time()

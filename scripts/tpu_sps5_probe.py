@@ -125,7 +125,9 @@ print(f"fused parity: {len(got_r & want_r)}/{len(want_r)} decoded, "
       f"missing {len(want_r - got_r)}", flush=True)
 
 bail("fused timing")
-sum_fn = jax.jit(lambda a: (lambda t: jnp.sum(t.index))(fn(a)))
+from airmodes.dsp.pipeline import pack_table as _pt
+_pack2 = jax.vmap(jax.vmap(_pt))
+sum_fn = jax.jit(lambda a: jnp.sum(_pack2(fn(a))))
 dx = jax.device_put(x)
 np.asarray(sum_fn(dx))
 t0 = time.time()
