@@ -27,15 +27,20 @@ def _pallas_ok(cfg: DspConfig, tile: int = 16384) -> bool:
 
 
 def _default_step(cfg: DspConfig):
-    """Pick the fastest available packed demod step for this backend."""
+    """Pick the fastest available packed demod step for this backend.
+
+    No silent fallback past the gate: if the kernels module is broken,
+    raising an ImportError here beats an order-of-magnitude quiet
+    throughput regression (r4 review)."""
     import jax
     from ..dsp.pipeline import demod_block_packed_jit
-    if jax.default_backend() == "tpu" and _pallas_ok(cfg):
-        try:
-            from ..kernels.preamble_pallas import demod_block_packed_fast_jit
-            return demod_block_packed_fast_jit
-        except Exception:
-            pass
+    if jax.default_backend() == "tpu":
+        from ..kernels.preamble_pallas import (demod_block_packed_fast_jit,
+                                               supported_2d_tile)
+        tile = supported_2d_tile(cfg)
+        if tile is not None:
+            return lambda x, cfg: demod_block_packed_fast_jit(x, cfg,
+                                                              tile=tile)
     return demod_block_packed_jit
 
 
@@ -45,7 +50,12 @@ def _batch_step(cfg: DspConfig):
     if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
         from ..kernels.preamble_pallas import (
             demod_batch_packed_fast_jit, demod_batch_packed_planar_jit,
-            to_planar_i8)
+            supported_2d_tile, to_planar_i8)
+        # the planar int8 kernel tiles down to 4096 (default_tile); the
+        # f32 2D kernel has its own tile chain — resolve it from the
+        # kernels' own support predicate so the gate can never admit a
+        # cfg the kernel then rejects (r4 review: a fixed 16384 did)
+        f32_tile = supported_2d_tile(cfg)
 
         def step(xb, cfg):
             if xb.dtype == np.int8:
@@ -53,15 +63,35 @@ def _batch_step(cfg: DspConfig):
                 # by the in-flight window) -> traffic-minimal kernel
                 xi, xq = to_planar_i8(xb, cfg)
                 return demod_batch_packed_planar_jit(xi, xq, cfg)
-            return demod_batch_packed_fast_jit(xb, cfg)
+            if f32_tile is not None:
+                return demod_batch_packed_fast_jit(xb, cfg, tile=f32_tile)
+            return _xla_batch_step(xb, cfg)
         return step
+    return _xla_batch_step
+
+
+def _xla_batch_step_impl():
     import functools
+    import jax
     from ..dsp.pipeline import demod_block, pack_table
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def step(xb, cfg):
         return jax.vmap(lambda x: pack_table(demod_block(x, cfg)))(xb)
     return step
+
+
+_xla_batch_cache = None
+
+
+def _xla_batch_step(xb, cfg):
+    """Module-level XLA fallback: ONE jit wrapper for the process (a
+    fresh wrapper per _batch_step() call re-traced and recompiled the
+    identical program on every runner construction — r4 review)."""
+    global _xla_batch_cache
+    if _xla_batch_cache is None:
+        _xla_batch_cache = _xla_batch_step_impl()
+    return _xla_batch_cache(xb, cfg)
 
 
 def _dev_layout(block, quantize_i8: bool):
@@ -145,9 +175,11 @@ def run_pipelined(
             if len(inflight) > depth:
                 yield from drain_one()
     if acc:
-        pads = [acc[-1][0]] * (batch - len(acc))
+        # quantize the pad block ONCE and reuse (each to_dev_layout pass
+        # re-scans/quantizes the full block — r4 review)
+        pad_dev = to_dev_layout(acc[-1][0])
         devs = [to_dev_layout(b) for b, _ in acc] + \
-               [to_dev_layout(p) for p in pads]
+               [pad_dev] * (batch - len(acc))
         xb = np.stack([d for d, _ in devs])
         inflight.append((step(xb, cfg), [s for _, s in acc],
                          [f for _, f in devs], len(acc)))
@@ -164,7 +196,7 @@ def run_channels(
     depth: int = 2,
     step=None,
     quantize_i8: bool = False,
-) -> Iterator[List[List[str]]]:
+) -> Iterator[List[Optional[List[str]]]]:
     """Concurrent multi-channel demod: C independent framed block iterators
     (one per SDR channel / capture) batched down the leading axis of ONE
     device call per time step — the single-chip realization of the mesh's
@@ -214,6 +246,15 @@ def run_channels(
             if live[c]:
                 devs[c] = to_dev_layout(items[c][0])
         ref = next(d for d in devs if d is not None)
+        dtypes = {d[0].dtype for d in devs if d is not None}
+        if len(dtypes) > 1:
+            # np.stack would silently UPCAST (int8+int16 -> int16,
+            # int8+f32 -> f32), breaking the per-dtype 1/127 or 1/32767
+            # full-scale accounting and dropping the planar kernel for
+            # every channel — a misconfiguration, fail loudly
+            raise ValueError(
+                f"run_channels: mixed live-channel dtypes {dtypes}; "
+                "give every channel the same sample format/quantization")
         zkey = ref[0].dtype
         if zkey not in zero_dev:
             zero_dev[zkey] = (np.zeros_like(ref[0]), 1.0)

@@ -266,6 +266,21 @@ def _detect_kernel_2d(i_hbm, q_hbm, mask_ref, ref_ref, win_i, win_q, sems, *,
     _detect_body_2d(win_i[:], win_q[:], mask_ref, ref_ref, cfg=cfg, tile=tile)
 
 
+def supported_2d_tile(cfg: DspConfig):
+    """Largest tile the 2D f32 detect kernels support for cfg, or None.
+
+    THE gate callers use before picking a Pallas path (io.stream) — the
+    constraints live here, next to the kernels, so they cannot drift
+    from the asserts they mirror (r4 review: a hand-copied gate admitted
+    block sizes the kernel's default tile then rejected)."""
+    if cfg.noise_window != 128 or 14 * cfg.sps >= 128:
+        return None
+    for t in (16384, 8192, 4096):
+        if cfg.block_size % t == 0:
+            return t
+    return None
+
+
 def _check_2d_limits(cfg: DspConfig):
     """The 2D/planar kernels shift by up to 14*sps lanes; Mosaic's roll +
     row-borrow construction supports |shift| < 128 -> sps <= 9."""

@@ -118,7 +118,13 @@ class output_beast:
                 ns = int(parts[6])
             except ValueError:
                 pass
-        data = beast_encode(parts[1], float(parts[4]), float(parts[5]),
+        try:   # remote feeds are untrusted: a corrupt dbfs/timestamp
+            ref_dbfs = float(parts[4])
+            ts = float(parts[5])
+        except ValueError:
+            return    # field drops the frame here, not via the bus's
+            # catch-all (the plugin owns its drop-and-continue contract)
+        data = beast_encode(parts[1], ref_dbfs, ts,
                             gps_time=self.gps_time, timestamp_ns=ns)
         if data is not None:
             self._srv.broadcast(data)

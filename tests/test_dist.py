@@ -244,7 +244,7 @@ def test_halo_exchange_cost_empirical_point():
     x = (rng.standard_normal((1, 8 * cfg.block_size, 2)) * 0.05
          ).astype(np.float32)
 
-    def med_time(fn, n=5):
+    def med_time(fn, n=7):
         d = sharded.shard_input(x, mesh)
         jax.block_until_ready(fn(d))            # compile + warm
         ts = []
@@ -252,7 +252,11 @@ def test_halo_exchange_cost_empirical_point():
             t0 = time.perf_counter()
             jax.block_until_ready(fn(d))
             ts.append(time.perf_counter() - t0)
-        return sorted(ts)[n // 2]
+        # MIN, not median: external load (another process hammering the
+        # host) only ever inflates wall time, so min-of-n estimates the
+        # true cost robustly (the median flaked when the TPU bench ran
+        # concurrently with the suite)
+        return min(ts)
 
     t_with = med_time(sharded.make_sharded_demod(mesh, cfg))
     t_ablated = med_time(

@@ -136,3 +136,35 @@ def test_run_channels_keeps_int8_after_channel_ends():
     assert len(steps) == 3
     assert steps[1][1] is None and steps[2][1] is None   # ch1 ended
     assert all(d == np.int8 for d in seen_dtypes), seen_dtypes
+
+
+def test_run_channels_mixed_dtypes_rejected():
+    """np.stack would silently upcast mixed dtypes (breaking full-scale
+    accounting + dropping the planar kernel) — fail loudly (r4 review)."""
+    import numpy as np
+    import pytest
+    from airmodes.config import DspConfig
+    from airmodes.io.stream import run_channels
+    cfg = DspConfig(block_size=1 << 12, max_detections=8, noise_window=64)
+    T = cfg.left_halo + cfg.block_size + cfg.right_halo
+
+    def chan(dtype):
+        yield np.zeros((T, 2), dtype), 0
+
+    with pytest.raises(ValueError, match="mixed"):
+        list(run_channels([chan(np.int8), chan(np.float32)], cfg))
+
+
+def test_supported_2d_tile_matches_kernel_constraints():
+    from airmodes.config import DspConfig
+    from airmodes.kernels.preamble_pallas import supported_2d_tile
+    assert supported_2d_tile(
+        DspConfig(block_size=1 << 20)) == 16384
+    assert supported_2d_tile(
+        DspConfig(block_size=8192)) == 8192        # r4 review: the old
+    #   fixed-16384 f32 branch crashed exactly here
+    assert supported_2d_tile(DspConfig(block_size=20480)) == 4096
+    assert supported_2d_tile(
+        DspConfig(block_size=1 << 20, noise_window=64)) is None
+    assert supported_2d_tile(
+        DspConfig(block_size=1 << 20, channel_rate=20e6)) is None  # sps 10

@@ -706,3 +706,17 @@ def test_dashboard_icao_gate_blocks_phantom_ap_aircraft():
     d2 = dashboard(icao_gate=False)
     assert d2.update(AircraftReport(df=4, icao=0xBAD, timestamp=1.0,
                                     ref_dbfs=-20.0, raw_hex="")) is not None
+
+
+def test_output_beast_drops_malformed_fields():
+    """Corrupt dbfs/timestamp fields from a remote feed drop inside the
+    plugin (its own drop-and-continue contract), never raise (r4
+    review)."""
+    from airmodes.outputs.beast import output_beast
+    plug = output_beast(port=0, host="127.0.0.1")
+    try:
+        plug.output("17 8d4840d6202cc371c32ce0576098 000000 0 nope 1.5")
+        plug.output("17 8d4840d6202cc371c32ce0576098 000000 0 -3.0 zz")
+        plug.output("17 zzzz 000000 0 -3.0 1.5")     # bad hex: dropped too
+    finally:
+        plug.close()
