@@ -173,10 +173,14 @@ def avr_to_hex(record: str) -> Optional[Tuple[str, Optional[int]]]:
     if record.startswith("*"):
         return record[1:].strip(), None
     if record.startswith("@") and len(record) >= 13:
-        try:
-            return record[13:].strip(), int(record[1:13], 16)
-        except ValueError:
+        counter = record[1:13]
+        # strict hex: int(x, 16) accepts '-'/'_'/whitespace, which would
+        # mint a bogus (even negative) counter from a garbled record and
+        # poison the mlat anchor math — same guard frame_to_wire applies
+        # to the frame field
+        if not all(c in "0123456789abcdefABCDEF" for c in counter):
             return None
+        return record[13:].strip(), int(counter, 16)
     return None
 
 
@@ -241,6 +245,7 @@ class net_client:
         self.on_reanchor: Optional[Callable[[], None]] = None
         self.n_frames = 0
         self.n_dropped = 0
+        self.n_connect_failures = 0
         self._stop = threading.Event()
         self._sock: Optional[socket.socket] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -286,7 +291,14 @@ class net_client:
             # ns extension: anchor rounded once + exact tick scaling keeps
             # the counter's full 83.3 ns relative precision on the wire
             ns = int(round(t0 * 1e9)) + (delta * 1000) // 12
-        elif mlat is not None and self.timestamps == "gps":
+        elif self.timestamps == "gps":
+            if mlat is None:
+                # counter-less record: host receive time has ms TCP
+                # jitter — mixing it into a GPS-grade (ns) feed silently
+                # poisons the TDOA solve, so drop and count (same rule
+                # as "mlat" mode)
+                self.n_dropped += 1
+                return
             ns = gps_counter_to_utc_ns(mlat, time.time())
             ts = ns * 1e-9
         wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts,
@@ -341,14 +353,29 @@ class net_client:
                     avr_buf = b""
 
     def _run(self) -> None:
+        import sys
+        logged_outage = False
         while not self._stop.is_set():
             try:
                 sock = socket.create_connection(
                     (self.host, self.port), timeout=5.0)
-            except OSError:
+            except OSError as e:
+                # a permanently dead feed must be distinguishable from
+                # quiet airspace: count every failure, log once per
+                # outage (r4 review — silent infinite retry)
+                self.n_connect_failures += 1
+                if not logged_outage:
+                    print(f"net_client: cannot connect "
+                          f"{self.host}:{self.port}: {e} (retrying every "
+                          f"{self.reconnect_s:.0f}s)", file=sys.stderr)
+                    logged_outage = True
                 if self._stop.wait(self.reconnect_s):
                     return
                 continue
+            if logged_outage:
+                print(f"net_client: {self.host}:{self.port} connected",
+                      file=sys.stderr)
+            logged_outage = False
             self._sock = sock
             try:
                 self._pump(sock)
@@ -368,7 +395,10 @@ class net_client:
                 sock.shutdown(socket.SHUT_RDWR)
             except OSError:
                 pass
-        self._thread.join(timeout=5.0)
+        if self._thread.ident is not None:  # joining a never-started
+            self._thread.join(timeout=5.0)  # thread raises RuntimeError
+            # (client_for_url returns UNSTARTED clients; error-path
+            # cleanup may close one before start — r4 review)
 
 
 class frame_deduper:
@@ -433,16 +463,32 @@ def replay_file(path: str, fmt: str = "auto",
             return (mlat >> 30) * 1_000_000_000 + (mlat & ((1 << 30) - 1))
         return mlat * 1000 // 12              # 12 MHz ticks -> ns
 
+    base_ns = 0          # accumulated re-anchor offset (counter resets)
+    prev_off = 0
+
     def ts_of(mlat: Optional[int]) -> Tuple[float, float, Optional[int]]:
-        nonlocal t0_ns
+        nonlocal t0_ns, base_ns, prev_off
         if mlat is None:
             return epoch, 0.0, None
         cns = counter_ns(mlat)
         if t0_ns is None:
             t0_ns = cns
-        off_ns = cns - t0_ns
-        if gps_time and off_ns < -43200 * 1_000_000_000:
+        off_ns = cns - t0_ns + base_ns
+        if gps_time and off_ns - base_ns < -43200 * 1_000_000_000:
             off_ns += 86400 * 1_000_000_000  # crossed UTC midnight
+        elif not gps_time and off_ns < prev_off - 1_000_000_000:
+            # classic 12 MHz counter reset mid-recording (remote receiver
+            # restarted) or 2^48 wrap: without re-anchoring, every later
+            # frame lands up to ~271 days before the epoch and throttled
+            # replay / CPR pairing break (the LIVE path reanchors via its
+            # 5 s divergence check; a recording has no host clock, so
+            # regression > 1 s — far beyond multipath/correlation-window
+            # reordering — is the signal). Stream time continues from
+            # the last frame.
+            base_ns = prev_off
+            t0_ns = cns
+            off_ns = prev_off
+        prev_off = max(prev_off, off_ns)
         ns = epoch_ns + off_ns
         return ns * 1e-9, off_ns * 1e-9, ns
 

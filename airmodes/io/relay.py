@@ -56,7 +56,14 @@ class local_pubsub:
 class zmq_pubsub_iface:
     """Bridge thread between a zmq SUB socket and local callbacks, plus a
     local-publish -> zmq PUB path (mirrors the reference API:
-    subscribe(topic, callback) / publish(topic, msg) / close())."""
+    subscribe(topic, callback) / publish(topic, msg) / close()).
+
+    Local callback fan-out composes a `local_pubsub` (one drop-and-
+    continue contract, not a copy). SUB-side topic filtering is pushed
+    into zmq (per-topic SUBSCRIBE applied by the bridge thread — zmq
+    sockets are single-threaded) so unwanted topics are dropped at the
+    PUBLISHER, not shipped over TCP and filtered here: with per-channel
+    'dl_data/chN' duplicates this halves the wire traffic or better."""
 
     def __init__(self, context=None, subaddr: Optional[str] = None,
                  pubaddr: Optional[str] = None):
@@ -65,9 +72,11 @@ class zmq_pubsub_iface:
         self._ctx = context or zmq.Context.instance()
         self._subaddr = subaddr
         self._pubaddr = pubaddr
-        self._subs: Dict[str, List[Callable[[str], None]]] = defaultdict(list)
-        self._lock = threading.Lock()
+        self._local = local_pubsub()
         self._stop = threading.Event()
+        # topics whose zmq SUBSCRIBE the bridge thread has yet to apply
+        self._pending_topics: List[str] = []
+        self._pending_lock = threading.Lock()
 
         self._pub = None
         if pubaddr:
@@ -81,37 +90,36 @@ class zmq_pubsub_iface:
             self._thread.start()
 
     def subscribe(self, topic: str, callback: Callable[[str], None]) -> None:
-        with self._lock:
-            self._subs[topic].append(callback)
+        self._local.subscribe(topic, callback)
+        with self._pending_lock:
+            self._pending_topics.append(topic)
 
     def unsubscribe(self, topic: str, callback) -> None:
-        with self._lock:
-            if callback in self._subs.get(topic, []):
-                self._subs[topic].remove(callback)
+        self._local.unsubscribe(topic, callback)
 
     def publish(self, topic: str, msg: str) -> None:
         if self._pub is not None:
             with self._pub_lock:
-                self._pub.send_multipart([topic.encode(), msg.encode()])
+                if self._pub is not None:   # close() raced us: drop
+                    self._pub.send_multipart([topic.encode(), msg.encode()])
+            if self._thread is None:
+                # pubaddr-only iface: local subscribers would otherwise
+                # NEVER fire (no SUB bridge to loop the message back) —
+                # dispatch locally too. With a bridge, the loopback
+                # delivers, so skip to avoid double dispatch.
+                self._local.publish(topic, msg)
         else:
             # no PUB socket: dispatch locally (inproc short-circuit)
-            self._dispatch(topic, msg)
+            self._local.publish(topic, msg)
 
     def _dispatch(self, topic: str, msg: str) -> None:
-        with self._lock:
-            subs = list(self._subs.get(topic, []))
-        for cb in subs:
-            try:
-                cb(msg)
-            except Exception:
-                continue  # drop-and-continue per subscriber
+        self._local.publish(topic, msg)
 
     def _run(self) -> None:
         import sys
         try:
             sub = self._ctx.socket(zmq.SUB)
             sub.connect(self._subaddr)
-            sub.setsockopt(zmq.SUBSCRIBE, b"")
         except zmq.ZMQError as e:
             print(f"zmq_pubsub_iface: SUB setup failed for "
                   f"{self._subaddr!r}: {e}", file=sys.stderr)
@@ -119,6 +127,10 @@ class zmq_pubsub_iface:
         poller = zmq.Poller()
         poller.register(sub, zmq.POLLIN)
         while not self._stop.is_set():
+            with self._pending_lock:
+                pending, self._pending_topics = self._pending_topics, []
+            for t in pending:
+                sub.setsockopt(zmq.SUBSCRIBE, t.encode())
             try:
                 if not dict(poller.poll(timeout=100)):
                     continue
@@ -139,4 +151,8 @@ class zmq_pubsub_iface:
         if self._thread is not None:
             self._thread.join(timeout=5)
         if self._pub is not None:
-            self._pub.close(linger=0)
+            # under the send lock: a publisher mid-send on a closing zmq
+            # socket is undefined behavior in libzmq (r4 review)
+            with self._pub_lock:
+                pub, self._pub = self._pub, None
+                pub.close(linger=0)

@@ -682,3 +682,75 @@ def test_ns_roundtrip_beast_gps_loop():
     spac = [b - a for a, b in zip(ns_vals, ns_vals[1:])]
     want = [b - a for a, b in zip(offs, offs[1:])]
     assert spac == want, (spac, want)
+
+
+# ---- r4 review-sweep regressions -------------------------------------------
+
+def test_avr_counter_strict_hex():
+    """int(x, 16) accepts '-'/'_'/whitespace — a garbled '@' record must
+    drop, not mint a bogus (even negative) mlat counter."""
+    from airmodes.io.netclient import avr_to_hex
+    assert avr_to_hex("@-23456789ab8d4840d6202cc371c32ce0576098;") is None
+    assert avr_to_hex("@1_234567890a8d4840d6202cc371c32ce0576098;") is None
+    assert avr_to_hex("@ 1234567890a8d4840d6202cc371c32ce0576098;") is None
+    got = avr_to_hex("@0123456789ab8d4840d6202cc371c32ce0576098;")
+    assert got is not None and got[1] == 0x0123456789AB
+
+
+def test_close_before_start_is_safe():
+    """client_for_url returns UNSTARTED clients; error-path cleanup may
+    close one before start (joining a never-started thread raises)."""
+    from airmodes.io.netclient import net_client
+    cli = net_client("127.0.0.1", 1, lambda m: None)
+    cli.close()          # must not raise
+
+
+def test_gps_mode_drops_counterless_records():
+    """timestamps='gps' must not silently stamp host time (ms jitter)
+    onto a ns-grade feed — counter-less records drop, like 'mlat' mode."""
+    from airmodes.io.netclient import net_client
+    got = []
+    cli = net_client("127.0.0.1", 1, got.append, timestamps="gps")
+    cli._emit("8d4840d6202cc371c32ce0576098", None, None)
+    assert got == [] and cli.n_dropped == 1
+    cli._emit("8d4840d6202cc371c32ce0576098", None,
+              (43200 << 30) | 500)     # GPS counter present: emitted
+    assert len(got) == 1 and len(got[0].split()) == 7
+
+
+def test_replay_classic_counter_reset_reanchors(tmp_path):
+    """A recording whose remote receiver restarted mid-capture (12 MHz
+    counter resets near 0) must keep stream time monotonic instead of
+    jumping months negative."""
+    from airmodes.io.netclient import replay_file
+    from airmodes.outputs.beast import beast_encode
+    frames = [encoder.df17_frame(0x400000 + k,
+                                 encoder.me_identification(f"R{k}"))
+              for k in range(4)]
+    path = tmp_path / "reset.beast"
+    with open(path, "wb") as f:
+        # two frames at 1 s / 2 s of counter time, then a reset to near
+        # zero (counter = timestamp * 12 MHz)
+        for k, ts in enumerate([1.0, 2.0, 5e-5, 1.00005]):
+            data = beast_encode(f"{frames[k]:028x}", -20.0, ts)
+            f.write(data)
+    out = list(replay_file(str(path), fmt="beast", epoch=1000.0))
+    assert len(out) == 4
+    offs = [off for _, off in out]
+    assert offs == sorted(offs), offs            # monotonic stream time
+    assert all(o >= 0 for o in offs), offs
+    # spacing after the reset is preserved (1 s between frames 3 and 4)
+    assert abs((offs[3] - offs[2]) - 1.0) < 1e-6
+
+
+def test_zmq_pubaddr_only_local_subscribers_fire():
+    """r4 review: with only a PUB socket (no SUB bridge), local
+    subscribers were registered but never invoked."""
+    zmq = pytest.importorskip("zmq")
+    from airmodes.io.relay import zmq_pubsub_iface
+    iface = zmq_pubsub_iface(pubaddr="tcp://127.0.0.1:*")
+    got = []
+    iface.subscribe("dl_data", got.append)
+    iface.publish("dl_data", "hello")
+    iface.close()
+    assert got == ["hello"]
