@@ -75,6 +75,14 @@ def magnitude_squared(iq: jax.Array) -> jax.Array:
     if jnp.iscomplexobj(iq):
         return (jnp.real(iq) ** 2 + jnp.imag(iq) ** 2).astype(jnp.float32)
     assert iq.shape[-1] == 2, "expected (..., 2) (I,Q) layout"
+    if iq.dtype == jnp.uint8:
+        # rtl-sdr's RAW wire bytes (offset-127 unsigned): uint8**2 wraps
+        # mod 256 into valid-shaped garbage (zero detections, no error) —
+        # and the TPU runtime cannot compute uint8 at all. Convert on
+        # host (io.sources uc8 readers / native convert_uc8) first.
+        raise TypeError(
+            "magnitude_squared: uint8 (raw uc8 bytes) unsupported — "
+            "convert offset-127 unsigned to centered int8/float32 first")
     if iq.dtype in (jnp.int8, jnp.int16):
         # quantized SDR wire formats (rtl-sdr 8-bit, USRP sc16): convert on
         # device — 4-8x less host->device traffic than float32
@@ -288,7 +296,8 @@ def _packed_syndrome(bits: jax.Array, rows: jax.Array) -> jax.Array:
     counts = jax.lax.dot_general(
         bits.astype(jnp.float32), row_bits,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     parity = counts.astype(jnp.int32) & 1                                   # (K, 24)
     return jnp.sum(parity << (23 - jnp.arange(24, dtype=jnp.int32))[None, :], axis=1)
 
@@ -323,13 +332,14 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     synd112 = _packed_syndrome(fbits, rows112)
     synd56 = _packed_syndrome(fbits, rows56)
     synd = jnp.where(is_long, synd112, synd56)
-    rows = jnp.where(is_long[:, None], rows112[None, :], rows56[None, :])  # (K, 112)
 
     lowconf = jnp.logical_not(confidence) & in_frame
     n_lowconf = jnp.sum(lowconf.astype(jnp.int32), axis=1)
 
     # --- single-bit correction candidates ---
-    match1 = lowconf & (rows == synd[:, None])                             # (K, 112)
+    # correction is gated to long frames (ecc_allowed: DF17/18), so
+    # rows112 applies unconditionally — no merged per-detection table
+    match1 = lowconf & (rows112[None, :] == synd[:, None])                 # (K, 112)
     has1 = jnp.any(match1, axis=1)
     flip1 = jnp.argmax(match1, axis=1)                                     # first match
 
@@ -396,7 +406,20 @@ def crc_check_and_correct(bits: jax.Array, confidence: jax.Array,
     status = jnp.where(use2, STATUS_CORRECTED_2, status)
     status = jnp.where(df11_ok, STATUS_CRC_OK, status)
 
-    return out_bits, df, nbits, out_synd, status
+    # the brute force may flip DF-field bits (lanes 0-4): the emitted df
+    # must describe the CORRECTED frame, or the wire carries e.g. "17"
+    # with a DF21 body and the parser decodes garbage fields from a
+    # CRC-clean message (r4 review, reproduced). A flip that moves the
+    # frame into the other length class contradicts the sliced length
+    # the CRC was computed over — drop it.
+    out_i = out_bits.astype(jnp.int32)
+    df_out = jnp.sum(
+        out_i[:, :5] << (4 - jnp.arange(5, dtype=jnp.int32))[None, :],
+        axis=1)
+    corrected = use1 | use2
+    class_flip = corrected & ((df_out >= 16) != is_long)
+    status = jnp.where(class_flip, STATUS_FAIL, status)
+    return out_bits, df_out, nbits, out_synd, status
 
 
 # -----------------------------------------------------------------------------

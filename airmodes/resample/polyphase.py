@@ -48,14 +48,22 @@ def design_lowpass(num_taps: int, cutoff: float, beta: float = 8.6) -> np.ndarra
 
 @functools.lru_cache(maxsize=None)
 def _polyphase_bank(p: int, q: int, taps_per_phase: int) -> np.ndarray:
-    """(p, taps_per_phase) filter bank for interpolate-by-p/decimate-by-q.
+    """(p, taps_eff) filter bank for interpolate-by-p/decimate-by-q.
 
     Prototype low-pass cutoff = 1/max(p, q) of the upsampled Nyquist, gain p
-    (to compensate zero-stuffing).
+    (to compensate zero-stuffing). The prototype LENGTH scales with
+    max(p, q), not p: for decimation-dominant ratios (p < q) a p-scaled
+    length left only p*taps_per_phase taps against a 1/q cutoff — at
+    p=1, q=5 that is 12 taps with alias bands at -5.5 dB, folding
+    out-of-band noise nearly unattenuated into the channel (r4 review,
+    measured; cf. scipy resample_poly's 10*max(up,down) half-length).
+    taps_eff = taps_per_phase * ceil(max(p, q) / p) keeps per-phase work
+    proportional and pushes the p=1, q=5 worst alias band below -50 dB.
     """
-    num_taps = p * taps_per_phase
+    taps_eff = taps_per_phase * (-(-max(p, q) // p))
+    num_taps = p * taps_eff
     h = design_lowpass(num_taps, cutoff=1.0 / max(p, q)) * p
-    return h.reshape(taps_per_phase, p).T.copy()  # [phase, tap]
+    return h.reshape(taps_eff, p).T.copy()  # [phase, tap]
 
 
 def _resample_cols(x2: jax.Array, p: int, q: int,
@@ -80,8 +88,10 @@ def _resample_cols(x2: jax.Array, p: int, q: int,
     n_out = (n_in * p) // q
     if n_out <= 0:
         return jnp.zeros((0, nc), x2.dtype)
-    t = taps_per_phase
-    bank = _polyphase_bank(p, q, t)                       # numpy (p, T)
+    bank = _polyphase_bank(p, q, taps_per_phase)          # numpy (p, T)
+    t = bank.shape[1]   # EFFECTIVE taps per phase (the bank scales the
+    # prototype with max(p,q)); iterating taps_per_phase here would
+    # truncate the filter to its tiny leading taps
     m_rows = -(-n_out // p)                               # outputs per row
 
     base0 = [(r * q) // p + (t // 2) for r in range(p)]
@@ -109,6 +119,31 @@ def _resample_cols(x2: jax.Array, p: int, q: int,
     return y[:n_out]
 
 
+@functools.partial(jax.jit, static_argnames=("p", "q", "t", "S"))
+def _streaming_kernel(block2, p: int, q: int, t: int, S: int):
+    """One streaming stride: module-level jit so identical (p, q, t, S)
+    kernels share ONE compiled program across resampler instances (a
+    per-instance closure jit recompiled the same three matmuls for every
+    channel / reconnect — r4 review; TPU compiles cost 10-300 s).
+
+    block2: (hist + stride, 2) float32 I/Q (complex compute is
+    unsupported on the TPU runtime). Local input groups 0..S+1 = global
+    groups sS-2..sS+S-1; output group G = sS-1+j (j in [0, S)) uses
+    locals j, j+1, j+2 — the same matmuls, against the same
+    globally-aligned groups, as the offline path."""
+    gi, go = 128 * q, 128 * p
+    xg = block2.T.reshape(2, S + 2, gi)
+    ap, a0, an = (jnp.asarray(m) for m in _group_matrices(p, q, t))
+    hi = jax.lax.Precision.HIGHEST
+    prev = xg[:, 0:S].reshape(2 * S, gi)
+    cur = xg[:, 1:S + 1].reshape(2 * S, gi)
+    nxt = xg[:, 2:S + 2].reshape(2 * S, gi)
+    y = (jnp.matmul(prev, ap, precision=hi) +
+         jnp.matmul(cur, a0, precision=hi) +
+         jnp.matmul(nxt, an, precision=hi))
+    return y.reshape(2, S * go)
+
+
 @functools.lru_cache(maxsize=None)
 def _group_matrices(p: int, q: int, taps_per_phase: int):
     """Three (128q, 128p) block-Toeplitz matrices (prev, cur, next).
@@ -121,8 +156,8 @@ def _group_matrices(p: int, q: int, taps_per_phase: int):
     on the MXU — the only fast form of this computation on TPU (gathers,
     strided slices, transposes, and tiny-channel convs all measured
     10-1000x slower; see scripts/tpu_resample_*_probe.py)."""
-    t = taps_per_phase
-    bank = _polyphase_bank(p, q, t)
+    bank = _polyphase_bank(p, q, taps_per_phase)
+    t = bank.shape[1]          # effective taps per phase (see _resample_cols)
     gi, go = 128 * q, 128 * p
     mats = [np.zeros((gi, go), np.float32) for _ in range(3)]
     for nl in range(go):
@@ -324,7 +359,8 @@ class streaming_resampler:
         self.n_out = self.s_groups * go
         self.delay_out = go
         self.hist = 2 * gi
-        self._kernel = jax.jit(self._make_kernel())
+        self._kernel = lambda block2: _streaming_kernel(
+            block2, self.p, self.q, self.t, self.s_groups)
         self._reset()
 
     def _reset(self):
@@ -333,31 +369,6 @@ class streaming_resampler:
         self._stride_idx = 0
         self._n_in = 0                            # real samples pushed
         self._n_emitted = 0                       # samples returned so far
-
-    def _make_kernel(self):
-        p, q, t = self.p, self.q, self.t
-        gi, go = 128 * q, 128 * p
-        S = self.s_groups
-
-        def kernel(block2):
-            # block2: (hist + stride, 2) float32 I/Q (complex compute is
-            # unsupported on the TPU runtime). Local input groups
-            # 0..S+1 = global groups sS-2..sS+S-1; output group
-            # G = sS-1+j (j in [0, S)) uses locals j, j+1, j+2 — the same
-            # matmuls, against the same globally-aligned groups, as the
-            # offline path.
-            xg = block2.T.reshape(2, S + 2, gi)
-            ap, a0, an = (jnp.asarray(m) for m in _group_matrices(p, q, t))
-            hi = jax.lax.Precision.HIGHEST
-            prev = xg[:, 0:S].reshape(2 * S, gi)
-            cur = xg[:, 1:S + 1].reshape(2 * S, gi)
-            nxt = xg[:, 2:S + 2].reshape(2 * S, gi)
-            y = (jnp.matmul(prev, ap, precision=hi) +
-                 jnp.matmul(cur, a0, precision=hi) +
-                 jnp.matmul(nxt, an, precision=hi))
-            return y.reshape(2, S * go)
-
-        return kernel
 
     def push(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.complex64)

@@ -317,3 +317,45 @@ def test_planar_kernel_rejects_high_sps():
     xi = np.zeros((1, 1 << 15), np.int8)
     with pytest.raises(ValueError, match="sps <= 9"):
         demod_batch_planar(xi, xi, cfg, interpret=True)
+
+
+# ---- r4 review-sweep regressions -------------------------------------------
+
+def test_ecc_flip_of_df_bits_reports_corrected_df():
+    """The brute force may flip DF-field bits (lanes 0-4): the emitted df
+    must describe the CORRECTED frame (r4 review, reproduced: a DF21
+    received as DF17 was 'corrected' back to DF21 bits but emitted as
+    df=17, and the parser decoded garbage from a CRC-clean message)."""
+    import numpy as np
+    from airmodes import crc
+    from airmodes.constants import STATUS_CORRECTED_1
+    from airmodes.dsp.pipeline import crc_check_and_correct
+
+    cfg = DspConfig(max_lowconf_bits=5)
+    # parity-clean 112-bit frame with DF=21 (AP for address 0 == CRC)
+    body = (21 << 107) | (0x123456789A << 50) | (0xBEEF << 30)
+    synd = crc.crc24(body, 112)
+    frame = body | synd               # crc24(frame) == 0
+    assert crc.crc24(frame, 112) == 0
+    # corrupt DF bit 2 (10101 -> 10001): received as DF17
+    rx = frame ^ (1 << (112 - 1 - 2))
+    bits = np.array([[(rx >> (111 - i)) & 1 for i in range(112)]], bool)
+    conf = np.ones((1, 112), bool)
+    conf[0, 2] = False                # the corrupted bit is low-confidence
+    import jax.numpy as jnp
+    out_bits, df, nbits, out_synd, status = crc_check_and_correct(
+        jnp.asarray(bits), jnp.asarray(conf), cfg)
+    assert int(status[0]) == STATUS_CORRECTED_1
+    assert int(df[0]) == 21, f"emitted df {int(df[0])} for a DF21 frame"
+    fixed = 0
+    for b in np.asarray(out_bits)[0]:
+        fixed = (fixed << 1) | int(b)
+    assert fixed == frame
+
+
+def test_magnitude_squared_rejects_uint8():
+    import numpy as np
+    import pytest
+    from airmodes.dsp.pipeline import magnitude_squared
+    with pytest.raises(TypeError, match="uint8"):
+        magnitude_squared(np.full((16, 2), 200, np.uint8))

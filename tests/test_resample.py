@@ -142,3 +142,22 @@ def test_resample_empty_output():
     y2 = np.asarray(polyphase._resample_cols(
         np.zeros((1, 1), np.float32), 1, 3, 12))
     assert y2.shape[0] == 0
+
+
+def test_antialias_attenuation_decimation_ratios():
+    """r4 review (measured): p-scaled prototype length left only 12 taps
+    against a 1/q cutoff for pure decimation — alias bands at -5.5 dB
+    folded out-of-band noise into the channel. The bank now scales with
+    max(p, q); worst alias gain must stay below -50 dB on the common
+    SDR ratios."""
+    import numpy as np
+    from airmodes.resample.polyphase import _polyphase_bank
+
+    for p, q in [(1, 3), (1, 4), (1, 5), (2, 3), (5, 6)]:
+        proto = _polyphase_bank(p, q, 12).T.flatten()
+        H = np.abs(np.fft.rfft(proto, 16384))
+        H /= H[0]
+        w = np.fft.rfftfreq(16384)
+        cut = 1.0 / max(p, q) / 2
+        worst = 20 * np.log10(H[w > 1.5 * cut].max() + 1e-12)
+        assert worst < -50.0, f"p={p} q={q}: {worst:.1f} dB"
