@@ -110,6 +110,12 @@ def build_argparser() -> argparse.ArgumentParser:
                      "/data/aircraft.json API on this port")
     out.add_argument("-n", "--no-print", action="store_true")
     out.add_argument("-l", "--location", default=None, metavar="LAT,LON[,ALT]")
+    out.add_argument("--cpr-global-first", action="store_true",
+                     help="require an even/odd CPR pair for an aircraft's "
+                     "first position instead of local-decoding single "
+                     "frames against --location (immune to the half-zone "
+                     "alias of receiver-referenced local decode, at the "
+                     "cost of first-fix latency)")
     out.add_argument("--stats-interval", type=float, default=10.0,
                      help="print per-interval pipeline stats (0 = off)")
     out.add_argument("--wx", default=None, metavar="FILE",
@@ -433,7 +439,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     # --- plugins ---------------------------------------------------------
     bus = local_pubsub()
     closers = []
-    from ..decode.parse import parse as parse_cls
+    from ..decode.parse import parse as _parse_cls
+
+    def parse_cls(pos):
+        return _parse_cls(pos, cpr_global_first=args.cpr_global_first)
+
     shared_parser = parse_cls(my_pos)
     if not args.no_print:
         from ..outputs.msprint import output_print

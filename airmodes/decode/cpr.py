@@ -180,9 +180,22 @@ class cpr_decoder:
     """
 
     def __init__(self, my_location: Optional[Tuple[float, float]] = None,
-                 max_range_nm: float = MAX_RANGE_NM):
+                 max_range_nm: float = MAX_RANGE_NM,
+                 global_first: bool = False):
+        """global_first=True: an aircraft's FIRST position requires an
+        even/odd global pair; single frames local-decode only against the
+        aircraft's own cached position, never against my_location. A
+        receiver-referenced local decode is ambiguity-limited: the decoder
+        returns the zone image nearest the reference, so an aircraft
+        beyond half a zone (~180 NM airborne, ~45 NM surface) decodes to
+        an ALIASED position that is — by construction — always inside the
+        range gate, which therefore cannot reject it. The default keeps
+        the reference's behavior (immediate first fix via my_location,
+        self-corrected once a pair completes); global_first trades ~1
+        pairing interval of first-fix latency for alias immunity."""
         self.my_location = my_location
         self.max_range_nm = max_range_nm
+        self.global_first = global_first
         # icao -> {0: (yz, xz, t), 1: (yz, xz, t)}
         self.lkplist: Dict[int, dict] = {}
         # icao -> (lat, lon, t): last known position for local decode
@@ -235,8 +248,10 @@ class cpr_decoder:
         lat = lon = None
         # Prefer local decode when we have a recent position or receiver loc.
         ref = None
+        ref_is_own = False    # ref is this aircraft's own cached position
         if icao in self.poslist and t - self.poslist[icao][2] < EVICT_S:
             ref = self.poslist[icao][:2]
+            ref_is_own = True
         elif self.my_location is not None and (surface or 0 not in frames or 1 not in frames):
             ref = self.my_location
 
@@ -247,7 +262,11 @@ class cpr_decoder:
                 frames[0][:2], frames[1][:2],
                 most_recent_odd=frames[1][2] >= frames[0][2],
                 surface=surface, ref=ref if surface else None)
-        elif ref is not None:
+        elif ref is not None and (ref_is_own or not self.global_first):
+            # my_location-referenced local decode is zone-alias-limited
+            # (see __init__); global_first restricts it to own-position
+            # references. Surface global decode above still uses
+            # my_location, but only to pick among 90-degree images.
             lat, lon = decode_local(
                 (encoded_lat, encoded_lon), bool(cpr_format), ref, surface)
         else:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-from ..exceptions import FieldNotInPacket, NoHandlerError
+from ..exceptions import FieldNotInPacket, NoHandlerError, ParserError
 
 FieldSpec = Sequence[Tuple[str, int]]
 
@@ -28,7 +28,12 @@ class data_field:
                 self._fields[name] = (pos, width)
             pos += width
         if pos != nbits:
-            raise ValueError(f"layout covers {pos} bits, packet has {nbits}")
+            # ParserError (an ADSBError), NOT ValueError: packets come off
+            # the wire, and every consumer loop catches ADSBError to drop
+            # bad messages — a 56-bit frame whose DF demands a 112-bit
+            # layout must not crash the output stage (drop-and-continue)
+            raise ParserError(
+                f"layout covers {pos} bits, packet has {nbits}")
 
     def __contains__(self, name: str) -> bool:
         return name in self._fields
@@ -129,7 +134,15 @@ def me_reply(me: int) -> data_field:
         layout = ME_AIRBORNE_POS
     elif ftc == 19:
         sub = (me >> 48) & 0x7
-        layout = ME_VELOCITY_GS if sub in (1, 2) else ME_VELOCITY_AS
+        if sub in (1, 2):
+            layout = ME_VELOCITY_GS
+        elif sub in (3, 4):
+            layout = ME_VELOCITY_AS
+        else:
+            # subtypes 0, 5-7 are reserved (DO-260B 2.2.3.2.6): their bits
+            # have no defined meaning, so carry raw rather than minting
+            # vertical rates / GNSS-baro diffs from undefined fields
+            layout = ME_RESERVED_SUB3
     elif ftc == 28:
         sub = (me >> 48) & 0x7
         if sub == 1:
@@ -150,7 +163,10 @@ def me_reply(me: int) -> data_field:
         elif sub == 1:
             layout = ME_OP_STATUS_SURF
         else:
-            raise NoHandlerError(ftc)
+            # reserved subtype: carried raw like TC28/29 reserved subtypes,
+            # so a future-version operational-status frame counts as
+            # "reserved", not "unknown TC" (it used to NoHandlerError here)
+            layout = ME_RESERVED_SUB3
     else:
         raise NoHandlerError(ftc)
     return data_field(me, 56, layout)

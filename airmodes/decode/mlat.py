@@ -299,7 +299,14 @@ class mlat_coordinator:
                  window_s: float = 0.1, alt_datum: str = "ellipsoid"):
         # stations: {name: (lat, lon, alt_m)} — alt_datum "msl" if the
         # altitudes are surveyed MSL heights (see mlat())
-        self.stations = dict(stations)
+        self.stations = {k: tuple(v) for k, v in dict(stations).items()}
+        if len(set(self.stations.values())) != len(self.stations):
+            # report() keys replies by position, so duplicate coordinates
+            # would silently collapse two stations into one observation
+            # (dict-last wins) — a misconfiguration; fail loudly at
+            # startup like mlat_net.mlat_correlator does
+            raise ValueError("duplicate station coordinates (same site "
+                             "listed twice?)")
         self.min_stations = min_stations
         self.window_s = window_s
         self.alt_datum = alt_datum
@@ -327,6 +334,11 @@ class mlat_coordinator:
             ns = int(parts[6]) if len(parts) > 6 else None
         except ValueError:
             return None
+        if len(hexframe) not in (14, 28):
+            # only 56/112-bit Mode S frames exist on the wire; any other
+            # length would hit layout extraction (negative shift counts)
+            # in _frame_altitude_ft — same guard as mlat_correlator.feed
+            return None
         if self._tbase_ns is None and (ns is not None or math.isfinite(t)):
             # anchor from ns when present — a non-finite float field must
             # not block (or crash) an otherwise ns-grade message
@@ -348,11 +360,18 @@ class mlat_coordinator:
             self.prune(t)
         obs = self._pending.setdefault(hexframe, {})
         first = self._seen_t.setdefault(hexframe, t)
-        if abs(t - first) > self.window_s:
+        if t - first > self.window_s:
             # stale duplicate from a much later retransmission: start over
             self._pending[hexframe] = obs = {}
             self._seen_t[hexframe] = first = t
             self._all_ns.pop(hexframe, None)
+        elif first - t > self.window_s:
+            # the mirror case (cf. mlat_correlator.feed): a lagged feed
+            # delivering a copy of an EARLIER transmission must not wipe
+            # the in-progress group — drop the stale copy instead of
+            # resetting (repeated identical DF4/DF11 transmissions arrive
+            # seconds apart; CLAUDE.md round-2 grouping note)
+            return None
         obs[station] = t
         self._all_ns[hexframe] = self._all_ns.get(hexframe, True) \
             and ns is not None

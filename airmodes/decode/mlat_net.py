@@ -60,6 +60,10 @@ def _frame_altitude_ft(hexframe: str) -> Optional[float]:
             if 9 <= tc <= 18 or 20 <= tc <= 22:
                 alt12 = (me >> 36) & 0xFFF
                 if alt12:
+                    if tc >= 20:
+                        # TC20-22 carry GNSS HAE directly in meters
+                        # (DO-260B), not the Q-bit/Gillham baro encoding
+                        return alt12 * 3.28084
                     return decode_alt(alt12, bit13=False)
     except (ADSBError, ValueError):
         # ValueError: a DF whose layout disagrees with the frame length
@@ -310,6 +314,10 @@ class mlat_correlator:
         self._pending: Dict[str, Dict[int, float]] = {}
         self._first: Dict[str, float] = {}
         self._heap: List[Tuple[float, str]] = []
+        # hexframe -> every arrival in the group carried the int64-ns wire
+        # field: sizes the solver residual bound (float-only wires carry
+        # ~238 ns of timestamp quantization ~ 70 m of pseudorange/station)
+        self._all_ns: Dict[str, bool] = {}
         self._icao_hint: Dict[str, int] = {}
         # Internal arrival times are EPOCH-RELATIVE seconds against this
         # whole-second anchor (set by the first message): absolute float64
@@ -419,6 +427,9 @@ class mlat_correlator:
         # multipath copy later)
         if station not in arr or t < arr[station]:
             arr[station] = t
+        self._all_ns[hexframe] = (ns is not None if new_group else
+                                  self._all_ns.get(hexframe, False)
+                                  and ns is not None)
         # parse once per TRANSMISSION (group creation), not once per
         # station copy — the other copies are bit-identical
         if self.sync is not None and new_group \
@@ -487,6 +498,7 @@ class mlat_correlator:
                 arr: Dict[int, float]) -> List[MlatSolution]:
         """Resolve one completed arrival group: train the clock sync (if
         it was a position-known reference frame) or TDOA-solve it."""
+        all_ns = self._all_ns.pop(hexframe, False)
         t0 = min(arr.values())
         if self.sync is not None:
             # leave _refpos cached: retransmissions of the same position
@@ -519,11 +531,15 @@ class mlat_correlator:
             # leave-one-out re-solve keeps the fix honest (drops the
             # group instead when nothing fits). The residual bound
             # follows the timestamp grade: clock-sync-trained offsets
-            # leave ~0.1-0.2 km of genuine residual, GPS/ns stamps ~0.
+            # leave ~0.1-0.2 km of genuine residual; GPS stamps leave ~0
+            # only when every arrival carried the int64-ns extension —
+            # float-only wires quantize at ~238 ns (~70 m/station), so
+            # they get the coordinator's wider 300 m bound
             lat, lon, alt_m = mlat_mod.mlat(
                 replies, alt_ft, alt_datum=self.alt_datum,
                 reject_outliers=True,
-                max_resid_m=500.0 if self.sync is not None else 100.0)
+                max_resid_m=500.0 if self.sync is not None
+                else (100.0 if all_ns else 300.0))
         except MlatNonConvergeError:
             return []         # drop-and-continue, like the parse loop
         nbits = len(hexframe) * 4

@@ -58,6 +58,8 @@ class AircraftReport:
     tss: Optional[dict] = None           # TC29/1 target state and status
     opstatus: Optional[dict] = None      # TC31 aircraft operational status
     me_raw: Optional[int] = None         # undecoded-but-known ME, carried raw
+    address_anon: bool = False           # DF18 CF=1/5: non-ICAO address
+    altitude_gnss: bool = False          # altitude_ft is GNSS HAE (TC20-22)
     elm_ke: Optional[int] = None         # DF24 control (0=downlink segment)
     elm_nd: Optional[int] = None         # DF24 segment number
     elm_md: Optional[int] = None         # DF24 80-bit MD payload (raw int)
@@ -72,9 +74,10 @@ class AircraftReport:
 class parse:
     """Stateful parser; one instance per receive chain (holds the CPR cache)."""
 
-    def __init__(self, my_position: Optional[Tuple[float, float]] = None):
+    def __init__(self, my_position: Optional[Tuple[float, float]] = None,
+                 cpr_global_first: bool = False):
         self.my_position = my_position
-        self.cpr = cpr_decoder(my_position)
+        self.cpr = cpr_decoder(my_position, global_first=cpr_global_first)
         self.elm = elm.elm_reassembler()
         self._elm_flush_t: Optional[float] = None
 
@@ -86,12 +89,18 @@ class parse:
         # are ignored by the parser but must not reject the message
         if len(parts) < 6:
             raise ParserError(f"malformed slicer message: {message!r}")
-        df = int(parts[0])
-        hexframe = parts[1]
-        syndrome = int(parts[2], 16)
-        status = int(parts[3])
-        ref_dbfs = float(parts[4])
-        timestamp = float(parts[5])
+        try:
+            df = int(parts[0])
+            hexframe = parts[1]
+            syndrome = int(parts[2], 16)
+            status = int(parts[3])
+            ref_dbfs = float(parts[4])
+            timestamp = float(parts[5])
+        except ValueError:
+            # non-numeric wire tokens (remote feeds are untrusted): the
+            # docstring promises ADSBError subclasses only, and consumer
+            # loops catch exactly that to drop-and-continue
+            raise ParserError(f"malformed slicer message: {message!r}")
         if status == STATUS_FAIL:
             raise ParserError("uncorrectable frame")
 
@@ -166,7 +175,23 @@ class parse:
         report.capability = reply["ca"] if "ca" in reply else None
         self._parse_me(reply["me"], report)
 
-    parse18 = parse17
+    def parse18(self, reply, report):
+        """DF18 dispatches on CF (DO-260B 2.2.3.2.2): only some control
+        field values carry an ADS-B-format ME, and CF=1/5 use a non-ICAO
+        (anonymous/track-file) address that must not pollute the
+        ICAO-keyed CPR cache."""
+        cf = reply["cf"]
+        if cf in (1, 5):
+            # ADS-B/TIS-B with "other" (non-ICAO) address
+            report.address_anon = True
+        if cf in (0, 1, 2, 5, 6):
+            # 0/1: ADS-B (ES/NT), 2/5: fine-format TIS-B, 6: ADS-R —
+            # all carry a standard ADS-B ME field
+            self._parse_me(reply["me"], report)
+        else:
+            # 3: coarse TIS-B (different ME layout), 4: TIS-B/ADS-R
+            # management, 7: reserved — known frame, undecoded payload
+            report.me_raw = reply["me"]
 
     def parse20(self, reply, report):
         report.flight_status = reply["fs"]
@@ -247,14 +272,24 @@ class parse:
             report.bds = "BDS0,5"
             alt12 = rep["alt"]
             if alt12:
-                try:
-                    report.altitude_ft = decode_alt(alt12, bit13=False)
-                except ADSBError:
-                    pass
+                if ftc >= 20:
+                    # TC20-22: GNSS height above ellipsoid, encoded
+                    # directly in meters (DO-260B 2.2.3.2.3.4.3) — NOT the
+                    # Q-bit/Gillham baro format of TC9-18
+                    report.altitude_ft = int(round(alt12 * 3.28084))
+                    report.altitude_gnss = True
+                else:
+                    try:
+                        report.altitude_ft = decode_alt(alt12, bit13=False)
+                    except ADSBError:
+                        pass
             self._decode_position(rep, report, surface=False)
         elif ftc == 19:
             report.bds = "BDS0,9"
-            self._decode_velocity(rep, report)
+            if "raw" in rep:   # reserved subtype (0, 5-7): bits undefined
+                report.me_raw = me
+            else:
+                self._decode_velocity(rep, report)
         elif ftc == 28:
             report.bds = "BDS6,1"
             if rep["sub"] == 1:
@@ -275,8 +310,11 @@ class parse:
                 report.me_raw = me
         elif ftc == 31:
             report.bds = "BDS6,5"
-            report.opstatus = self._decode_op_status(rep)
-            report.on_surface = rep["sub"] == 1
+            if "raw" in rep:   # reserved subtype (2-7): carried raw
+                report.me_raw = me
+            else:
+                report.opstatus = self._decode_op_status(rep)
+                report.on_surface = rep["sub"] == 1
         else:
             raise NoHandlerError(ftc)
 
@@ -329,9 +367,13 @@ class parse:
     def _decode_position(self, rep, report, surface: bool):
         if report.icao is None:
             return
+        # DF18 CF=1/5 addresses are NOT ICAO 24-bit IDs: key them into a
+        # disjoint CPR-cache namespace (bit 24) so an anonymous address
+        # that happens to equal a real ICAO never cross-pairs CPR frames
+        key = report.icao | (1 << 24) if report.address_anon else report.icao
         try:
             lat, lon, rng, brg = self.cpr.decode(
-                report.icao, rep["encoded_lat"], rep["encoded_lon"],
+                key, rep["encoded_lat"], rep["encoded_lon"],
                 rep["cpr_format"], surface=surface, timestamp=report.timestamp)
         except ADSBError:
             return  # position not resolvable yet; rest of report still valid

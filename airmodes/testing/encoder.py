@@ -50,6 +50,15 @@ def df17_frame(icao: int, me: int, ca: int = 5) -> int:
     assert n == MAX_FRAME_BITS
     return frame
 
+def df18_frame(icao: int, me: int, cf: int = 0) -> int:
+    """DF18 extended squitter / non-transponder:
+    [df:5][cf:3][aa:24][me:56][pi:24]."""
+    payload = (18 << 83) | ((cf & 0x7) << 80) | ((icao & 0xFFFFFF) << 56) \
+        | (me & (1 << 56) - 1)
+    frame, n = build_frame(payload, 88)
+    assert n == MAX_FRAME_BITS
+    return frame
+
 def df11_frame(icao: int, ca: int = 5, interrogator: int = 0) -> int:
     """DF11 all-call reply: [df:5][ca:3][aa:24][pi:24]."""
     payload = (11 << 27) | ((ca & 0x7) << 24) | (icao & 0xFFFFFF)

@@ -205,3 +205,25 @@ def test_air_ground_transition_does_not_mix_cpr_pair():
     lat, lon, _, _ = dec2.decode(2, od_sur[0], od_sur[1], 1, surface=True,
                                  timestamp=103.0)
     assert abs(lat - truth[0]) < 0.01 and abs(lon - truth[1]) < 0.01
+
+
+def test_global_first_requires_pair_for_first_fix():
+    """global_first=True: no receiver-referenced local decode (which is
+    zone-alias-limited); the first fix needs an even/odd pair, after
+    which single frames decode off the aircraft's own position."""
+    truth = (47.3, 8.2)
+    dec = cpr.cpr_decoder(my_location=(47.0, 8.0), global_first=True)
+    even = cpr.cpr_encode(*truth, odd=False, surface=False)
+    odd = cpr.cpr_encode(*truth, odd=True, surface=False)
+    with pytest.raises(CPRNoPositionError):
+        dec.decode(1, even[0], even[1], 0, timestamp=0.0)
+    lat, lon, _, _ = dec.decode(1, odd[0], odd[1], 1, timestamp=1.0)
+    assert abs(lat - truth[0]) < 1e-3 and abs(lon - truth[1]) < 1e-3
+    # subsequent single frame: own cached position is a valid local ref
+    enc2 = cpr.cpr_encode(47.31, 8.21, odd=False, surface=False)
+    lat2, lon2, _, _ = dec.decode(1, enc2[0], enc2[1], 0, timestamp=2.0)
+    assert abs(lat2 - 47.31) < 1e-3 and abs(lon2 - 8.21) < 1e-3
+    # default decoder keeps the reference behavior (immediate first fix)
+    dec2 = cpr.cpr_decoder(my_location=(47.0, 8.0))
+    lat3, _, _, _ = dec2.decode(2, even[0], even[1], 0, timestamp=0.0)
+    assert abs(lat3 - truth[0]) < 1e-3

@@ -191,3 +191,56 @@ def test_mlat_outlier_rejection_leave_one_out():
     with pytest.raises(MlatNonConvergeError):
         mlat.mlat(sub, altitude_ft=alt_ft, reject_outliers=True,
                   max_resid_m=50.0)
+
+
+def test_coordinator_rejects_bad_hexframe_length():
+    """A 1-hex-char frame reaching _frame_altitude_ft would compute a
+    negative shift count and crash the coordinator (r4 review) — it must
+    drop like every other malformed message."""
+    from airmodes.decode.mlat import mlat_coordinator
+    stations = {f"st{i}": s for i, s in enumerate(STATIONS4)}
+    coord = mlat_coordinator(stations, min_stations=4)
+    for name in stations:
+        assert coord.report(name, f"4 a 000000 0 -3 1.0") is None
+    assert coord._pending == {}
+
+
+def test_coordinator_duplicate_station_coords_rejected():
+    """Duplicate station coordinates silently collapse two stations into
+    one observation (replies are keyed by position) — misconfiguration
+    must fail loudly at startup, matching mlat_correlator (r4 review)."""
+    from airmodes.decode.mlat import mlat_coordinator
+    with pytest.raises(ValueError):
+        mlat_coordinator({"a": STATIONS4[0], "b": STATIONS4[0],
+                          "c": STATIONS4[1], "d": STATIONS4[2]})
+
+
+def test_coordinator_stale_earlier_copy_does_not_wipe_group():
+    """A lagged feed delivering a copy of an EARLIER transmission of the
+    same hex must be dropped, not reset the in-progress group (r4 review:
+    mirror case of the retransmission-split rule; mlat_correlator already
+    handled it)."""
+    from airmodes.decode.mlat import mlat_coordinator, llh2ecef, C
+    from airmodes.testing import encoder
+    target = (47.1, 8.25, 9144.0)
+    stations = {f"st{i}": s for i, s in enumerate(STATIONS4)}
+    coord = mlat_coordinator(stations, min_stations=4)
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("TEST"))
+    t_ecef = llh2ecef(target)
+    names = list(stations)
+    arrivals = {n: 1000.0 + float(np.linalg.norm(llh2ecef(stations[n])
+                                                 - t_ecef)) / C
+                for n in names}
+    pos = None
+    for n in names[:3]:
+        pos = coord.report(
+            n, f"17 {frame:028x} 000000 0 -20.0 {arrivals[n]:.9f}") or pos
+    # stale copy of an earlier transmission (5 s before) from st0
+    assert coord.report(
+        names[0], f"17 {frame:028x} 000000 0 -20.0 {995.0:.9f}") is None
+    # the 4th fresh copy must still complete the original group
+    pos = coord.report(
+        names[3],
+        f"17 {frame:028x} 000000 0 -20.0 {arrivals[names[3]]:.9f}") or pos
+    assert pos is not None
+    assert abs(pos[0] - target[0]) < 1e-3 and abs(pos[1] - target[1]) < 1e-3

@@ -730,3 +730,45 @@ def test_relay_reference_survives_dead_anchor():
     # same-emission arrival set)
     spread = (max(vals) - min(vals)) - (max(t[1:]) - min(t[1:]))
     assert abs(spread) < 2e-6
+
+
+def test_correlator_residual_bound_follows_wire_grade(monkeypatch):
+    """Float-only wire timestamps quantize at ~238 ns (~70 m/station):
+    the no-sync residual bound must widen to 300 m for them and stay
+    100 m only when EVERY arrival carried the int64-ns extension (r4
+    review: it was hard-coded 100 m, intermittently refusing legitimate
+    fixes on float-timestamped feeds)."""
+    from airmodes.decode import mlat_net
+
+    captured = []
+    real_mlat = M.mlat
+
+    def spy(replies, altitude_ft=None, **kw):
+        captured.append(kw.get("max_resid_m"))
+        return real_mlat(replies, altitude_ft=altitude_ft, **kw)
+
+    monkeypatch.setattr(mlat_net.mlat_mod, "mlat", spy)
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("GRADE1"))
+    ts = _arrivals(AIRCRAFT, STATIONS)
+
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    for i in range(4):   # float-only wire: 6 fields
+        corr.feed(i, _wire(frame, 112, ts[i]))
+    corr.flush(now=ts[0] + 1.0)
+    assert captured and captured[-1] == 300.0
+
+    corr2 = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    for i in range(4):   # every arrival ns-stamped -> tight bound
+        ns = int(round(ts[i] * 1e9))
+        corr2.feed(i, _wire(frame, 112, ts[i]) + f" {ns}")
+    corr2.flush(now=ts[0] + 1.0)
+    assert captured[-1] == 100.0
+
+    corr3 = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    for i in range(4):   # ONE float arrival degrades the whole group
+        msg = _wire(frame, 112, ts[i])
+        if i:
+            msg += f" {int(round(ts[i] * 1e9))}"
+        corr3.feed(i, msg)
+    corr3.flush(now=ts[0] + 1.0)
+    assert captured[-1] == 300.0

@@ -392,3 +392,102 @@ def test_msprint_formats_new_bds_types():
     me = encoder.me_op_status(version=2, nacp=9, sil=3)
     rep = parse().parse(wire(encoder.df17_frame(0x4840D6, me), 112))
     assert "ADS-B v2 NACp 9 SIL 3" in output_print.format_report(rep)
+
+
+def test_df18_cf_dispatch():
+    """DF18 dispatches on the control field: only ADS-B/fine-TIS-B/ADS-R
+    CF values carry a standard ME; management/coarse/reserved carry raw
+    (r4 review: parse18 = parse17 ignored CF entirely)."""
+    me = encoder.me_identification("TISB42")
+    rep = parse().parse(wire(encoder.df18_frame(0x123456, me, cf=2), 112))
+    assert rep.df == 18 and rep.callsign == "TISB42"
+    assert not rep.address_anon
+    # CF=4 (TIS-B/ADS-R management): NOT an ADS-B ME — carried raw
+    rep4 = parse().parse(wire(encoder.df18_frame(0x123456, me, cf=4), 112))
+    assert rep4.callsign is None and rep4.me_raw == me
+    # CF=3 (coarse TIS-B, different layout) and CF=7 (reserved): raw too
+    for cf in (3, 7):
+        r = parse().parse(wire(encoder.df18_frame(0x123456, me, cf=cf), 112))
+        assert r.callsign is None and r.me_raw == me
+    # CF=1: ADS-B with a non-ICAO (anonymous) address
+    rep1 = parse().parse(wire(encoder.df18_frame(0x123456, me, cf=1), 112))
+    assert rep1.address_anon and rep1.callsign == "TISB42"
+
+
+def test_df18_anon_address_does_not_cross_pair_cpr():
+    """A CF=1 anonymous address numerically equal to a real ICAO must not
+    pair CPR frames with that aircraft (disjoint cache namespace)."""
+    p = parse()
+    ev = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=False)
+    od = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=True)
+    r1 = p.parse(wire(encoder.df17_frame(0xABC123, ev), 112, ts=1.0))
+    assert r1.lat is None
+    # same 24-bit address, but anonymous: would global-pair if shared
+    r2 = p.parse(wire(encoder.df18_frame(0xABC123, od, cf=1), 112, ts=2.0))
+    assert r2.lat is None
+    # the real aircraft's own odd frame still pairs normally
+    r3 = p.parse(wire(encoder.df17_frame(0xABC123, od), 112, ts=3.0))
+    assert r3.lat is not None and abs(r3.lat - 47.3) < 1e-3
+
+
+def test_tc20_gnss_altitude_in_meters():
+    """TC20-22 altitude is GNSS HAE encoded directly in meters (DO-260B),
+    not the Q-bit baro format of TC9-18 (r4 review)."""
+    from airmodes.decode.mlat_net import _frame_altitude_ft
+    me = encoder.me_airborne_position(None, 47.3, 8.2, odd=False, tc=20)
+    me |= (1000 & 0xFFF) << 36          # 1000 m HAE
+    frame = encoder.df17_frame(0x111111, me)
+    rep = parse().parse(wire(frame, 112))
+    assert rep.altitude_gnss
+    assert abs(rep.altitude_ft - 3281) <= 1
+    # the mlat altitude constraint uses the same decode
+    assert abs(_frame_altitude_ft(f"{frame:028x}") - 3280.84) < 0.5
+    # TC9-18 stays baro (Q-bit) and is not flagged GNSS
+    me_baro = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=False)
+    rep_b = parse().parse(wire(encoder.df17_frame(0x111111, me_baro), 112))
+    assert rep_b.altitude_ft == 30000 and not rep_b.altitude_gnss
+
+
+def test_tc19_reserved_subtype_carried_raw():
+    """BDS0,9 subtypes 0/5-7 are reserved: their bits are undefined, so no
+    vertical rate / GNSS-baro diff may be minted from them (r4 review)."""
+    for sub in (0, 5, 6, 7):
+        me = (19 << 51) | (sub << 48) | 0x1FFF_FFFF  # junk in the body
+        rep = parse().parse(wire(encoder.df17_frame(0x222222, me), 112))
+        assert rep.bds == "BDS0,9" and rep.me_raw == me
+        assert rep.vertical_rate_fpm is None
+        assert rep.gnss_baro_diff_ft is None
+        assert rep.speed_kt is None
+
+
+def test_tc31_reserved_subtype_carried_raw():
+    """TC31 reserved subtypes (2-7) carry raw like TC28/29 reserved
+    subtypes instead of raising NoHandlerError (r4 review)."""
+    for sub in (2, 5, 7):
+        me = (31 << 51) | (sub << 48) | 0xABC
+        rep = parse().parse(wire(encoder.df17_frame(0x333333, me), 112))
+        assert rep.bds == "BDS6,5" and rep.me_raw == me
+        assert rep.opstatus is None
+
+
+def test_parse_nonnumeric_tokens_raise_parsererror():
+    """Non-numeric df/syndrome/status/dbfs/timestamp tokens raise
+    ParserError (an ADSBError), never plain ValueError — output sinks
+    catch only ADSBError (r4 review)."""
+    good = "17 8d4840d6202cc371c32ce0576098 000000 0 -20.00 1.0"
+    for i, bad in [(0, "seventeen"), (2, "zz"), (3, "q"),
+                   (4, "loud"), (5, "never")]:
+        parts = good.split()
+        parts[i] = bad
+        with pytest.raises(ADSBError):
+            parse().parse(" ".join(parts))
+
+
+def test_parse_wrong_length_for_df_raises_adsberror():
+    """A 56-bit frame whose header claims a 112-bit DF must raise an
+    ADSBError from layout extraction, not plain ValueError (r4 review:
+    one such message used to kill every output sink)."""
+    frame, n = encoder.build_frame(17 << 27, 32)   # 56-bit "DF17"
+    assert n == 56
+    with pytest.raises(ADSBError):
+        parse().parse(wire(frame, 56))
