@@ -148,15 +148,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ..outputs.tcpserver import broadcast_server
         sbs = broadcast_server(args.sbs1)
 
-    def sbs_line(sol) -> str:
-        import datetime
-        dt = datetime.datetime.fromtimestamp(sol.timestamp,
-                                             tz=datetime.timezone.utc)
-        d, t = dt.strftime("%Y/%m/%d"), dt.strftime("%H:%M:%S.%f")[:-3]
-        icao = "" if sol.icao is None else f"{sol.icao:06X}"
-        alt_ft = round(sol.alt_m / 0.3048)
-        return (f"MSG,3,1,1,{icao},1,{d},{t},{d},{t},,{alt_ft},,,"
-                f"{sol.lat:.5f},{sol.lon:.5f},,,,,,0")
+    def sbs_line(sol):
+        # column layout lives in outputs/sbs1.py (one place to fix)
+        from ..outputs.sbs1 import sbs_position_line
+        return sbs_position_line(sol.icao, sol.timestamp,
+                                 round(sol.alt_m / 0.3048),
+                                 sol.lat, sol.lon)
 
     n_solved = 0
     t_start = time.time()
@@ -195,7 +192,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 if pub:
                     pub.publish("mlat", line)
                 if sbs is not None:
-                    sbs.broadcast((sbs_line(sol) + "\r\n").encode())
+                    lin = sbs_line(sol)
+                    if lin is not None:
+                        sbs.broadcast((lin + "\r\n").encode())
                 if web is not None and sol.icao is not None:
                     web_update(sol)
     except KeyboardInterrupt:

@@ -103,8 +103,13 @@ def render_ascii(model: az_map_model, width: int = 61,
                 grid[y][x] = "#"
     grid[cy][cx] = "+"
     label = f"{max_rng:.0f} NM"
-    for i, ch in enumerate(label[: width - cx - 2]):
-        grid[cy][min(width - 1, cx + (width // 2 - 1)) - len(label) + 1 + i] = ch
+    # right-aligned toward the east edge, but never left of the receiver
+    # marker: on narrow grids the unclamped start index goes NEGATIVE,
+    # wrapping the label to the row end and overwriting the '+' marker
+    start = max(cx + 1, min(width - 1, cx + (width // 2 - 1)) - len(label) + 1)
+    for i, ch in enumerate(label):
+        if start + i < width:
+            grid[cy][start + i] = ch
     for brg, rng, name in aircraft or ():
         if rng is None or brg is None or rng > max_rng * 1.05:
             continue

@@ -75,6 +75,12 @@ def beast_encode(hexframe: str, ref_dbfs: float, timestamp: float,
     the wire message carried the int64-ns extension) keeps the counter
     exact instead of float-quantized.
     """
+    import math
+    if not (math.isfinite(ref_dbfs) and math.isfinite(timestamp)):
+        # 'nan'/'inf' parse as floats upstream, but would crash the
+        # counter/signal-byte int conversions below — drop, don't raise
+        # (the plugin's drop-and-continue contract)
+        return None
     try:
         payload = bytes.fromhex(hexframe)
     except ValueError:

@@ -94,8 +94,16 @@ class output_flightgear:
     def update(self, rep: AircraftReport) -> None:
         if rep.icao is None:
             return
+        if rep.icao not in self._state and len(self._state) > 4096:
+            # bound all-time aircraft churn: evict the half least
+            # recently updated (a long-running receiver must not leak
+            # one entry per ICAO ever seen)
+            for k in sorted(self._state,
+                            key=lambda k: self._state[k]["t"])[:2048]:
+                del self._state[k]
         st = self._state.setdefault(rep.icao, {
             "callsign": None, "alt": 0.0, "heading": 0.0, "speed": 0.0})
+        st["t"] = rep.timestamp
         if rep.callsign:
             st["callsign"] = rep.callsign
         if rep.altitude_ft is not None:

@@ -70,6 +70,14 @@ class dashboard:
         self._validated: Dict[int, float] = {}  # icao -> last validated t
         self.n_gated = 0
         self._latest = 0.0          # newest wire timestamp seen
+        self._n_updates = 0
+
+    @property
+    def latest(self) -> Optional[float]:
+        """Newest wire timestamp seen, or None before any report — epoch-0
+        replays legitimately leave _latest == 0.0, so a truthiness check
+        cannot distinguish 'no data' from 'timestamp 0.0'."""
+        return self._latest if self._n_updates else None
 
     def update(self, rep: AircraftReport,
                trusted: bool = False) -> Optional[AircraftState]:
@@ -92,6 +100,7 @@ class dashboard:
         st = self.aircraft.setdefault(rep.icao, AircraftState(icao=rep.icao))
         st.last_seen = rep.timestamp
         self._latest = max(self._latest, rep.timestamp)
+        self._n_updates += 1
         st.rssi_dbfs = rep.ref_dbfs
         st.n_messages += 1
         for attr in ("squawk", "altitude_ft", "speed_kt", "heading_deg",

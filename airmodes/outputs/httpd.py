@@ -127,6 +127,10 @@ async function tick(){
       d.aircraft.length+' aircraft — updated '+new Date(d.now*1000).toLocaleTimeString();
     const tb=document.getElementById('rows');tb.innerHTML='';
     for(const a of d.aircraft)noteTrail(a);
+    // drop trails of aircraft no longer reported: a long-lived tab must
+    // not accumulate dead trail arrays without bound
+    const live=new Set(d.aircraft.map(a=>a.hex));
+    for(const h of[...trails.keys()])if(!live.has(h))trails.delete(h);
     for(const a of d.aircraft){
       const tr=document.createElement('tr');
       if(a.emergency&&a.emergency!=='none')tr.className='emerg';
@@ -315,8 +319,10 @@ class output_http:
             if rep.bearing_deg is not None and rep.range_nm is not None:
                 self._azm.add(rep.bearing_deg, rep.range_nm,
                               rep.altitude_ft)
-        now = rep.timestamp
-        with self._lock:
+            now = rep.timestamp
+            # one critical section for stats AND dashboard: a GET thread
+            # must never observe counters that include a message whose
+            # aircraft snapshot does not yet reflect it
             # dash mutation AND build_doc (which prunes, i.e. mutates)
             # stay under the lock: GET threads also call build_doc via
             # aircraft_doc, and unlocked concurrent iterate+delete over

@@ -74,8 +74,13 @@ class output_json:
             return
         self._dash.update(rep)
         now = rep.timestamp
+        # also rewrite when stream time stepped BACKWARDS (replay restart,
+        # feed switch with a different epoch): otherwise writes stall
+        # until stream time catches the old high-water mark (same guard
+        # as httpd.update_report's snapshot refresh)
         if self._last_write is None or \
-                now - self._last_write >= self.interval_s:
+                now - self._last_write >= self.interval_s or \
+                now < self._last_write:
             self._write(now)
 
     def _write(self, now: float) -> None:
@@ -92,5 +97,7 @@ class output_json:
         self.n_writes += 1
 
     def close(self) -> None:
-        if self._dash._latest:
-            self._write(self._dash._latest)
+        # `latest` is None before any report; a truthy check would also
+        # skip the final write of an epoch-0 replay (timestamp 0.0)
+        if self._dash.latest is not None:
+            self._write(self._dash.latest)

@@ -18,22 +18,53 @@ from .tcpserver import broadcast_server
 
 
 def _sbs_time(ts: float):
-    dt = datetime.datetime.fromtimestamp(ts, tz=datetime.timezone.utc)
+    """(date, time) strings, or None for timestamps datetime cannot
+    represent (NaN / out-of-range values parse as floats on an untrusted
+    wire but raise ValueError/OverflowError/OSError here)."""
+    try:
+        dt = datetime.datetime.fromtimestamp(ts, tz=datetime.timezone.utc)
+    except (ValueError, OverflowError, OSError):
+        return None
     return dt.strftime("%Y/%m/%d"), dt.strftime("%H:%M:%S.%f")[:-3]
+
+
+def _join_line(msgtype: int, icao_s: str, d: str, t: str, fields) -> str:
+    """Assemble one 22-column SBS line: 10 header + 12 trailing columns
+    (BaseStation consumers parse positionally; short rows misalign)."""
+    cols = ["MSG", str(msgtype), "1", "1", icao_s, "1", d, t, d, t] + fields
+    return ",".join("" if c is None else str(c) for c in cols)
+
+
+def sbs_position_line(icao: Optional[int], timestamp: float, alt_ft,
+                      lat: float, lon: float,
+                      onground: bool = False) -> Optional[str]:
+    """A bare MSG,2/3 position line from raw values — for producers whose
+    positions never existed as wire messages (e.g. mlat solutions in
+    apps/modes_mlat); keeps the column layout in ONE place."""
+    st = _sbs_time(timestamp)
+    if st is None:
+        return None
+    d, t = st
+    f = [None] * 12
+    f[1] = alt_ft
+    f[4], f[5] = f"{lat:.5f}", f"{lon:.5f}"
+    f[11] = "-1" if onground else "0"
+    return _join_line(2 if onground else 3,
+                      "" if icao is None else f"{icao:06X}", d, t, f)
 
 
 def format_sbs1(rep: AircraftReport) -> Optional[str]:
     """One report -> one SBS-1 CSV line (or None if nothing to say)."""
     if rep.icao is None:
         return None
-    d, t = _sbs_time(rep.timestamp)
+    st = _sbs_time(rep.timestamp)
+    if st is None:
+        return None
+    d, t = st
     icao = f"{rep.icao:06X}"
-    base = ["MSG", None, "1", "1", icao, "1", d, t, d, t]
 
     def line(msgtype, fields):
-        base[1] = str(msgtype)
-        cols = base + fields
-        return ",".join("" if c is None else str(c) for c in cols)
+        return _join_line(msgtype, icao, d, t, fields)
 
     # fields: callsign, alt, gs, trk, lat, lon, vr, squawk, alert, emerg,
     # spi, onground — 12 trailing columns, 22 total (BaseStation consumers

@@ -87,8 +87,12 @@ class output_wx:
         if rep.icao is None:
             return
         if rep.lat is not None:
-            if len(self._last_fix) > 4096:      # bound: FIFO-drop oldest
-                for k in list(self._last_fix)[:2048]:
+            if len(self._last_fix) > 4096:
+                # evict by fix AGE: an updated entry keeps its original
+                # dict insertion slot, so insertion-order "FIFO" would
+                # drop currently-active aircraft seconds after a fix
+                for k in sorted(self._last_fix,
+                                key=lambda k: self._last_fix[k][3])[:2048]:
                     del self._last_fix[k]
             self._last_fix[rep.icao] = (rep.lat, rep.lon, rep.altitude_ft,
                                         rep.timestamp)

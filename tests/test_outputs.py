@@ -720,3 +720,128 @@ def test_output_beast_drops_malformed_fields():
         plug.output("17 zzzz 000000 0 -3.0 1.5")     # bad hex: dropped too
     finally:
         plug.close()
+
+
+def test_beast_encode_drops_nonfinite_fields():
+    """'nan'/'inf' dbfs or timestamp parse as floats but crashed the
+    int conversions inside beast_encode (r4 review) — must drop."""
+    from airmodes.outputs.beast import beast_encode, output_beast
+    hx = "8d4840d6202cc371c32ce0576098"
+    assert beast_encode(hx, float("nan"), 1.0) is None
+    assert beast_encode(hx, -20.0, float("nan")) is None
+    assert beast_encode(hx, -20.0, float("inf"), gps_time=True) is None
+    assert beast_encode(hx, -20.0, 1.0) is not None
+    plug = output_beast(port=0, host="127.0.0.1")
+    try:  # full plugin path: must not raise
+        plug.output(f"17 {hx} 000000 0 nan 1.0")
+        plug.output(f"17 {hx} 000000 0 -20.0 inf")
+    finally:
+        plug.close()
+
+
+def test_sbs1_time_rejects_unrepresentable_timestamps():
+    """NaN and out-of-range timestamps raised ValueError/OverflowError
+    out of datetime.fromtimestamp, escaping the ADSBError-only catch in
+    output() (r4 review) — format_sbs1 must return None instead."""
+    from airmodes.outputs.sbs1 import format_sbs1
+    from airmodes.decode.parse import AircraftReport
+    for bad in (float("nan"), float("inf"), 1e30):
+        rep = AircraftReport(df=17, icao=0x4840D6, timestamp=bad,
+                             ref_dbfs=-20.0, raw_hex="00", callsign="X")
+        assert format_sbs1(rep) is None
+
+
+def test_sbs_position_line_matches_format_sbs1_columns():
+    """The mlat app's MSG,3 line reuses the sbs1 column layout — both
+    producers must emit identical geometry for identical values."""
+    from airmodes.outputs.sbs1 import format_sbs1, sbs_position_line
+    from airmodes.decode.parse import AircraftReport
+    rep = AircraftReport(df=17, icao=0xABC123, timestamp=1700000000.5,
+                         ref_dbfs=-20.0, raw_hex="00", lat=47.31234,
+                         lon=8.25678, altitude_ft=32000)
+    assert format_sbs1(rep) == sbs_position_line(
+        0xABC123, 1700000000.5, 32000, 47.31234, 8.25678)
+    line = sbs_position_line(None, 1700000000.5, 100, 1.0, 2.0,
+                             onground=True)
+    assert line.startswith("MSG,2,1,1,,1,") and line.endswith(",-1")
+    assert sbs_position_line(1, float("nan"), 0, 0.0, 0.0) is None
+
+
+def test_output_json_backward_time_step_and_epoch0_close(tmp_path):
+    """A stream timestamp stepping backwards (replay restart) must not
+    stall aircraft.json writes; close() must still write after an
+    epoch-0 replay (r4 review)."""
+    import json
+    from airmodes.outputs.json_out import output_json
+    path = str(tmp_path / "ac.json")
+    out = output_json(path, interval_s=10.0)
+    f1 = encoder.df17_frame(0xABC001, encoder.me_identification("BACK01"))
+    out.output(f"17 {f1:028x} 000000 0 -21.5 1000.0")
+    n0 = out.n_writes
+    # backward step: must rewrite immediately, not stall until t>1000
+    out.output(f"17 {f1:028x} 000000 0 -21.5 5.0")
+    assert out.n_writes == n0 + 1
+    # epoch-0 replay: close() must write the final snapshot
+    path2 = str(tmp_path / "ac2.json")
+    out2 = output_json(path2, interval_s=1e9)
+    out2._last_write = 0.0          # suppress the interval write
+    out2.output(f"17 {f1:028x} 000000 0 -21.5 0.0")
+    assert out2.n_writes == 0
+    out2.close()
+    assert out2.n_writes == 1
+    assert json.load(open(path2))["aircraft"]
+
+
+def test_az_map_narrow_label_no_wraparound():
+    """Range-label start index went negative on narrow grids, wrapping
+    the label through grid[cy][-1] and overwriting the receiver marker
+    (r4 review)."""
+    from airmodes.outputs.az_map import az_map_model, render_ascii
+    m = az_map_model()
+    m.add(0.0, 50.0, 30000.0)
+    for w in (5, 7, 9, 11):
+        art = render_ascii(m, width=w, height=7)
+        row = art[len(art) // 2]
+        cx = w // 2
+        assert row[cx] == "+"            # marker survives
+        # nothing wrapped into the left half of the center row
+        assert all(c in " .#@" for c in row[:cx])
+
+
+def test_flightgear_state_bounded_by_age(tmp_path):
+    """output_flightgear leaked one _state entry per ICAO forever; now
+    bounded, evicting the least recently updated (r4 review)."""
+    from airmodes.outputs.flightgear import output_flightgear
+    plug = output_flightgear("127.0.0.1", 0)
+    try:
+        me = encoder.me_identification("CHURN1")
+        for i in range(4200):
+            f = encoder.df17_frame(0x100000 + i, me)
+            plug.output(f"17 {f:028x} 000000 0 -20.0 {float(i):.1f}")
+        assert len(plug._state) <= 4097
+        # the survivors are the most recently updated, not dict-oldest
+        assert 0x100000 + 4199 in plug._state
+        assert 0x100000 not in plug._state
+    finally:
+        plug.close()
+
+
+def test_wx_last_fix_evicts_by_age(tmp_path):
+    """_last_fix eviction must drop the OLDEST fixes, not the earliest-
+    inserted ICAOs (an updated entry keeps its insertion slot — r4
+    review: active aircraft lost their fixes)."""
+    from airmodes.outputs.wx import output_wx
+    out = output_wx(str(tmp_path / "wx.ndjson"),
+                    parser=parse(my_position=(47.0, 8.0)))
+    active = 0x0FFF00
+    mepos = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=False)
+    # active aircraft inserted FIRST (earliest dict slot)...
+    f = encoder.df17_frame(active, mepos)
+    out.output(f"17 {f:028x} 000000 0 -20.0 1.0")
+    for i in range(4200):   # ...then 4200 one-shot aircraft
+        fi = encoder.df17_frame(0x200000 + i, mepos)
+        out.output(f"17 {fi:028x} 000000 0 -20.0 {2.0 + i:.1f}")
+        if i == 4000:       # active aircraft refreshes near the end: its
+            # fix is now among the NEWEST, but its dict slot is oldest
+            out.output(f"17 {f:028x} 000000 0 -20.0 {2.0 + i + 0.5:.1f}")
+    assert active in out._last_fix   # refreshed entry survived eviction
