@@ -46,8 +46,20 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
     QtCore, QtWidgets, QtGui = _qt_modules()
 
     class AircraftTable(QtCore.QAbstractTableModel):
+        # Qt requires rowCount()/data() to agree within one layout pass;
+        # reading the live dashboard from both (feed threads insert/prune
+        # concurrently) rendered phantom/blank rows. A locked rows()
+        # snapshot, refreshed once per timer tick, is the consistent
+        # model Qt expects.
+        def __init__(self):
+            super().__init__()
+            self._rows = []
+
+        def refresh_rows(self):
+            self._rows = dash.rows()
+
         def rowCount(self, parent=None):
-            return len(dash.aircraft)
+            return len(self._rows)
 
         def columnCount(self, parent=None):
             return len(COLUMNS)
@@ -60,10 +72,9 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
         def data(self, index, role):
             if role != QtCore.Qt.DisplayRole:
                 return None
-            rows = dash.rows()
-            if index.row() >= len(rows):
+            if index.row() >= len(self._rows):
                 return None
-            v = rows[index.row()][index.column()]
+            v = self._rows[index.row()][index.column()]
             return "" if v is None else str(v)
 
     class AzMap(QtWidgets.QWidget):
@@ -100,6 +111,7 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
 
     def refresh():
         dash.prune()
+        table_model.refresh_rows()
         table_model.layoutChanged.emit()
         split.widget(1).update()
     timer.timeout.connect(refresh)
@@ -224,7 +236,11 @@ def main(argv=None) -> int:
                     help="auto-exit after N seconds (curses backend)")
     args = ap.parse_args(argv)
 
-    loc = parse_location(args.location)
+    try:
+        loc = parse_location(args.location)
+    except ValueError as e:     # typo'd -l: clean CLI error, no traceback
+        print(str(e), file=sys.stderr)
+        return 2
     my_pos = (loc[0], loc[1]) if loc else None
     shared = parse(my_pos)
     dash_plugin = output_dashboard(parser=shared)
@@ -246,10 +262,31 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
+    frame_replay = args.file_format in ("beast", "beastgps", "avr")
+    if frame_replay and (source in ("udp", "synthetic") or "://" in source):
+        # same contract as modes_rx: frame replay takes exactly one file
+        # (for a live network feed use -s beast://host:port)
+        print("frame-recording replay takes a file source (for a live "
+              "network feed use -s beast://host:port without "
+              "--file-format)", file=sys.stderr)
+        return 2
+    needs_resample = abs(args.rate - args.channel_rate) > 1e-3
+    if needs_resample and not frame_replay and (
+            source in ("udp", "synthetic") or "://" in source):
+        print("resampling is only wired for file sources", file=sys.stderr)
+        return 2
 
     def emit(m: str) -> None:
-        dash_plugin.output(m)
-        az_plugin.output(m)
+        # parse ONCE through the shared stateful parser (CPR/ELM state
+        # must see each frame exactly once; double-parsing also halves
+        # the 55k msg/s host parse ceiling), then feed both models
+        from ..exceptions import ADSBError
+        try:
+            rep = shared.parse(m)
+        except ADSBError:
+            return
+        dash_plugin.model.update(rep)
+        az_plugin.update(rep)
 
     def feed(stop: threading.Event):
         from ..io.netclient import client_for_url
@@ -263,6 +300,24 @@ def main(argv=None) -> int:
             finally:
                 cli.close()
             return
+        if frame_replay:
+            # recorded Beast/AVR frames: decode stack only, no DSP
+            # (mirrors modes_rx._run_frame_replay)
+            from ..io.netclient import replay_file
+            fmt = "beast" if args.file_format == "beastgps" \
+                else args.file_format
+            t0 = time.time()
+            for wire_msg, off in replay_file(
+                    source, fmt=fmt,
+                    gps_time=args.file_format == "beastgps"):
+                if stop.is_set():
+                    return
+                if args.throttle:
+                    ahead = off - (time.time() - t0)
+                    if ahead > 0:
+                        time.sleep(ahead)
+                emit(wire_msg)
+            return
         from ..config import DspConfig
         from ..io import sources as src_mod
         from ..io.stream import run_pipelined
@@ -273,10 +328,21 @@ def main(argv=None) -> int:
         if source == "synthetic":
             blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 64)
         elif source == "udp":
-            blocks = src_mod.udp_source(cfg, port=args.udp_port)
+            blocks = src_mod.udp_source(cfg, port=args.udp_port,
+                                        timeout_s=args.udp_timeout)
+        elif needs_resample:
+            # -r/--rate != channel rate: resample like modes_rx (silently
+            # framing a wrong-rate capture demodulates garbage)
+            blocks = src_mod.resampled_file_source(
+                source, cfg, dtype=args.file_format, rate_in=args.rate,
+                start_sample=args.start_sample)
         else:
             blocks = src_mod.file_source(source, cfg,
-                                         dtype=args.file_format)
+                                         dtype=args.file_format,
+                                         start_sample=args.start_sample)
+        if args.max_blocks and source != "synthetic":
+            import itertools
+            blocks = itertools.islice(blocks, args.max_blocks)
         epoch = time.time()
         # the same pipelined runner as modes_rx: per-block synchronous
         # dispatch+fetch costs ~60-75 ms of dead relay time per block;

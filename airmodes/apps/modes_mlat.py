@@ -67,8 +67,18 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def parse_station(s: str):
-    pos, _, addr = s.partition("@")
-    lat, lon, alt = (float(x) for x in pos.split(","))
+    """'LAT,LON,ALT@URL' -> ((lat, lon, alt), url); raises ValueError
+    with a usable message on malformed input (clean CLI error, not a
+    traceback — same convention as network URLs below)."""
+    pos, sep, addr = s.partition("@")
+    if not sep or not addr:
+        raise ValueError(f"bad -S/--station {s!r}: expected "
+                         "LAT,LON,ALT@URL (e.g. 47.0,8.0,500@beast://h:p)")
+    try:
+        lat, lon, alt = (float(x) for x in pos.split(","))
+    except ValueError:
+        raise ValueError(f"bad -S/--station position {pos!r}: expected "
+                         "LAT,LON,ALT in decimal degrees / meters")
     return (lat, lon, alt), addr
 
 
@@ -79,7 +89,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     stations, addrs = [], []
     for s in args.station:
-        pos, addr = parse_station(s)
+        try:
+            pos, addr = parse_station(s)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
         stations.append(pos)
         addrs.append(addr)
     if len(stations) < args.min_stations:

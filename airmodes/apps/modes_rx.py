@@ -54,6 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
                      help="replay files at real-time rate")
     src.add_argument("--start-sample", type=int, default=0,
                      help="resume a file capture from this sample counter")
+    src.add_argument("--udp-timeout", type=float, default=0.0,
+                     metavar="SECONDS",
+                     help="end the -s udp stream after this long without "
+                     "datagrams (0 = never: a live receiver must survive "
+                     "upstream feeder restarts) [0]")
 
     dsp = p.add_argument_group("dsp")
     dsp.add_argument("-T", "--threshold", type=float, default=5.0,
@@ -147,9 +152,18 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def parse_location(s: Optional[str]):
+    """LAT,LON[,ALT] -> tuple; raises ValueError with a usable message on
+    malformed input (a typo'd -l should be a clean CLI error at startup,
+    not an IndexError traceback — same convention as network URLs)."""
     if not s:
         return None
-    parts = [float(x) for x in s.split(",")]
+    try:
+        parts = [float(x) for x in s.split(",")]
+    except ValueError:
+        parts = []
+    if len(parts) not in (2, 3):
+        raise ValueError(f"bad -l/--location {s!r}: expected LAT,LON[,ALT] "
+                         "(decimal degrees)")
     return (parts[0], parts[1], parts[2] if len(parts) > 2 else 0.0)
 
 
@@ -264,18 +278,15 @@ def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
     return 0
 
 
-def _emit_stats_json(path, rate_msps, stats, n_blocks) -> None:
-    """One NDJSON record of the pipeline counters (ops/monitoring feed)."""
+def _write_ndjson(path, record: dict) -> None:
+    """Append one NDJSON record to `path` ('-' = stdout). The single sink
+    for every stats feed (DSP pipeline + aggregator): monitoring must
+    never take down the receive chain, so OSError is swallowed here, in
+    ONE place."""
     if not path:
         return
     import json
-    rec = json.dumps({
-        "ts": round(time.time(), 3), "msps": round(rate_msps, 3),
-        "blocks": n_blocks, "preambles": stats.preambles,
-        "crc_ok": stats.crc_ok, "corrected": stats.corrected,
-        "crc_fail": stats.crc_fail, "emitted": stats.emitted,
-        "overflow": stats.overflow, "ring_dropped": stats.ring_dropped,
-    })
+    rec = json.dumps(record)
     if path == "-":
         print(rec, flush=True)
         return
@@ -283,7 +294,18 @@ def _emit_stats_json(path, rate_msps, stats, n_blocks) -> None:
         with open(path, "a") as f:
             f.write(rec + "\n")
     except OSError:
-        pass     # monitoring must never take down the receive chain
+        pass
+
+
+def _emit_stats_json(path, rate_msps, stats, n_blocks) -> None:
+    """One NDJSON record of the pipeline counters (ops/monitoring feed)."""
+    _write_ndjson(path, {
+        "ts": round(time.time(), 3), "msps": round(rate_msps, 3),
+        "blocks": n_blocks, "preambles": stats.preambles,
+        "crc_ok": stats.crc_ok, "corrected": stats.corrected,
+        "crc_fail": stats.crc_fail, "emitted": stats.emitted,
+        "overflow": stats.overflow, "ring_dropped": stats.ring_dropped,
+    })
 
 
 def _run_aggregator(args, net_urls, bus, closers) -> int:
@@ -319,23 +341,12 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
         clients.append(cli)
         closers.append(cli.close)
     def agg_stats_json() -> None:
-        if not args.stats_json:
-            return
-        import json
-        rec = json.dumps({
+        _write_ndjson(args.stats_json, {
             "ts": round(time.time(), 3), "feeds": len(clients),
             "frames": sum(c.n_frames for c in clients),
             "crc_dropped": sum(c.n_dropped for c in clients),
             "emitted": n_emitted[0],
         })
-        if args.stats_json == "-":
-            print(rec, flush=True)
-            return
-        try:
-            with open(args.stats_json, "a") as f:
-                f.write(rec + "\n")
-        except OSError:
-            pass
 
     t_stats = time.time()
     try:
@@ -422,7 +433,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     block_size=args.block_size,
                     max_detections=args.max_detections)
 
-    loc = parse_location(args.location)
+    try:
+        loc = parse_location(args.location)
+    except ValueError as e:     # typo'd -l: clean CLI error, no traceback
+        print(str(e), file=sys.stderr)
+        return 2
     my_pos = (loc[0], loc[1]) if loc else None
 
     # shared pipeline counters: created before the plugins so observability
@@ -544,7 +559,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.source, cfg, dtype=args.file_format, rate_in=args.rate,
             start_sample=args.start_sample)
     elif args.source == "udp":
-        blocks = src_mod.udp_source(cfg, port=args.udp_port)
+        blocks = src_mod.udp_source(cfg, port=args.udp_port,
+                                    timeout_s=args.udp_timeout)
     elif args.source == "synthetic":
         blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 4)
     else:

@@ -188,11 +188,14 @@ def udp_source(cfg: DspConfig, host: str = "0.0.0.0", port: int = 10000,
     """Receive complex64 IQ over UDP (ref: radio.py UDP source branch).
 
     `sock` injects a pre-bound socket (port 0 / testing); the stream ends
-    after `timeout_s` of silence and flushes the buffered tail."""
+    after `timeout_s` of silence and flushes the buffered tail.
+    timeout_s <= 0 or None blocks forever — a live receiver must survive
+    upstream feeder restarts of any length (modes_rx passes this by
+    default via --udp-timeout 0)."""
     if sock is None:
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         sock.bind((host, port))
-    sock.settimeout(timeout_s)
+    sock.settimeout(timeout_s if timeout_s and timeout_s > 0 else None)
     framer = buffered_framer(cfg)
     emitted = 0
     try:

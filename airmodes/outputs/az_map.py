@@ -137,5 +137,10 @@ class output_az_map:
             rep = self._parser.parse(msg)
         except ADSBError:
             return
+        self.update(rep)
+
+    def update(self, rep) -> None:
+        """Feed an already-parsed report (callers sharing one parser must
+        not re-parse the same wire string through shared CPR/ELM state)."""
         if rep.bearing_deg is not None and rep.range_nm is not None:
             self.model.add(rep.bearing_deg, rep.range_nm, rep.altitude_ft)

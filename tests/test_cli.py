@@ -465,3 +465,101 @@ def test_cli_all_plugins_soak(tmp_path):
     assert doc["aircraft"]
     stats_rec = [_json.loads(ln) for ln in open(sj)]
     assert stats_rec and stats_rec[-1]["emitted"] >= len(want)
+
+
+def test_gui_resampled_file(tmp_path, capsys):
+    """modes_gui used to silently ignore -r/--rate and frame a non-2-Msps
+    capture at 2 Msps — garbage decode with no error (r4 review)."""
+    from airmodes.apps.modes_gui import main as gui_main
+    frames = encoder.random_df17_frames(6, seed=92)
+    iq, truth = encoder.make_capture(frames, rate=4e6, snr_db=25.0,
+                                     spacing=16000, seed=92)
+    path = str(tmp_path / "gcap4m.c64")
+    iq.tofile(path)
+    rc = gui_main(["-s", path, "-r", "4e6", "--backend", "curses",
+                   "--duration", "8.0", "--block-size", "65536"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import re
+    assert re.search(r"^[0-9a-f]{6} ", out, re.M), out[:500]
+
+
+def test_gui_rejects_frame_format_for_nonfile_sources(capsys):
+    """--file-format beast with -s udp used to kill the feed thread with
+    a dtype ValueError while the GUI showed 0 aircraft forever."""
+    from airmodes.apps.modes_gui import main as gui_main
+    rc = gui_main(["-s", "udp", "--file-format", "beast",
+                   "--backend", "curses", "--duration", "1.0"])
+    assert rc == 2
+    rc = gui_main(["-s", "udp", "-r", "4e6",
+                   "--backend", "curses", "--duration", "1.0"])
+    assert rc == 2          # resample is only wired for file sources
+
+
+def test_gui_frame_replay(tmp_path, capsys):
+    """modes_gui replays recorded Beast frame captures through the decode
+    stack like modes_rx (it used to pass 'beast' to file_source as an IQ
+    dtype)."""
+    from airmodes.apps.modes_gui import main as gui_main
+    from airmodes.outputs.beast import beast_encode
+    frame = encoder.df17_frame(0xABC123, encoder.me_identification("GUIRPL"))
+    data = b"".join(beast_encode(f"{frame:028x}", -20.0, 1.0 + 0.1 * i)
+                    for i in range(5))
+    p = tmp_path / "rec.beast"
+    p.write_bytes(data)
+    rc = gui_main(["-s", str(p), "--file-format", "beast",
+                   "--backend", "curses", "--duration", "3.0"])
+    assert rc == 0
+    assert "abc123" in capsys.readouterr().out
+
+
+def test_cli_bad_location_clean_error(capture, capsys):
+    """A typo'd -l must be a clean CLI error (rc 2), not an IndexError
+    traceback (r4 review)."""
+    path, _, _ = capture
+    for bad in ("47.0", "47.0,abc", "x"):
+        rc = main(["-s", path, "-l", bad])
+        assert rc == 2, bad
+    with pytest.raises(ValueError):
+        parse_location("47.0")
+    assert parse_location("47.0,8.0,500") == (47.0, 8.0, 500.0)
+
+
+def test_mlat_bad_station_clean_error(capsys):
+    """A malformed -S station spec must be a clean CLI error (rc 2), not
+    a ValueError traceback (r4 review)."""
+    from airmodes.apps.modes_mlat import main as mlat_main
+    assert mlat_main(["-S", "47.0,8.0@zmq://x"]) == 2      # missing alt
+    assert mlat_main(["-S", "47.0,8.0,500"]) == 2          # missing @URL
+
+
+def test_udp_source_timeout_zero_never_gives_up():
+    """timeout_s=0 disables the silence timeout entirely (a live
+    receiver must survive upstream feeder restarts, r4 review); the
+    stream still ends promptly via max_blocks."""
+    import socket as socketlib
+    import time as _time
+
+    from airmodes.config import DspConfig
+    from airmodes.io.sources import udp_source
+
+    # small blocks: everything sent must FIT in the kernel receive buffer
+    # (~212 KB unprivileged) before the reader starts, or the dropped
+    # tail leaves the framer short of a block and recvfrom (timeout
+    # None) blocks the test forever
+    cfg = DspConfig(block_size=1 << 12, max_detections=16)
+    srv = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    snd = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_DGRAM)
+    raw = (np.zeros(4 * (1 << 12), np.complex64)).tobytes()
+    for off in range(0, len(raw), 8192):
+        snd.sendto(raw[off: off + 8192], ("127.0.0.1", port))
+    snd.close()
+    t0 = _time.time()
+    blocks = list(udp_source(cfg, sock=srv, timeout_s=0, max_blocks=1))
+    assert len(blocks) == 1
+    assert _time.time() - t0 < 5.0      # ended via max_blocks, not a wait
+    # and the flag is plumbed through the CLI
+    args = build_argparser().parse_args(["--udp-timeout", "3.5"])
+    assert args.udp_timeout == 3.5
