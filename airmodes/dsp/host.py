@@ -126,11 +126,3 @@ def table_to_messages(
     return msgs
 
 
-def batch_table_to_messages(table, block_starts, rate: float, **kw) -> List[str]:
-    """Batched (leading channel axis) DetectionTable -> flattened messages."""
-    msgs: List[str] = []
-    n_ch = np.asarray(table.index).shape[0]
-    for c in range(n_ch):
-        sub = type(table)(*(np.asarray(f)[c] for f in table))
-        msgs.extend(table_to_messages(sub, int(block_starts[c]), rate, **kw))
-    return msgs

@@ -309,7 +309,9 @@ def make_capture(
     from ..constants import CHIP_RATE
     sps = int(round(rate / CHIP_RATE))
     assert sps >= 1
-    if abs(sps * CHIP_RATE - rate) > 1e-6 * rate:
+    if abs(sps * CHIP_RATE - rate) > 1e-3:   # same ABSOLUTE tolerance as
+        # DspConfig.sps: a relative bound (2 Hz at 2 MHz) accepted rates
+        # in the gap whose captures no DspConfig could then decode
         # silently rounding 2.4e6 to 2 Msps would hand the caller a
         # capture at a rate they did not ask for (and a later resample
         # of it decodes nothing); DspConfig.sps rejects identically

@@ -123,14 +123,29 @@ def _slice_and_check(m, i, ref, cfg):
         if len(lc) > cfg.max_lowconf_bits:
             return None
         rows = crc.syndrome_rows(nbits)
+
+        def corrected(fixed: int) -> Optional[str]:
+            # mirror the pipeline's class-flip rejection (pipeline.py
+            # _slice_and_correct): a flip landing in DF lanes 0-4 that
+            # moves the frame across the 56/112 length-class boundary
+            # contradicts the sliced length the CRC was computed over —
+            # the device path sets STATUS_FAIL, so the oracle drops too
+            df_out = (fixed >> (nbits - 5)) & 0x1F
+            if (df_out >= 16) != (nbits == 112):
+                return None
+            return f"{fixed:028x}"
+
+        # int(b): np.where yields int64 indices, and `1 << np.int64(s)`
+        # computes in C-long space — OverflowError for shifts >= 63
+        # instead of the 112-bit Python-int flip
         for b1 in lc:
             if rows[b1] == synd:
-                return f"{frame ^ (1 << (nbits - 1 - b1)):028x}"
+                return corrected(frame ^ (1 << (nbits - 1 - int(b1))))
         for x, b1 in enumerate(lc):
             for b2 in lc[x + 1:]:
                 if (rows[b1] ^ rows[b2]) == synd:
-                    fixed = frame ^ (1 << (nbits - 1 - b1)) ^ (1 << (nbits - 1 - b2))
-                    return f"{fixed:028x}"
+                    return corrected(frame ^ (1 << (nbits - 1 - int(b1)))
+                                     ^ (1 << (nbits - 1 - int(b2))))
         return None
     if df in (0, 4, 5, 16, 20, 21) or df >= 24:
         return f"{frame:0{nbits // 4}x}"
@@ -162,7 +177,12 @@ def snr_sweep(snrs: Sequence[float], n_msgs: int = 40, seed: int = 0,
     points = []
     for snr in snrs:
         frames = encoder.random_df17_frames(n_msgs, seed=seed)
-        iq, truth = encoder.make_capture(frames, snr_db=snr, spacing=3000,
+        # rate MUST follow cfg: generating at the 2 Msps default while
+        # decoding at cfg.channel_rate lands preamble chips on wrong
+        # samples and reports ~0% at every SNR with no error
+        iq, truth = encoder.make_capture(frames, rate=cfg.channel_rate,
+                                         snr_db=snr,
+                                         spacing=3000 * cfg.sps,
                                          seed=seed + abs(int(snr * 10)))  # negative-SNR points
                                          # need a valid seed
         got = set()
@@ -180,8 +200,13 @@ def inject_chip_errors(iq: np.ndarray, truth: encoder.GroundTruth,
                        mode: str = "erase") -> np.ndarray:
     """Corrupt specific data bits of one frame in a capture.
 
-    mode "erase": zero both chips of the bit (low confidence both ways);
-    mode "flip":  move the pulse to the wrong chip (confident wrong bit).
+    mode "erase":    zero both chips of the bit (low confidence both ways);
+    mode "flip":     move the pulse to the wrong chip (confident wrong bit);
+    mode "dim":      wrong chip slightly brighter, both below the
+                     confidence level (DETERMINISTIC low-confidence wrong
+                     bit — erase leaves the read polarity to noise);
+    mode "dim_keep": right chip slightly brighter, both below the level
+                     (low-confidence but correctly-read bit).
     """
     iq = iq.copy()
     p = truth.sample_index
@@ -193,6 +218,13 @@ def inject_chip_errors(iq: np.ndarray, truth: encoder.GroundTruth,
         bitval = (truth.frame >> (truth.nbits - 1 - b)) & 1
         if mode == "erase":
             iq[c0: c0 + sps] = iq[c1: c1 + sps] = 0.03 * amp
+        elif mode in ("dim", "dim_keep"):
+            # powers 0.36/0.25 of the reference pulse power: ordered (the
+            # slicer reads the brighter chip) yet both under the default
+            # 0.5*ref confidence level
+            right = (c0, c1) if bitval else (c1, c0)
+            hi, lo = (right[::-1] if mode == "dim" else right)
+            iq[hi: hi + sps], iq[lo: lo + sps] = 0.6 * amp, 0.5 * amp
         else:
             on, off = (c0, c1) if bitval else (c1, c0)
             iq[on: on + sps], iq[off: off + sps] = 0.0, amp

@@ -204,3 +204,61 @@ def test_marginal_snr_spurious_provenance():
     assert clean == [], f"noise/marginal traffic minted clean-CRC " \
                         f"frames: {clean}"
     assert len(spurious_status) <= max(1, n_inj // 100), spurious_status
+
+
+def test_oracle_ecc_single_bit_correction_matches_pipeline():
+    """Drive the numpy ORACLE into its correction branch (r4 review: the
+    np.int64 shift overflowed on every correction; the branch had zero
+    coverage because erase-mode leaves the read polarity to noise)."""
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=46,
+                                     random_phase=False)
+    bad = golden.inject_chip_errors(iq, truth[0], [55], mode="dim")
+    ref = sorted(golden.reference_decode(bad, CFG))
+    assert "8d4840d6202cc371c32ce0576098" in {h for _, h in ref}
+    assert jax_decode(bad) == ref
+
+
+def test_oracle_ecc_two_bit_correction_matches_pipeline():
+    frames = [(int("8d4840d6202cc371c32ce0576098", 16), 112)]
+    iq, truth = encoder.make_capture(frames, snr_db=25.0, seed=47,
+                                     random_phase=False)
+    bad = golden.inject_chip_errors(iq, truth[0], [30, 77], mode="dim")
+    ref = sorted(golden.reference_decode(bad, CFG))
+    assert "8d4840d6202cc371c32ce0576098" in {h for _, h in ref}
+    assert jax_decode(bad) == ref
+
+
+def test_oracle_class_flip_rejected_matches_pipeline():
+    """A received frame reading DF17 whose single-bit correction flips
+    the DF into the short length class: the pipeline sets STATUS_FAIL
+    (r4 rule) and the oracle must drop identically instead of emitting
+    a 112-bit 'DF1' (r4 review, reproduced divergence)."""
+    payload = (1 << 83) | (0x123456 << 56) | 0xABCDEF   # df=1, 112-bit
+    F, n = encoder.build_frame(payload, 88)
+    assert n == 112
+    R = F ^ (1 << 111)          # reads df=17; syndrome == rows112[0]
+    iq, truth = encoder.make_capture([(R, 112)], snr_db=25.0, seed=48,
+                                     random_phase=False)
+    # bit 0 low-confidence but read as transmitted: the slicer sees a
+    # DF17 frame whose only correction candidate crosses the class
+    bad = golden.inject_chip_errors(iq, truth[0], [0], mode="dim_keep")
+    assert golden.reference_decode(bad, CFG) == []
+    assert jax_decode(bad) == []
+
+
+def test_make_capture_rejects_near_miss_rate():
+    """The rate-validity tolerance is the same ABSOLUTE 1e-3 Hz as
+    DspConfig.sps: 2_000_000.5 used to pass the old relative bound and
+    produce a capture no DspConfig could decode (r4 review)."""
+    with pytest.raises(ValueError):
+        encoder.make_capture([(0x123, 56)], rate=2_000_000.5)
+
+
+def test_snr_sweep_honors_cfg_channel_rate():
+    """snr_sweep used to generate at the 2 Msps default regardless of
+    cfg.channel_rate, silently reporting ~0% at every SNR (r4 review)."""
+    cfg4 = DspConfig(channel_rate=4e6, block_size=1 << 16,
+                     max_detections=32)
+    pts = golden.snr_sweep([25.0], n_msgs=4, seed=5, cfg=cfg4)
+    assert pts[0].rate >= 0.75, pts
