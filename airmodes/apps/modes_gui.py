@@ -22,6 +22,7 @@ from typing import Optional
 from ..outputs.az_map import az_map_model, output_az_map
 from ..outputs.gui_model import COLUMNS, dashboard, output_dashboard
 from ..decode.parse import parse
+from ..exceptions import ADSBError
 
 
 def _qt_modules():
@@ -242,7 +243,7 @@ def main(argv=None) -> int:
         print(str(e), file=sys.stderr)
         return 2
     my_pos = (loc[0], loc[1]) if loc else None
-    shared = parse(my_pos)
+    shared = parse(my_pos, cpr_global_first=args.cpr_global_first)
     dash_plugin = output_dashboard(parser=shared)
     az_plugin = output_az_map(parser=shared, my_position=my_pos)
 
@@ -262,6 +263,18 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
+    if source in ("uhd", "osmocom"):
+        # same clean error modes_rx prints: falling through to
+        # file_source('uhd') would FileNotFoundError inside the daemon
+        # feed thread and show an empty UI forever
+        print(f"SDR source '{source}' needs UHD/osmosdr hardware drivers "
+              "(unavailable); use a recorded file or udp", file=sys.stderr)
+        return 2
+    if source not in ("udp", "synthetic") and "://" not in source:
+        import os
+        if not os.path.exists(source):
+            print(f"no such capture file: {source}", file=sys.stderr)
+            return 2
     frame_replay = args.file_format in ("beast", "beastgps", "avr")
     if frame_replay and (source in ("udp", "synthetic") or "://" in source):
         # same contract as modes_rx: frame replay takes exactly one file
@@ -280,7 +293,6 @@ def main(argv=None) -> int:
         # parse ONCE through the shared stateful parser (CPR/ELM state
         # must see each frame exactly once; double-parsing also halves
         # the 55k msg/s host parse ceiling), then feed both models
-        from ..exceptions import ADSBError
         try:
             rep = shared.parse(m)
         except ADSBError:

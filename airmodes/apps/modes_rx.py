@@ -603,7 +603,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                   scale=args.i8_scale)
         if args.source == "udp":
             msg_iter = native_stream.run_native_pipelined(
-                udp_port=args.udp_port, **kw)
+                udp_port=args.udp_port, udp_timeout_s=args.udp_timeout,
+                **kw)
         else:
             msg_iter = native_stream.run_native_pipelined(
                 path=args.source, fmt=args.file_format,

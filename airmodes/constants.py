@@ -49,3 +49,10 @@ STATUS_FAIL = 4          # uncorrectable
 
 # DFs whose AP field is parity XOR ICAO address (syndrome == address).
 AP_ADDRESS_DFS = (0, 4, 5, 16, 20, 21, 24)
+
+# DF18 CF=1/5 carry non-ICAO (anonymous/TIS-B track-file) addresses: they
+# are namespaced with this bit so NO ICAO-keyed consumer (CPR cache,
+# dashboard, icao_gate training, per-ICAO output state) can collide an
+# anonymous target with a real aircraft whose 24-bit address matches.
+# Display convention: "~xxxxxx" (what dump1090/readsb use for non-ICAO).
+ANON_ICAO_BIT = 1 << 24

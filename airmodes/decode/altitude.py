@@ -103,3 +103,15 @@ def encode_alt_gillham(alt_ft: float) -> int:
     alt |= sb(g500, 1, alt, 3) | sb(g500, 0, alt, 1)
     alt |= sb(g100, 2, alt, 12) | sb(g100, 1, alt, 10) | sb(g100, 0, alt, 8)
     return alt
+
+
+def decode_alt_gnss12(alt12: int) -> int:
+    """TC20-22 12-bit altitude field: GNSS height above ellipsoid, in
+    feet. The field re-uses the 12-bit AC altitude ENCODING (25-ft
+    Q-bit / Gillham); only the SEMANTIC changes from barometric to
+    geometric — the reading dump1090-fa/readsb implement
+    (decodeAC12Field -> altitude_geom). The other published reading
+    (pyModeS / the-1090MHz-riddle: raw meters) caps at 4095 m, which
+    cannot represent en-route traffic, so the AC12 reading is used here.
+    One shared decode for the parser and the mlat altitude constraint."""
+    return decode_alt(alt12, bit13=False)

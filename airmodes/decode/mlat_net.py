@@ -60,15 +60,15 @@ def _frame_altitude_ft(hexframe: str) -> Optional[float]:
             if 9 <= tc <= 18 or 20 <= tc <= 22:
                 alt12 = (me >> 36) & 0xFFF
                 if alt12:
-                    if tc >= 20:
-                        # TC20-22 carry GNSS HAE directly in meters
-                        # (DO-260B), not the Q-bit/Gillham baro encoding
-                        return alt12 * 3.28084
+                    # TC20-22: same AC12 decode, geometric semantic
+                    # (decode_alt_gnss12 docs) — HAE is, if anything, the
+                    # BETTER altitude constraint for the ellipsoid datum
                     return decode_alt(alt12, bit13=False)
     except (ADSBError, ValueError):
-        # ValueError: a DF whose layout disagrees with the frame length
-        # (fields.data_field raises plain ValueError) — remote stations
-        # are untrusted input, so drop, don't crash
+        # ADSBError covers layout/length mismatches (fields.data_field
+        # raises ParserError); ValueError remains for int() on garbage
+        # hex digits — remote stations are untrusted input, so drop,
+        # don't crash
         pass
     return None
 

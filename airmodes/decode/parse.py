@@ -18,7 +18,7 @@ import math
 from typing import Optional, Tuple
 
 from .. import crc
-from ..constants import (AP_ADDRESS_DFS, STATUS_FAIL)
+from ..constants import (ANON_ICAO_BIT, AP_ADDRESS_DFS, STATUS_FAIL)
 from ..exceptions import ADSBError, NoHandlerError, ParserError
 from . import acas, commb, elm
 from .altitude import decode_alt
@@ -68,7 +68,15 @@ class AircraftReport:
 
     @property
     def icao_hex(self) -> Optional[str]:
-        return None if self.icao is None else f"{self.icao:06x}"
+        return None if self.icao is None else format_icao(self.icao)
+
+
+def format_icao(icao: int) -> str:
+    """24-bit address -> display hex; anonymous (non-ICAO, DF18 CF=1/5)
+    addresses render as "~xxxxxx" (the dump1090/readsb convention)."""
+    if icao & ANON_ICAO_BIT:
+        return f"~{icao & 0xFFFFFF:06x}"
+    return f"{icao:06x}"
 
 
 class parse:
@@ -182,8 +190,13 @@ class parse:
         ICAO-keyed CPR cache."""
         cf = reply["cf"]
         if cf in (1, 5):
-            # ADS-B/TIS-B with "other" (non-ICAO) address
+            # ADS-B/TIS-B with "other" (non-ICAO) address: namespace the
+            # key itself so EVERY ICAO-keyed consumer (CPR cache,
+            # dashboard state, gate training, output plugins) is
+            # collision-free, not just the CPR cache
             report.address_anon = True
+            if report.icao is not None:
+                report.icao |= ANON_ICAO_BIT
         if cf in (0, 1, 2, 5, 6):
             # 0/1: ADS-B (ES/NT), 2/5: fine-format TIS-B, 6: ADS-R —
             # all carry a standard ADS-B ME field
@@ -272,17 +285,15 @@ class parse:
             report.bds = "BDS0,5"
             alt12 = rep["alt"]
             if alt12:
-                if ftc >= 20:
-                    # TC20-22: GNSS height above ellipsoid, encoded
-                    # directly in meters (DO-260B 2.2.3.2.3.4.3) — NOT the
-                    # Q-bit/Gillham baro format of TC9-18
-                    report.altitude_ft = int(round(alt12 * 3.28084))
-                    report.altitude_gnss = True
-                else:
-                    try:
-                        report.altitude_ft = decode_alt(alt12, bit13=False)
-                    except ADSBError:
-                        pass
+                try:
+                    # TC20-22 re-use the AC12 encoding but carry GNSS HAE
+                    # (geometric), not barometric altitude — flagged so
+                    # consumers keep the two apart (decode_alt_gnss12
+                    # documents the encoding-reading choice)
+                    report.altitude_ft = decode_alt(alt12, bit13=False)
+                    report.altitude_gnss = ftc >= 20
+                except ADSBError:
+                    pass
             self._decode_position(rep, report, surface=False)
         elif ftc == 19:
             report.bds = "BDS0,9"
@@ -367,13 +378,11 @@ class parse:
     def _decode_position(self, rep, report, surface: bool):
         if report.icao is None:
             return
-        # DF18 CF=1/5 addresses are NOT ICAO 24-bit IDs: key them into a
-        # disjoint CPR-cache namespace (bit 24) so an anonymous address
-        # that happens to equal a real ICAO never cross-pairs CPR frames
-        key = report.icao | (1 << 24) if report.address_anon else report.icao
+        # report.icao already carries ANON_ICAO_BIT for DF18 CF=1/5, so
+        # an anonymous address equal to a real ICAO never cross-pairs
         try:
             lat, lon, rng, brg = self.cpr.decode(
-                key, rep["encoded_lat"], rep["encoded_lon"],
+                report.icao, rep["encoded_lat"], rep["encoded_lon"],
                 rep["cpr_format"], surface=surface, timestamp=report.timestamp)
         except ADSBError:
             return  # position not resolvable yet; rest of report still valid

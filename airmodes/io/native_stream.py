@@ -89,6 +89,8 @@ class _PlanarSource:
                  throttle_sps: float = 0.0,
                  ring_samples: Optional[int] = None,
                  udp_timeout_s: float = 5.0):
+        # udp_timeout_s <= 0 = never time out (the C++ pump sets no
+        # SO_RCVTIMEO; close() shutdown()s the socket to unblock recv)
         from ..native import IQStream
         self.stream = IQStream(cfg, ring_samples=ring_samples)
         if path is not None:

@@ -115,7 +115,7 @@ class output_flightgear:
         if rep.lat is None:
             return
         pkt = pack_fg_position(
-            st["callsign"] or f"{rep.icao:06x}", rep.lat, rep.lon,
+            st["callsign"] or rep.icao_hex, rep.lat, rep.lon,
             st["alt"], st["heading"], st["speed"], sim_time=rep.timestamp)
         try:
             self._sock.sendto(pkt, self._addr)

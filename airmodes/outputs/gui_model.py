@@ -26,7 +26,8 @@ class AircraftState:
     icao: int
     ident: Optional[str] = None
     squawk: Optional[int] = None
-    altitude_ft: Optional[int] = None
+    altitude_ft: Optional[int] = None        # barometric
+    altitude_geom_ft: Optional[int] = None   # GNSS HAE (TC20-22)
     speed_kt: Optional[float] = None
     heading_deg: Optional[float] = None
     vertical_rate_fpm: Optional[float] = None
@@ -40,7 +41,12 @@ class AircraftState:
     n_messages: int = 0
 
     def row(self) -> List:
-        return [f"{self.icao:06x}", self.ident, self.squawk, self.altitude_ft,
+        from ..decode.parse import format_icao
+        # display altitude: baro when known, else GNSS HAE (TC20-22-only
+        # emitters still show an altitude in the table)
+        alt = self.altitude_ft if self.altitude_ft is not None \
+            else self.altitude_geom_ft
+        return [format_icao(self.icao), self.ident, self.squawk, alt,
                 self.speed_kt, self.heading_deg, self.vertical_rate_fpm,
                 self.lat, self.lon, self.range_nm, self.bearing_deg,
                 self.emergency, self.rssi_dbfs, self.last_seen]
@@ -103,7 +109,16 @@ class dashboard:
         self._n_updates += 1
         st.rssi_dbfs = rep.ref_dbfs
         st.n_messages += 1
-        for attr in ("squawk", "altitude_ft", "speed_kt", "heading_deg",
+        if rep.altitude_ft is not None:
+            # GNSS HAE (TC20-22) must not overwrite barometric altitude:
+            # the two differ by geoid + pressure offsets (hundreds of ft)
+            # and flip-flopping between them corrupts every baro-labeled
+            # output (r4 review)
+            if rep.altitude_gnss:
+                st.altitude_geom_ft = rep.altitude_ft
+            else:
+                st.altitude_ft = rep.altitude_ft
+        for attr in ("squawk", "speed_kt", "heading_deg",
                      "vertical_rate_fpm", "lat", "lon", "range_nm",
                      "bearing_deg"):
             v = getattr(rep, attr)

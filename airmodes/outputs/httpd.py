@@ -329,13 +329,16 @@ class output_http:
             # dash.aircraft is a crash
             self._dash.update(rep, trusted=trusted)
             # re-serialize at most once per second of stream time (also
-            # when stream time stepped BACKWARDS past the last snapshot:
-            # a wall-extrapolated quiet-gap snapshot may sit ahead of a
-            # stream that lags wall clock — e.g. during a long first
-            # compile — and must not suppress refreshes once decode
-            # resumes); requests only ever read the cached bytes
+            # when stream time stepped BACKWARDS past the last snapshot
+            # by more than that second: a wall-extrapolated quiet-gap
+            # snapshot may sit ahead of a stream that lags wall clock —
+            # e.g. during a long first compile — and must not suppress
+            # refreshes once decode resumes. The 1 s hysteresis keeps
+            # multichannel interleaving, whose timestamps regress by one
+            # block step between channels, from re-serializing per
+            # message); requests only ever read the cached bytes
             if self._last_snap is None or now - self._last_snap >= 1.0 \
-                    or now < self._last_snap:
+                    or now < self._last_snap - 1.0:
                 import time as _time
                 self._snapshot = json.dumps(
                     build_doc(self._dash, now)).encode()

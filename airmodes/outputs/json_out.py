@@ -12,7 +12,7 @@ import json
 import os
 from typing import Optional
 
-from ..decode.parse import parse
+from ..decode.parse import format_icao, parse
 from ..exceptions import ADSBError
 from .gui_model import dashboard
 
@@ -35,11 +35,12 @@ def _doc_locked(dash: dashboard, now: float) -> dict:
         "now": now,
         "aircraft": [
             {k: v for k, v in {
-                "hex": f"{st.icao:06x}",
+                "hex": format_icao(st.icao),
                 "flight": st.ident,
                 "squawk": None if st.squawk is None
                 else f"{st.squawk:04d}",
                 "alt_baro": st.altitude_ft,
+                "alt_geom": st.altitude_geom_ft,
                 "gs": st.speed_kt,
                 "track": st.heading_deg,
                 "baro_rate": st.vertical_rate_fpm,
@@ -74,13 +75,16 @@ class output_json:
             return
         self._dash.update(rep)
         now = rep.timestamp
-        # also rewrite when stream time stepped BACKWARDS (replay restart,
-        # feed switch with a different epoch): otherwise writes stall
-        # until stream time catches the old high-water mark (same guard
-        # as httpd.update_report's snapshot refresh)
+        # also rewrite when stream time stepped BACKWARDS by more than an
+        # interval (replay restart, feed switch with a different epoch):
+        # otherwise writes stall until stream time catches the old
+        # high-water mark. The hysteresis matters: multichannel runs
+        # interleave channels whose timestamps routinely regress by one
+        # block step, which must NOT defeat the once-per-interval
+        # throttle with a disk write per message
         if self._last_write is None or \
                 now - self._last_write >= self.interval_s or \
-                now < self._last_write:
+                now < self._last_write - self.interval_s:
             self._write(now)
 
     def _write(self, now: float) -> None:

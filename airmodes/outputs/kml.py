@@ -47,14 +47,15 @@ def render_kml(dbname: str, localpos: Optional[Tuple[float, float]] = None) -> s
         parts.append(
             "<Placemark><name>Receiver</name><Point><coordinates>"
             f"{localpos[1]:.6f},{localpos[0]:.6f},0</coordinates></Point></Placemark>\n")
+    from ..decode.parse import format_icao
     for icao, lat, lon, alt, ident in rows:
         if lat is None or lon is None:
             continue
-        name = ident or f"{icao:06x}"
+        name = ident or format_icao(icao)
         alt_m = (alt or 0) * 0.3048
         parts.append(
             f"<Placemark><name>{name}</name><styleUrl>#plane</styleUrl>"
-            f"<description>ICAO {icao:06x} alt {alt or '?'} ft</description>"
+            f"<description>ICAO {format_icao(icao)} alt {alt or '?'} ft</description>"
             "<Point><altitudeMode>absolute</altitudeMode><extrude>1</extrude>"
             f"<coordinates>{lon:.6f},{lat:.6f},{alt_m:.0f}</coordinates>"
             "</Point></Placemark>\n")

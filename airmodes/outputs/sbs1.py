@@ -61,7 +61,8 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
     if st is None:
         return None
     d, t = st
-    icao = f"{rep.icao:06X}"
+    from ..decode.parse import format_icao
+    icao = format_icao(rep.icao).upper()   # anon (TIS-B) -> "~XXXXXX"
 
     def line(msgtype, fields):
         return _join_line(msgtype, icao, d, t, fields)
@@ -76,7 +77,10 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
             f[0] = rep.callsign
             return line(1, f)
         if rep.lat is not None:
-            f[1] = rep.altitude_ft
+            # the SBS altitude column is barometric: TC20-22 GNSS HAE
+            # differs by geoid+pressure offsets and must not be emitted
+            # there (position still goes out, altitude column empty)
+            f[1] = None if rep.altitude_gnss else rep.altitude_ft
             f[4] = f"{rep.lat:.5f}"
             f[5] = f"{rep.lon:.5f}"
             f[11] = "-1" if rep.on_surface else "0"
@@ -93,7 +97,7 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
             f[3] = None if rep.heading_deg is None else f"{rep.heading_deg:.0f}"
             f[6] = None if rep.vertical_rate_fpm is None else f"{rep.vertical_rate_fpm:.0f}"
             return line(4, f)
-        if rep.altitude_ft is not None:
+        if rep.altitude_ft is not None and not rep.altitude_gnss:
             f[1] = rep.altitude_ft
             return line(5, f)
         if rep.squawk is not None:  # TC28/1 aircraft status (BDS6,1)

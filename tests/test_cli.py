@@ -563,3 +563,13 @@ def test_udp_source_timeout_zero_never_gives_up():
     # and the flag is plumbed through the CLI
     args = build_argparser().parse_args(["--udp-timeout", "3.5"])
     assert args.udp_timeout == 3.5
+
+
+def test_gui_rejects_sdr_and_missing_file_cleanly(capsys):
+    """-s uhd / a typo'd path used to die inside the daemon feed thread
+    (empty UI forever); now a clean rc-2 CLI error like modes_rx."""
+    from airmodes.apps.modes_gui import main as gui_main
+    assert gui_main(["-s", "uhd", "--backend", "curses",
+                     "--duration", "1.0"]) == 2
+    assert gui_main(["-s", "/no/such/capture.c64", "--backend", "curses",
+                     "--duration", "1.0"]) == 2

