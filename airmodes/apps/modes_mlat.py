@@ -63,6 +63,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    "solved positions on this port")
     p.add_argument("--max-seconds", type=float, default=None,
                    help="exit after this long (testing)")
+    p.add_argument("--max-solutions", type=int, default=None,
+                   help="exit after solving this many positions (one-shot "
+                   "fixes, testing)")
     return p
 
 
@@ -211,6 +214,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                         sbs.broadcast((lin + "\r\n").encode())
                 if web is not None and sol.icao is not None:
                     web_update(sol)
+            if args.max_solutions and n_solved >= args.max_solutions:
+                break
     except KeyboardInterrupt:
         pass
     finally:

@@ -409,7 +409,11 @@ def test_mlat_over_beastgps_feeds():
         argv = []
         for (lat, lon, alt), s in zip(stations, srvs):
             argv += ["-S", f"{lat},{lon},{alt}@beastgps://127.0.0.1:{s.port}"]
-        argv += ["--alt-datum", "ellipsoid", "--max-seconds", "15"]
+        # generous wall deadline + early exit on the first solution:
+        # a fixed short deadline flaked when the suite ran under CPU
+        # contention (connections + clock aging need wall time)
+        argv += ["--alt-datum", "ellipsoid", "--max-seconds", "60",
+                 "--max-solutions", "1"]
         with redirect_stdout(buf):
             rc = mlat_main(argv)
     finally:
@@ -588,8 +592,10 @@ def test_mlat_clock_sync_over_plain_beast_feeds():
         argv = []
         for (lat, lon, alt), s in zip(stations, srvs):
             argv += ["-S", f"{lat},{lon},{alt}@beast://127.0.0.1:{s.port}"]
+        # generous wall deadline + early exit after a few solutions:
+        # fixed short deadlines flake under full-suite CPU contention
         argv += ["--alt-datum", "ellipsoid", "--clock-sync",
-                 "--max-seconds", "25"]
+                 "--max-seconds", "90", "--max-solutions", "3"]
         with redirect_stdout(buf):
             rc = mlat_main(argv)
     finally:
