@@ -314,40 +314,26 @@ class mlat_coordinator:
         self._seen_t = {}   # hex -> first timestamp
         self._all_ns = {}   # hex -> every arrival carried the ns field
         self._since_prune = 0
-        # internal times are relative to this whole-second anchor: an
-        # absolute unix-magnitude float64 has ~238 ns ulp (~70 m of
-        # pseudorange), which would discard the ns wire extension's
-        # precision right after parsing it
-        self._tbase_ns = None
+        # internal times are epoch-relative (see mlat_net.epoch_timebase
+        # for the float64-precision rationale; shared with the correlator)
+        from .mlat_net import epoch_timebase
+        self._tb = epoch_timebase()
 
     def report(self, station: str, message: str):
         """Feed one wire message from a named station; returns a position
         (lat, lon, alt_m) when this message completes an observation set.
         Malformed messages are dropped (network input from remote
         receivers is untrusted; drop-and-continue)."""
-        parts = message.split()
-        if len(parts) < 6 or station not in self.stations:
+        # shared untrusted-input gate + epoch anchoring (mlat_net module;
+        # two hand-kept copies drifted twice before r4 extracted them)
+        from .mlat_net import parse_wire_obs
+        obs = parse_wire_obs(message)
+        if obs is None or station not in self.stations:
             return None
-        try:
-            hexframe, t = parts[1], float(parts[5])
-            int(hexframe, 16)
-            ns = int(parts[6]) if len(parts) > 6 else None
-        except ValueError:
-            return None
-        if len(hexframe) not in (14, 28):
-            # only 56/112-bit Mode S frames exist on the wire; any other
-            # length would hit layout extraction (negative shift counts)
-            # in _frame_altitude_ft — same guard as mlat_correlator.feed
-            return None
-        if self._tbase_ns is None and (ns is not None or math.isfinite(t)):
-            # anchor from ns when present — a non-finite float field must
-            # not block (or crash) an otherwise ns-grade message
-            base = ns if ns is not None else int(t) * 1_000_000_000
-            self._tbase_ns = base - base % 1_000_000_000
-        if ns is not None:       # ns extension: full counter precision
-            t = (ns - self._tbase_ns) * 1e-9
-        elif math.isfinite(t) and self._tbase_ns is not None:
-            t -= self._tbase_ns * 1e-9
+        hexframe, t_abs, ns = obs
+        # rel() anchors from ns when present — a non-finite float field
+        # must not block (or crash) an otherwise ns-grade message
+        t = self._tb.rel(t_abs, ns)
         if not math.isfinite(t):
             return None     # float('nan'/'inf') parses; NaN would sail
             # through every window/residual comparison (NaN > x is False)

@@ -26,6 +26,65 @@ from . import mlat as mlat_mod
 from .altitude import decode_alt
 from .fields import modes_reply
 
+def parse_wire_obs(message: str) -> Optional[Tuple[str, float, Optional[int]]]:
+    """Validate one wire message for TDOA use -> (hexframe, t_abs, ns)
+    or None. The SINGLE untrusted-input gate shared by
+    mlat_correlator.feed and mlat_coordinator.report (two hand-kept
+    copies drifted twice in r4 review: length guard, trailing-token
+    tolerance). Rejects: missing fields, non-numeric hex/timestamp,
+    impossible frame lengths. A junk 7th token degrades to ns=None (wire
+    convention: consumers accept >= 6 fields and ignore what they don't
+    understand). A non-finite t_abs is RETURNED, not rejected — the
+    callers differ deliberately (the coordinator accepts ns-grade
+    messages with a broken float field; the correlator drops them
+    because clock-sync mode re-parses the float into the CPR cache)."""
+    import math
+    parts = message.split()
+    if len(parts) < 6:
+        return None
+    try:
+        hexframe = parts[1]
+        int(hexframe, 16)
+        t_abs = float(parts[5])
+    except ValueError:
+        return None
+    try:
+        ns = int(parts[6]) if len(parts) > 6 else None
+    except ValueError:
+        ns = None
+    if len(hexframe) not in (14, 28):
+        # only 56/112-bit Mode S frames exist on the wire; other lengths
+        # would reach layout extraction (negative shift counts) in
+        # _frame_altitude_ft/_finish
+        return None
+    return hexframe, t_abs, ns
+
+
+class epoch_timebase:
+    """Whole-second epoch anchor converting wire times to SMALL relative
+    floats: a unix-magnitude float64 quantizes at ~238 ns (~70 m of
+    pseudorange), which would discard the int64-ns wire extension's
+    precision right after parsing it. Anchors on the first message
+    (from ns when present); shared by the correlator and coordinator."""
+
+    def __init__(self):
+        self.base_ns: Optional[int] = None
+
+    def rel(self, t_abs: float, ns: Optional[int]) -> float:
+        import math
+        if self.base_ns is None and (ns is not None or math.isfinite(t_abs)):
+            base = ns if ns is not None else int(t_abs) * 1_000_000_000
+            self.base_ns = base - base % 1_000_000_000
+        if ns is not None:
+            return (ns - self.base_ns) * 1e-9
+        if self.base_ns is not None and math.isfinite(t_abs):
+            return t_abs - self.base_ns * 1e-9
+        return t_abs    # non-finite (or pre-anchor): callers gate on it
+
+    def abs_(self, t_rel: float) -> float:
+        return t_rel + (self.base_ns or 0) * 1e-9
+
+
 # Same-frame arrival spread is bounded by the stations' light-travel
 # separation (~1 ms per 300 km) plus clock error; 10 ms covers any
 # realistic station network.
@@ -319,13 +378,9 @@ class mlat_correlator:
         # ~238 ns of timestamp quantization ~ 70 m of pseudorange/station)
         self._all_ns: Dict[str, bool] = {}
         self._icao_hint: Dict[str, int] = {}
-        # Internal arrival times are EPOCH-RELATIVE seconds against this
-        # whole-second anchor (set by the first message): absolute float64
-        # at unix magnitude quantizes to ~238 ns (~70 m of pseudorange),
-        # flooring TDOA accuracy. Messages carrying the int64-ns wire
-        # extension convert exactly ((ns - base) * 1e-9); plain float
-        # timestamps keep their wire quantization but stay consistent.
-        self._tbase_ns: Optional[int] = None
+        # Internal arrival times are EPOCH-RELATIVE seconds (see
+        # epoch_timebase for the float64-precision rationale)
+        self._tb = epoch_timebase()
         self.sync = clock_sync(self.stations) if clock_sync_enabled else None
         self._refpos: Dict[str, Tuple[float, float, float]] = {}
         if clock_sync_enabled:
@@ -349,39 +404,20 @@ class mlat_correlator:
         # untrusted network input (remote stations over zmq/TCP):
         # malformed messages drop, never crash the correlator — the same
         # drop-and-continue contract the coordinator documents
+        # (parse_wire_obs is the shared gate)
         import math
+        obs = parse_wire_obs(message)
+        if obs is None:
+            return []
+        hexframe, t_abs, ns = obs
         parts = message.split()
-        if len(parts) < 6:
-            return []
-        try:
-            hexframe = parts[1]
-            int(hexframe, 16)
-            t_abs = float(parts[5])
-        except ValueError:
-            return []
-        try:
-            # the 7th field is the OPTIONAL int64-ns extension; a feed
-            # appending some other trailing token must not lose the whole
-            # message (wire convention: consumers accept >= 6 fields and
-            # ignore what they don't understand)
-            ns = int(parts[6]) if len(parts) > 6 else None
-        except ValueError:
-            ns = None
         if not math.isfinite(t_abs):
             return []   # 'nan'/'inf' parses but poisons every window
             # comparison (NaN > x is False) downstream — and in clock-sync
             # mode the message is re-parsed into the shared CPR cache,
             # where a NaN timestamp corrupts pair-window/eviction checks
             # even when the ns field supplies the arrival time
-        if len(hexframe) not in (14, 28):
-            return []   # only 56/112-bit Mode S frames exist on the wire;
-            # other lengths would reach layout extraction (negative shift
-            # counts, fields ValueError) in _frame_altitude_ft/_finish
-        if self._tbase_ns is None:
-            base = ns if ns is not None else int(t_abs) * 1_000_000_000
-            self._tbase_ns = base - base % 1_000_000_000
-        t = ((ns - self._tbase_ns) * 1e-9 if ns is not None
-             else t_abs - self._tbase_ns * 1e-9)
+        t = self._tb.rel(t_abs, ns)
         # AP-overlaid DFs (0/4/5/16/20/21/24) carry the transmitter address
         # in the wire syndrome (status ADDR) — recover it so their TDOA
         # solutions are attributable, not anonymous
@@ -457,8 +493,8 @@ class mlat_correlator:
         are tbase-relative, so convert here; before r4 an absolute `now`
         only worked by accident (any far-future value flushed everything).
         """
-        if self._tbase_ns is not None:
-            now = now - self._tbase_ns * 1e-9
+        if self._tb.base_ns is not None:
+            now = now - self._tb.base_ns * 1e-9
         return self._flush_rel(now, force)
 
     def _flush_rel(self, now: float,
@@ -548,6 +584,6 @@ class mlat_correlator:
         icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
             else self._icao_hint.pop(hexframe, None)
         # report absolute time (internal times are tbase-relative)
-        t0_abs = t0 + (self._tbase_ns or 0) * 1e-9
+        t0_abs = self._tb.abs_(t0)
         return [MlatSolution(hexframe, icao, lat, lon, alt_m,
                              len(arr), t0_abs)]

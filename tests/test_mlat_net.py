@@ -772,3 +772,34 @@ def test_correlator_residual_bound_follows_wire_grade(monkeypatch):
         corr3.feed(i, msg)
     corr3.flush(now=ts[0] + 1.0)
     assert captured[-1] == 300.0
+
+
+def test_parse_wire_obs_shared_gate():
+    """The single shared untrusted-input gate + epoch anchor for the
+    correlator AND the coordinator (r4: two hand-kept copies drifted
+    twice — length guard, trailing-token tolerance)."""
+    import math
+    from airmodes.decode.mlat_net import epoch_timebase, parse_wire_obs
+    hx = "8d4840d6202cc371c32ce0576098"
+    hexframe, t, ns = parse_wire_obs(
+        f"17 {hx} 000000 0 -20.0 1700000000.5 123456789")
+    assert hexframe == hx and t == 1700000000.5 and ns == 123456789
+    assert parse_wire_obs("short") is None
+    assert parse_wire_obs("17 zznothex 000000 0 -20.0 1.0") is None
+    assert parse_wire_obs("4 a 000000 0 -3 1.0") is None     # bad length
+    # junk trailing token degrades to ns=None; the message is kept
+    assert parse_wire_obs(f"17 {hx} 000000 0 -20.0 1.0 junk")[2] is None
+    # non-finite float is RETURNED, not rejected: the coordinator keeps
+    # ns-grade messages with a broken float field, the correlator drops
+    # them (clock-sync re-parses the float into the CPR cache)
+    assert math.isnan(parse_wire_obs(f"17 {hx} 000000 0 -20.0 nan")[1])
+
+    tb = epoch_timebase()
+    ns0 = 1_700_000_000_123_456_789
+    r = tb.rel(ns0 * 1e-9, ns0)
+    # the absolute round trip is only float64-ulp-exact (~0.24 us at
+    # unix magnitude — the quantization the anchor exists to beat)
+    assert tb.abs_(r) == pytest.approx(ns0 * 1e-9, abs=1e-6)
+    # ns deltas survive exactly (the entire point of the anchor)
+    assert tb.rel(float("nan"), ns0 + 1000) - r == pytest.approx(1e-6,
+                                                                 abs=1e-12)
