@@ -929,3 +929,33 @@ def test_output_json_small_backward_jitter_throttled(tmp_path):
     assert out.n_writes == n0                   # throttled
     out.output(f"17 {f1:028x} 000000 0 -21.5 5.0")   # epoch step
     assert out.n_writes == n0 + 1
+
+
+def test_quaternion_math_properties():
+    """Direct unit coverage for the FlightGear orientation math (it was
+    only exercised incidentally through the MP packet test)."""
+    import math
+    from airmodes.outputs import quaternion as Q
+
+    def norm(q):
+        return math.sqrt(sum(c * c for c in q))
+
+    # unit quaternions in, unit quaternions out
+    for lat, lon, hdg in ((0, 0, 0), (47.0, 8.0, 135.0), (-34.0, 151.0, 270.0)):
+        q = Q.ecef_orientation(lat, lon, hdg)
+        assert abs(norm(q) - 1.0) < 1e-12
+    # multiply identity
+    e = (1.0, 0.0, 0.0, 0.0)
+    q = Q.from_euler(0.1, 0.2, 0.3)
+    assert Q.multiply(e, q) == pytest.approx(q)
+    assert Q.multiply(q, e) == pytest.approx(q)
+    # axis-angle roundtrip: angle of the angle-axis vector == input angle
+    q90 = Q.from_axis_angle((0, 0, 1), math.pi / 2)
+    ax = Q.to_angle_axis(q90)
+    assert math.sqrt(sum(c * c for c in ax)) == pytest.approx(math.pi / 2)
+    assert ax[2] == pytest.approx(math.pi / 2)  # still the z axis
+    # zero rotation -> zero vector (no div-by-zero)
+    assert Q.to_angle_axis((1.0, 0.0, 0.0, 0.0)) == (0.0, 0.0, 0.0)
+    # euler composition order: yaw-only equals z-axis rotation
+    assert Q.from_euler(0.0, 0.0, 0.7) == pytest.approx(
+        Q.from_axis_angle((0, 0, 1), 0.7))
