@@ -87,13 +87,10 @@ class output_wx:
         if rep.icao is None:
             return
         if rep.lat is not None:
-            if len(self._last_fix) > 4096:
-                # evict by fix AGE: an updated entry keeps its original
-                # dict insertion slot, so insertion-order "FIFO" would
-                # drop currently-active aircraft seconds after a fix
-                for k in sorted(self._last_fix,
-                                key=lambda k: self._last_fix[k][3])[:2048]:
-                    del self._last_fix[k]
+            # evict by fix AGE: an updated entry keeps its original dict
+            # insertion slot, so insertion-order "FIFO" would drop
+            # currently-active aircraft seconds after a fix
+            self._evict_stale(self._last_fix)
             self._last_fix[rep.icao] = (rep.lat, rep.lon, rep.altitude_ft,
                                         rep.timestamp)
         if not rep.commb:
@@ -114,19 +111,27 @@ class output_wx:
         self._write(json.dumps(rec))
         self.n_obs += 1
 
+    @staticmethod
+    def _evict_stale(d: dict) -> None:
+        """Bound a per-ICAO pairing dict by dropping the OLDEST half
+        (entries end with a timestamp). A blunt clear() also dropped
+        currently-active aircraft's pairing state, losing their next
+        wind observation."""
+        if len(d) > 4096:
+            for k in sorted(d, key=lambda k: d[k][-1])[:2048]:
+                del d[k]
+
     def _triangle(self, rep) -> dict:
         """Derived wind/SAT when this report completes a fresh 5,0+6,0
         pair for the aircraft."""
         f = rep.commb
         if rep.bds == "BDS5,0" and "track_deg" in f and \
                 "groundspeed_kt" in f and "tas_kt" in f:
-            if len(self._bds50) > 4096:
-                self._bds50.clear()
+            self._evict_stale(self._bds50)
             self._bds50[rep.icao] = (f["track_deg"], f["groundspeed_kt"],
                                      f["tas_kt"], rep.timestamp)
         elif rep.bds == "BDS6,0" and "mag_heading_deg" in f:
-            if len(self._bds60) > 4096:
-                self._bds60.clear()
+            self._evict_stale(self._bds60)
             self._bds60[rep.icao] = (f["mag_heading_deg"], f.get("mach"),
                                      rep.timestamp)
         else:
