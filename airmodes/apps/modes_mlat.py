@@ -200,8 +200,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 continue
             for sol in corr.feed(station, msg):
                 n_solved += 1
+                from ..decode.parse import format_icao
                 line = (f"mlat {sol.hexframe} "
-                        f"{'' if sol.icao is None else f'{sol.icao:06x}'} "
+                        f"{'' if sol.icao is None else format_icao(sol.icao)} "
                         f"({sol.lat:.5f}, {sol.lon:.5f}) alt {sol.alt_m:.0f} m"
                         f" from {sol.n_stations} stations "
                         f"[{sol.timestamp:.6f}]")

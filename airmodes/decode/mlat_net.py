@@ -583,6 +583,14 @@ class mlat_correlator:
         df = data >> (nbits - 5)
         icao = (data >> (nbits - 32)) & 0xFFFFFF if df in (11, 17, 18) \
             else self._icao_hint.pop(hexframe, None)
+        if icao is not None and df == 18 \
+                and (data >> (nbits - 8)) & 0x7 in (1, 5):
+            # DF18 CF=1/5 carry a non-ICAO address: namespace it like the
+            # parser does so downstream ICAO-keyed consumers (dashboard
+            # via modes_mlat --http, SBS) never collide it with a real
+            # aircraft
+            from ..constants import ANON_ICAO_BIT
+            icao |= ANON_ICAO_BIT
         # report absolute time (internal times are tbase-relative)
         t0_abs = self._tb.abs_(t0)
         return [MlatSolution(hexframe, icao, lat, lon, alt_m,

@@ -49,8 +49,10 @@ def sbs_position_line(icao: Optional[int], timestamp: float, alt_ft,
     f[1] = alt_ft
     f[4], f[5] = f"{lat:.5f}", f"{lon:.5f}"
     f[11] = "-1" if onground else "0"
+    from ..decode.parse import format_icao
     return _join_line(2 if onground else 3,
-                      "" if icao is None else f"{icao:06X}", d, t, f)
+                      "" if icao is None else format_icao(icao).upper(),
+                      d, t, f)
 
 
 def format_sbs1(rep: AircraftReport) -> Optional[str]:

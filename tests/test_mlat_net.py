@@ -803,3 +803,25 @@ def test_parse_wire_obs_shared_gate():
     # ns deltas survive exactly (the entire point of the anchor)
     assert tb.rel(float("nan"), ns0 + 1000) - r == pytest.approx(1e-6,
                                                                  abs=1e-12)
+
+
+def test_anon_df18_solution_keeps_anon_namespace():
+    """An mlat-solved DF18 CF=1 frame must carry the parser's anon-ICAO
+    namespacing so --http/SBS consumers never collide it with a real
+    aircraft (r4 review follow-up)."""
+    from airmodes.constants import ANON_ICAO_BIT
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    frame = encoder.df18_frame(0x4840D6,
+                               encoder.me_identification("ANONML"), cf=1)
+    ts = _arrivals(AIRCRAFT, STATIONS)
+    for i in range(4):
+        corr.feed(i, _wire(frame, 112, ts[i]))
+    sols = corr.flush(now=ts[0] + 1.0)
+    assert len(sols) == 1
+    assert sols[0].icao == (0x4840D6 | ANON_ICAO_BIT)
+    # plain DF17 stays un-namespaced
+    corr2 = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    f17 = encoder.df17_frame(0x4840D6, encoder.me_identification("REALML"))
+    for i in range(4):
+        corr2.feed(i, _wire(f17, 112, ts[i]))
+    assert corr2.flush(now=ts[0] + 1.0)[0].icao == 0x4840D6
