@@ -34,8 +34,12 @@ _MLAT_MASK = (1 << 48) - 1
 
 
 def signal_byte(ref_dbfs: float) -> int:
-    """dBFS reference level -> Beast amplitude byte (dump1090 convention)."""
-    sig = round(255.0 * 10.0 ** (ref_dbfs / 20.0))
+    """dBFS reference level -> Beast amplitude byte (dump1090 convention).
+
+    The input clamps BEFORE exponentiation: a hostile finite value like
+    1e30 dBFS would overflow float pow (found by wire fuzz); anything
+    >= 0 dBFS is full scale, anything <= -96 dB is byte 0 anyway."""
+    sig = round(255.0 * 10.0 ** (min(max(ref_dbfs, -200.0), 0.0) / 20.0))
     return max(0, min(255, sig))
 
 
@@ -76,10 +80,13 @@ def beast_encode(hexframe: str, ref_dbfs: float, timestamp: float,
     exact instead of float-quantized.
     """
     import math
-    if not (math.isfinite(ref_dbfs) and math.isfinite(timestamp)):
-        # 'nan'/'inf' parse as floats upstream, but would crash the
-        # counter/signal-byte int conversions below — drop, don't raise
-        # (the plugin's drop-and-continue contract)
+    if not (math.isfinite(ref_dbfs) and math.isfinite(timestamp)
+            and abs(timestamp) < 1e12):
+        # 'nan'/'inf' parse as floats upstream and would crash the
+        # counter/signal-byte int conversions below; so would a finite
+        # but absurd timestamp (1e308 * 12 MHz overflows float to inf
+        # before int() — found by wire fuzz). 1e12 s is ~30,000 years of
+        # unix time: anything beyond is garbage, drop, don't raise.
         return None
     try:
         payload = bytes.fromhex(hexframe)

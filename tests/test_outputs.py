@@ -959,3 +959,71 @@ def test_quaternion_math_properties():
     # euler composition order: yaw-only equals z-axis rotation
     assert Q.from_euler(0.0, 0.0, 0.7) == pytest.approx(
         Q.from_axis_angle((0, 0, 1), 0.7))
+
+
+def test_all_output_plugins_survive_wire_fuzz(tmp_path):
+    """Every output plugin's output() owns the drop-and-continue
+    contract: arbitrary hostile wire strings (and valid frames
+    interleaved) must never raise out of ANY sink. Codifies the r4
+    findings (beast NaN crash, sbs1 datetime overflow, parse
+    ValueError leaks) as a standing property across the whole tree."""
+    import random
+
+    from airmodes.outputs.az_map import output_az_map
+    from airmodes.outputs.beast import output_beast
+    from airmodes.outputs.flightgear import output_flightgear
+    from airmodes.outputs.gui_model import output_dashboard
+    from airmodes.outputs.json_out import output_json
+    from airmodes.outputs.msprint import output_print
+    from airmodes.outputs.raw_server import output_raw
+    from airmodes.outputs.sbs1 import output_sbs1
+    from airmodes.outputs.sql import output_sql
+    from airmodes.outputs.wx import output_wx
+
+    rng = random.Random(77)
+    good_frames = [
+        wire(encoder.df17_frame(0x4840D6,
+                                encoder.me_identification("FUZZOK")), 112),
+        POS_E, POS_O, VEL,
+        wire(encoder.df18_frame(0x123456,
+                                encoder.me_identification("FZB18"),
+                                cf=rng.randrange(8)), 112),
+    ]
+    hostile_tokens = ["nan", "inf", "-inf", "1e30", "-1e308", "zz", "-1",
+                      "99999999999999999999", "", "x" * 200, "0x10", "none"]
+
+    def mutate(msg):
+        parts = msg.split()
+        i = rng.randrange(len(parts))
+        parts[i] = rng.choice(hostile_tokens)
+        return " ".join(parts)
+
+    plugs = [
+        output_print(callback=lambda s: None),
+        output_sbs1(port=0, host="127.0.0.1"),
+        output_beast(port=0, host="127.0.0.1"),
+        output_raw(port=0, host="127.0.0.1"),
+        output_sql(str(tmp_path / "fz.db")),
+        output_json(str(tmp_path / "fz.json")),
+        output_wx(str(tmp_path / "fz.ndjson")),
+        output_dashboard(),
+        output_az_map(my_position=(47.0, 8.0)),
+        output_flightgear("127.0.0.1", 1),
+    ]
+    try:
+        for k in range(400):
+            r = rng.random()
+            if r < 0.3:
+                msg = rng.choice(good_frames)
+            elif r < 0.8:
+                msg = mutate(rng.choice(good_frames))
+            else:   # pure garbage line
+                msg = " ".join(rng.choice(hostile_tokens)
+                               for _ in range(rng.randrange(1, 9)))
+            for p in plugs:
+                p.output(msg)          # must NEVER raise
+    finally:
+        for p in plugs:
+            close = getattr(p, "close", None)
+            if close:
+                close()
