@@ -825,3 +825,49 @@ def test_anon_df18_solution_keeps_anon_namespace():
     for i in range(4):
         corr2.feed(i, _wire(f17, 112, ts[i]))
     assert corr2.flush(now=ts[0] + 1.0)[0].icao == 0x4840D6
+
+
+def test_mlat_consumers_survive_wire_fuzz():
+    """The correlator (plain + clock-sync) and coordinator must never
+    raise on hostile wire strings — same standing property as the
+    output-plugin fuzz (r4: crashes kept surfacing one consumer at a
+    time: negative shifts, layout ValueErrors, NaN poisoning)."""
+    import random
+
+    from airmodes.decode.mlat import mlat_coordinator
+
+    rng = random.Random(99)
+    frame = encoder.df17_frame(0x4840D6, encoder.me_airborne_position(
+        30000.0, 47.1, 8.2, odd=False))
+    good = _wire(frame, 112, 100.0)
+    hostile = ["nan", "inf", "1e30", "-1", "zz", "", "a", "x" * 300,
+               "99999999999999999999999", "0x10", "17", "8d"]
+
+    def mutate(msg):
+        parts = msg.split()
+        i = rng.randrange(len(parts))
+        parts[i] = rng.choice(hostile)
+        if rng.random() < 0.3:      # sometimes append a junk ns field
+            parts.append(rng.choice(hostile))
+        return " ".join(parts)
+
+    corr = mlat_correlator(STATIONS, alt_datum="ellipsoid")
+    corr_cs = mlat_correlator(STATIONS, alt_datum="ellipsoid",
+                              window_s=0.05, clock_sync_enabled=True)
+    coord = mlat_coordinator({f"st{i}": s for i, s in enumerate(STATIONS)})
+    for k in range(400):
+        r = rng.random()
+        if r < 0.2:
+            msg = good
+        elif r < 0.8:
+            msg = mutate(good)
+        else:
+            msg = " ".join(rng.choice(hostile)
+                           for _ in range(rng.randrange(1, 9)))
+        st = rng.randrange(4)
+        corr.feed(st, msg)          # must never raise
+        corr_cs.feed(st, msg)
+        coord.report(f"st{st}", msg)
+        coord.report("unknown", msg)
+    corr.flush(now=1e6, force=True)
+    corr_cs.flush(now=1e6, force=True)
