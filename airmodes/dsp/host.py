@@ -44,15 +44,19 @@ class BlockStats:
     #                     sample loss was VERDICT r3 weak #3)
 
 
-def quantize_planar_i8_np(iq: np.ndarray, gain: float):
-    """THE int8 quantization rule (numpy form): planar int8 I, Q =
+def quantize_i8_np(x: np.ndarray, gain: float) -> np.ndarray:
+    """THE int8 quantization rule, elementwise on any float layout:
     round(f32 * gain) clipped to +-127, np.round half-to-even. The
     native runtime (iqstream.cc quantize_i8 / iq_quantize_planar_i8)
     implements the identical rule in C; keep every Python-side
     quantizer on this one helper so the full_scale = gain/127 dBFS
     referencing can never drift between paths."""
-    return (np.clip(np.round(iq.real * gain), -127, 127).astype(np.int8),
-            np.clip(np.round(iq.imag * gain), -127, 127).astype(np.int8))
+    return np.clip(np.round(x * gain), -127, 127).astype(np.int8)
+
+
+def quantize_planar_i8_np(iq: np.ndarray, gain: float):
+    """Planar int8 (I, Q) view of quantize_i8_np for complex input."""
+    return quantize_i8_np(iq.real, gain), quantize_i8_np(iq.imag, gain)
 
 
 def _bits_to_int(bits: np.ndarray, nbits: int) -> int:

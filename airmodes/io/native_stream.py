@@ -93,6 +93,13 @@ class _PlanarSource:
         # SO_RCVTIMEO; close() shutdown()s the socket to unblock recv)
         from ..native import IQStream
         self.stream = IQStream(cfg, ring_samples=ring_samples)
+        if P < self.stream.total:
+            # P previously went unused here, implying validation that
+            # never happened — fail at construction instead of per-row
+            # (the C side rejects short rows with rc -2, but only after
+            # buffers were allocated and threads started)
+            raise ValueError(f"planar row length {P} < stream row "
+                             f"{self.stream.total}")
         if path is not None:
             self.stream.start_file(path, fmt=fmt,
                                    throttle_sps=throttle_sps,

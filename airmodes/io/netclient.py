@@ -299,6 +299,18 @@ class net_client:
                 # as "mlat" mode)
                 self.n_dropped += 1
                 return
+            sod, nanos = mlat >> 30, mlat & ((1 << 30) - 1)
+            if sod >= 86400 or nanos >= 1_000_000_000:
+                # impossible in the GPS layout ([sod:18][ns:30] with
+                # sod < 86400, ns < 1e9): an unlocked/misconfigured
+                # receiver (e.g. a classic free-running counter fed
+                # through a gps:// URL) produces counters outside the
+                # domain — NOT UTC-disciplined time, and mapping it
+                # anyway would enter the TDOA solve as trusted GPS-grade
+                # stamps. Drop and count, same rule as counter-less
+                # records.
+                self.n_dropped += 1
+                return
             ns = gps_counter_to_utc_ns(mlat, time.time())
             ts = ns * 1e-9
         wire = frame_to_wire(hexframe, ref_dbfs=dbfs, timestamp=ts,
@@ -474,9 +486,20 @@ def replay_file(path: str, fmt: str = "auto",
         if t0_ns is None:
             t0_ns = cns
         off_ns = cns - t0_ns + base_ns
-        if gps_time and off_ns - base_ns < -43200 * 1_000_000_000:
-            off_ns += 86400 * 1_000_000_000  # crossed UTC midnight
-        elif not gps_time and off_ns < prev_off - 1_000_000_000:
+        if gps_time:
+            # the sec-of-day counter wraps at UTC midnight: a regression
+            # vs the PREVIOUS frame (recordings are monotone to ~us, so
+            # > 1 s backwards is a wrap, not reordering) crossed a day
+            # boundary — accumulate WHOLE DAYS so multi-day recordings
+            # and > 12 h gaps stay monotone. (The old one-shot +-12 h
+            # patch vs the FIRST frame replayed a 13 h-later frame 11 h
+            # BEFORE the start and aliased days 2+ onto day one. A gap
+            # crossing midnight whose next-day sod exceeds the previous
+            # frame's sod is inherently undetectable from sod alone.)
+            while off_ns < prev_off - 1_000_000_000:
+                base_ns += 86400 * 1_000_000_000
+                off_ns += 86400 * 1_000_000_000
+        elif off_ns < prev_off - 1_000_000_000:
             # classic 12 MHz counter reset mid-recording (remote receiver
             # restarted) or 2^48 wrap: without re-anchoring, every later
             # frame lands up to ~271 days before the epoch and throttled

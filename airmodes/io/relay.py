@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import threading
 from collections import defaultdict
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 try:
     import zmq
@@ -74,8 +74,10 @@ class zmq_pubsub_iface:
         self._pubaddr = pubaddr
         self._local = local_pubsub()
         self._stop = threading.Event()
-        # topics whose zmq SUBSCRIBE the bridge thread has yet to apply
-        self._pending_topics: List[str] = []
+        # (subscribe?, topic) ops the bridge thread has yet to apply —
+        # zmq sockets are single-threaded, so SUBSCRIBE *and* UNSUBSCRIBE
+        # both queue here
+        self._pending_topics: List[Tuple[bool, str]] = []
         self._pending_lock = threading.Lock()
 
         self._pub = None
@@ -92,10 +94,17 @@ class zmq_pubsub_iface:
     def subscribe(self, topic: str, callback: Callable[[str], None]) -> None:
         self._local.subscribe(topic, callback)
         with self._pending_lock:
-            self._pending_topics.append(topic)
+            self._pending_topics.append((True, topic))
 
     def unsubscribe(self, topic: str, callback) -> None:
         self._local.unsubscribe(topic, callback)
+        # release the matching zmq-side subscription too: zmq refcounts
+        # filter entries, so pairing one UNSUBSCRIBE per subscribe()
+        # balances exactly — without it the publisher keeps shipping the
+        # topic over TCP forever (dropped-at-publisher is this class's
+        # whole point) and repeated cycles stack dead filter entries
+        with self._pending_lock:
+            self._pending_topics.append((False, topic))
 
     def publish(self, topic: str, msg: str) -> None:
         if self._pub is not None:
@@ -129,8 +138,9 @@ class zmq_pubsub_iface:
         while not self._stop.is_set():
             with self._pending_lock:
                 pending, self._pending_topics = self._pending_topics, []
-            for t in pending:
-                sub.setsockopt(zmq.SUBSCRIBE, t.encode())
+            for is_sub, t in pending:
+                sub.setsockopt(zmq.SUBSCRIBE if is_sub else zmq.UNSUBSCRIBE,
+                               t.encode())
             try:
                 if not dict(poller.poll(timeout=100)):
                     continue

@@ -106,7 +106,9 @@ def _dev_layout(block, quantize_i8: bool):
     if quantize_i8 and x.dtype == np.float32:
         peak = float(np.max(np.abs(x))) or 1.0
         gain = 120.0 / peak
-        x = np.clip(np.round(x * gain), -127, 127).astype(np.int8)
+        # the ONE quantization rule (dsp/host.py) — an inline copy here
+        # could silently drift from the native/pod paths' dBFS reference
+        x = host_mod.quantize_i8_np(x, gain)
         fs = gain / 127.0
     return x, fs
 
@@ -175,11 +177,11 @@ def run_pipelined(
             if len(inflight) > depth:
                 yield from drain_one()
     if acc:
-        # quantize the pad block ONCE and reuse (each to_dev_layout pass
-        # re-scans/quantizes the full block — r4 review)
-        pad_dev = to_dev_layout(acc[-1][0])
-        devs = [to_dev_layout(b) for b, _ in acc] + \
-               [pad_dev] * (batch - len(acc))
+        # pad with the last real block's ALREADY-converted form: a
+        # separate to_dev_layout(acc[-1]) call re-scanned + re-quantized
+        # the full block a second time (r4 review)
+        devs = [to_dev_layout(b) for b, _ in acc]
+        devs += [devs[-1]] * (batch - len(acc))
         xb = np.stack([d for d, _ in devs])
         inflight.append((step(xb, cfg), [s for _, s in acc],
                          [f for _, f in devs], len(acc)))

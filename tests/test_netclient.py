@@ -760,3 +760,84 @@ def test_zmq_pubaddr_only_local_subscribers_fire():
     iface.publish("dl_data", "hello")
     iface.close()
     assert got == ["hello"]
+
+
+def test_replay_gps_long_gap_and_multiday(tmp_path):
+    """GPS sec-of-day replay must stay monotone across gaps > 12 h and
+    across MULTIPLE midnights: the old one-shot +-12 h patch (relative
+    to the first frame) replayed a 13 h-later frame 11 h BEFORE the
+    start and aliased days 2+ onto day one (r4 io review, repro'd)."""
+    from airmodes.io.netclient import replay_file
+    from airmodes.outputs.beast import beast_encode
+    day = 1_700_006_400.0 - (1_700_006_400.0 % 86400.0)
+    times = [day + 23 * 3600.0,            # 23:00 day 0
+             day + 23 * 3600.0 + 10.0,
+             day + 86400.0 + 12 * 3600.0,  # 12:00 day 1 (13 h gap)
+             day + 86400.0 + 12 * 3600.0 + 10.0,
+             day + 2 * 86400.0 + 1 * 3600.0]   # 01:00 day 2
+    blob = b"".join(beast_encode(DF17_HEX, -15.0, t, gps_time=True)
+                    for t in times)
+    p = tmp_path / "multiday.beastgps"
+    p.write_bytes(blob)
+    offs = [off for _, off in replay_file(str(p), fmt="beast",
+                                          gps_time=True, epoch=0.0)]
+    want = [t - times[0] for t in times]
+    assert offs == pytest.approx(want, abs=1e-6), offs
+
+
+def test_net_client_gps_rejects_out_of_layout_counters():
+    """A counter outside the GPS layout's domain (sod >= 86400 or
+    ns >= 1e9 — an unlocked/misconfigured receiver) must be dropped and
+    counted, not mapped to a plausible UTC time and fed to mlat as
+    GPS-grade (r4 io review)."""
+    from airmodes.io.netclient import net_client
+    got = []
+    cli = net_client("127.0.0.1", 1, got.append, fmt="beast",
+                     timestamps="gps")
+    bad_sod = (100_000 << 30) | 5        # sod 100000 > 86399
+    bad_ns = (100 << 30) | 1_073_000_000  # ns part >= 1e9
+    good = (100 << 30) | 5
+    n0 = cli.n_dropped
+    cli._emit(DF17_HEX, 0x40, bad_sod)
+    cli._emit(DF17_HEX, 0x40, bad_ns)
+    assert cli.n_dropped == n0 + 2 and got == []
+    cli._emit(DF17_HEX, 0x40, good)
+    assert len(got) == 1 and cli.n_dropped == n0 + 2
+
+
+def test_zmq_unsubscribe_releases_publisher_side():
+    """unsubscribe() must queue a zmq UNSUBSCRIBE (not only remove the
+    local callback): the class's design drops unwanted topics at the
+    PUBLISHER, and the old code kept shipping them over TCP forever
+    (r4 io review). Re-subscribing must restore delivery (both op kinds
+    flow through the bridge thread)."""
+    from airmodes.io.relay import zmq_pubsub_iface, HAVE_ZMQ
+    if not HAVE_ZMQ:
+        pytest.skip("pyzmq unavailable")
+    import zmq as zmq_mod
+    pub = zmq_pubsub_iface(pubaddr="tcp://127.0.0.1:*")
+    addr = pub._pub.getsockopt(zmq_mod.LAST_ENDPOINT).decode()
+    sub = zmq_pubsub_iface(subaddr=addr)
+    got = []
+    cb = got.append
+    sub.subscribe("t1", cb)
+    deadline = time.time() + 5
+    while not got and time.time() < deadline:
+        pub.publish("t1", "hello")
+        time.sleep(0.05)
+    assert got
+    sub.unsubscribe("t1", cb)
+    time.sleep(0.3)                      # bridge applies the UNSUBSCRIBE
+    n = len(got)
+    for _ in range(5):
+        pub.publish("t1", "gone")
+        time.sleep(0.05)
+    assert len(got) == n                 # nothing delivered post-unsub
+    sub.subscribe("t1", cb)              # resubscribe restores delivery
+    deadline = time.time() + 5
+    while len(got) == n and time.time() < deadline:
+        pub.publish("t1", "back")
+        time.sleep(0.05)
+    assert len(got) > n and got[-1] == "back"
+    sub.close()
+    pub.close()
