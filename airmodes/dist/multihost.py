@@ -50,6 +50,15 @@ def initialize(coordinator_address: Optional[str] = None,
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    process_id=process_id)
+    elif (len(os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+          or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ):
+        # MULTI-worker Cloud TPU pod slice: coordination comes from TPU
+        # metadata that jax.distributed.initialize() only discovers when
+        # actually CALLED — without this branch a pod host silently ran
+        # single-process (local-only mesh, N-fold duplicate decode).
+        # Gated on >1 worker: single-host dev environments legitimately
+        # set TPU_WORKER_HOSTNAMES=localhost and need no coordination.
+        jax.distributed.initialize()
 
 
 @dataclasses.dataclass
@@ -266,8 +275,9 @@ class PodPipeline:
                 return self.step3_fn(pv[0], pv[1], cu[0], cu[1],
                                      nx[0], nx[1])
         else:
-            def conv(x):
-                return np.stack([x.real, x.imag], axis=-1).astype(np.float32)
+            from ..dsp.pipeline import iq_to_device_layout as conv
+            # zero-copy complex64 -> (..., 2) float32 view (run_step uses
+            # the same helper; the stack+astype it replaced copied twice)
 
             def ship(step):
                 return sharded.shard_input(step, self.mesh)
@@ -375,7 +385,11 @@ def scaling_report(cfg: DspConfig, meshes: Sequence[Tuple[int, int]],
         rate = n_ch * total / dt
         entry = {"mesh": (n_ch, n_t), "devices": n_dev,
                  "samples_per_s": rate, "per_device": rate / n_dev}
-        ref = out[0] if out else entry
+        # efficiency vs a caller-provided baseline (e.g. a real-TPU
+        # per_device figure from a previous run) or, absent one, vs the
+        # first mesh of THIS sweep — `baseline` used to be accepted and
+        # silently ignored
+        ref = baseline or (out[0] if out else entry)
         entry["efficiency"] = entry["per_device"] / ref["per_device"]
         out.append(entry)
     return out

@@ -300,8 +300,20 @@ def resample(x: jax.Array, p: int, q: int, taps_per_phase: int = 12) -> jax.Arra
         else:
             yc = _resample_cols(xc.T, p, q, taps_per_phase).T
         return (yc[0] + 1j * yc[1]).astype(x.dtype)
-    if x.ndim == 2 and x.shape[-1] == 2:
-        return _resample2(x, p, q, taps_per_phase)
+    if x.ndim == 2:
+        if x.shape[-1] == 2:
+            return _resample2(x, p, q, taps_per_phase)
+        # a (2, N) planar stream (or any other 2-D layout) used to fall
+        # through to the 1-D path and crash deep inside _resample_groups
+        # with an unrelated unpack error — fail AT the misuse, with the
+        # right API named
+        raise ValueError(
+            f"resample() takes 1-D complex, (N, 2) I/Q, or 1-D real "
+            f"input; got shape {x.shape} — for planar (2, N) streams "
+            f"use the planar/streaming entry points")
+    if x.ndim != 1:
+        raise ValueError(f"resample() input must be 1-D or (N, 2), got "
+                         f"shape {x.shape}")
     return _resample2(x[:, None], p, q, taps_per_phase)[:, 0]
 
 
@@ -364,7 +376,12 @@ class streaming_resampler:
         self._reset()
 
     def _reset(self):
-        self._pending = np.zeros(0, np.complex64)
+        # list-of-parts pending buffer: concatenating per push() is
+        # O(buffered) per chunk — the same write-amplification pattern
+        # r4 fixed in PodPipeline.run_stream (~stride/(2*chunk) x extra
+        # copying for UDP-sized chunks)
+        self._pending_parts: list = []
+        self._pending_n = 0
         self._left = np.zeros(self.hist, np.complex64)
         self._stride_idx = 0
         self._n_in = 0                            # real samples pushed
@@ -373,11 +390,18 @@ class streaming_resampler:
     def push(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x, np.complex64)
         self._n_in += len(x)
-        self._pending = np.concatenate([self._pending, x])
+        if len(x):
+            self._pending_parts.append(x)
+            self._pending_n += len(x)
+        if self._pending_n < self.stride:
+            return np.zeros(0, np.complex64)
+        buf = (self._pending_parts[0] if len(self._pending_parts) == 1
+               else np.concatenate(self._pending_parts))
         outs = []
-        while len(self._pending) >= self.stride:
-            chunk = self._pending[: self.stride]
-            self._pending = self._pending[self.stride:]
+        off = 0
+        while len(buf) - off >= self.stride:
+            chunk = buf[off: off + self.stride]
+            off += self.stride
             block = np.ascontiguousarray(
                 np.concatenate([self._left, chunk]))
             block2 = block.view(np.float32).reshape(-1, 2)
@@ -388,11 +412,12 @@ class streaming_resampler:
             outs.append(y)
             self._left = chunk[-self.hist:]
             self._stride_idx += 1
-        if outs:
-            y = np.concatenate(outs)
-            self._n_emitted += len(y)
-            return y
-        return np.zeros(0, np.complex64)
+        rem = buf[off:]
+        self._pending_parts = [rem] if len(rem) else []
+        self._pending_n = len(rem)
+        y = np.concatenate(outs)
+        self._n_emitted += len(y)
+        return y
 
     def flush(self) -> np.ndarray:
         """End the stream: emit exactly the remaining output samples.
@@ -407,7 +432,7 @@ class streaming_resampler:
         if target <= 0:
             self._reset()
             return np.zeros(0, np.complex64)
-        pad = 2 * self.stride - len(self._pending)
+        pad = 2 * self.stride - self._pending_n
         n_real = self._n_in
         y = self.push(np.zeros(pad, np.complex64))[:target]
         assert len(y) == target, (len(y), target, n_real)

@@ -198,3 +198,23 @@ def test_pod_stream_many_tiny_chunks():
         got |= {m.split()[1] for m in msgs}
     want = {t.hex for t in truth}
     assert want <= got, want - got
+
+
+def test_initialize_calls_jax_distributed_on_pod_metadata(monkeypatch):
+    """A Cloud TPU pod slice without JAX_COORDINATOR_ADDRESS coordinates
+    via TPU metadata that jax.distributed.initialize() only discovers
+    when CALLED — the no-arg fallback must fire there too (r4 review:
+    each pod host silently ran single-process)."""
+    import jax
+    from airmodes.dist import multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append((a, k)))
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    multihost.initialize()              # single worker: stays a no-op
+    assert calls == []
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1")
+    multihost.initialize()
+    assert len(calls) == 1              # metadata auto-config engaged

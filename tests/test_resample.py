@@ -161,3 +161,43 @@ def test_antialias_attenuation_decimation_ratios():
         cut = 1.0 / max(p, q) / 2
         worst = 20 * np.log10(H[w > 1.5 * cut].max() + 1e-12)
         assert worst < -50.0, f"p={p} q={q}: {worst:.1f} dB"
+
+
+def test_streaming_resampler_tiny_chunks_match_bulk():
+    """push() in UDP-sized chunks must emit exactly the same stream as
+    one bulk push (pins the r4 list-of-parts pending buffer rewrite)."""
+    import numpy as np
+    from airmodes.resample.polyphase import streaming_resampler
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    a = streaming_resampler(2, 3)
+    bulk = np.concatenate([a.push(x), a.flush()])
+    b = streaming_resampler(2, 3)
+    outs = []
+    i = 0
+    while i < n:     # ragged small chunks incl. empties
+        step = [0, 1, 977, 1024, 4096][i % 5]
+        outs.append(b.push(x[i: i + step]))
+        i += step if step else 1
+        if step == 0:
+            outs.append(b.push(x[i - 1: i]))
+    outs.append(b.flush())
+    tiny = np.concatenate(outs)
+    np.testing.assert_array_equal(bulk, tiny)
+
+
+def test_resample_rejects_planar_2d_layout():
+    """A (2, N) planar array used to crash deep inside the group matmul
+    with an unrelated unpack error; now a clear shape error at the
+    misuse site (r4 review)."""
+    import numpy as np
+    import pytest
+    from airmodes.resample.polyphase import resample
+
+    with pytest.raises(ValueError, match="planar"):
+        resample(np.zeros((2, 1024), np.float32), 2, 3)
+    with pytest.raises(ValueError, match="1-D"):
+        resample(np.zeros((4, 4, 4), np.float32), 2, 3)
