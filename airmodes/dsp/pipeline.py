@@ -224,12 +224,25 @@ def compact_detections(mask: jax.Array, max_detections: int,
 
     g = score.reshape(-1, group)
     vals, idx = jax.lax.top_k(g, per_group)                    # (G, J)
-    base = (jnp.arange(g.shape[0], dtype=jnp.int32) * group)[:, None]
     cand_val = vals.reshape(-1)
-    cand_idx = (idx.astype(jnp.int32) + base).reshape(-1)
     v2, i2 = jax.lax.top_k(cand_val, max_detections)
     valid = v2 > 0
-    det_idx = jnp.where(valid, cand_idx[i2], -1)
+    # selection via HIGHEST-precision onehot dots, NOT cand_idx[i2]:
+    # (K,)-indexed gathers lower to sequential ~2.5 us/element loops on
+    # TPU (CLAUDE.md). Within-group index and group number recombine in
+    # int32 so block sizes past 2^24 samples stay exact in f32.
+    sel = (i2[:, None] == jnp.arange(cand_val.shape[0],
+                                     dtype=jnp.int32)[None, :]
+           ).astype(jnp.float32)
+    gnum = jnp.broadcast_to(
+        jnp.arange(g.shape[0], dtype=jnp.float32)[:, None],
+        idx.shape).reshape(-1)
+    w_sel = jnp.round(jnp.matmul(
+        sel, idx.astype(jnp.float32).reshape(-1),
+        precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+    g_sel = jnp.round(jnp.matmul(
+        sel, gnum, precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+    det_idx = jnp.where(valid, g_sel * group + w_sel, -1)
     overflow = n_det - jnp.sum(valid.astype(jnp.int32))
     return det_idx, valid, n_det, overflow
 

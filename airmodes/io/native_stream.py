@@ -56,7 +56,7 @@ def _planar_step(cfg: DspConfig):
     """(name, step(xi, xq) -> packed (B, K+1, 9), planar length P)."""
     import jax
 
-    if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
+    if jax.default_backend() == "tpu" and _pallas_ok(cfg):
         from ..kernels.preamble_pallas import (
             demod_batch_packed_planar_jit, planar_length)
         return ("pallas-planar-i8",

@@ -19,11 +19,14 @@ from ..dsp import host as host_mod
 from ..dsp.pipeline import iq_to_device_layout, unpack_table
 
 
-def _pallas_ok(cfg: DspConfig, tile: int = 16384) -> bool:
-    """Whether the Pallas kernels' static constraints hold for this cfg —
-    checked HERE (the kernels raise rather than silently falling back)."""
-    return (cfg.noise_window == 128 and cfg.block_size % tile == 0
-            and 14 * cfg.sps < 128)
+def _pallas_ok(cfg: DspConfig) -> bool:
+    """Whether the planar Pallas path supports this cfg — resolved from
+    the kernels' OWN predicate (supported_planar_tile) so this gate can
+    never drift from the constraints it mirrors (r4 review: a
+    hand-copied inline version re-implemented noise_window/alignment
+    rules here)."""
+    from ..kernels.preamble_pallas import supported_planar_tile
+    return supported_planar_tile(cfg) is not None
 
 
 def _default_step(cfg: DspConfig):
@@ -47,7 +50,7 @@ def _default_step(cfg: DspConfig):
 def _batch_step(cfg: DspConfig):
     """Fastest available BATCHED (leading-axis) packed demod step."""
     import jax
-    if jax.default_backend() == "tpu" and _pallas_ok(cfg, tile=4096):
+    if jax.default_backend() == "tpu" and _pallas_ok(cfg):
         from ..kernels.preamble_pallas import (
             demod_batch_packed_fast_jit, demod_batch_packed_planar_jit,
             supported_2d_tile, to_planar_i8)

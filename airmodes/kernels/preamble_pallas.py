@@ -126,8 +126,13 @@ def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):
     slice_bits + CRC/ECC -> DetectionTable (one block)."""
     from ..dsp import pipeline as P
 
-    # short stream-tail inputs: pad like dsp.pipeline.demod_block does, so
-    # the bit gathers near the block end read zeros instead of clamping
+    # INTENTIONAL contract divergence from dsp.pipeline.demod_block,
+    # which REJECTS short inputs with a ValueError: the Pallas entry
+    # points zero-pad instead, because their callers hand over
+    # 128-row-aligned planar buffers whose final block legitimately
+    # falls a few samples short of the full halo geometry. An unframed
+    # short capture therefore decodes a zero tail here (silently) where
+    # the XLA path raises — framed sources never hit that case.
     need = cfg.left_halo + cfg.block_size + cfg.right_halo
     if iq_c.shape[0] < need:
         iq_c = jnp.pad(iq_c, ((0, need - iq_c.shape[0]), (0, 0)))
@@ -847,6 +852,21 @@ def default_tile(cfg: DspConfig) -> int:
         "the planar Pallas path needs 4096-aligned tiles")
 
 
+def supported_planar_tile(cfg: DspConfig):
+    """Largest tile the planar-int8 kernels support for cfg, or None —
+    the planar twin of supported_2d_tile: THE gate io.stream /
+    io.native_stream consult before picking the planar path, living
+    next to default_tile so the constraints can never drift from the
+    asserts they mirror (r4 review: hand-copied gates admitted cfgs
+    the kernels then rejected)."""
+    if cfg.noise_window != 128 or 14 * cfg.sps >= 128:
+        return None
+    try:
+        return default_tile(cfg)
+    except ValueError:
+        return None
+
+
 def cand_capacity(tile: int):
     """(per_tile, per_lane) candidate capacity for a tile size.
 
@@ -1178,9 +1198,7 @@ def compact_candidates(cands, cfg: DspConfig, tile: int,
     rows_o = -(-per_tile // 128)
     ec = cands[:, 0:rows_o, :].reshape(tiles, rows_o * 128)[:, :per_tile]
     count = cands[:, _COUNT_ROW, :]                     # (tiles, 128)
-    tbase = (jnp.arange(tiles, dtype=jnp.int32) * tile)[:, None]
     valid_in = ec < sent
-    flat_idx = (tbase + ec).reshape(-1)
     vflat = valid_in.reshape(-1)
     csum = jnp.cumsum(vflat.astype(jnp.int32))
     total = csum[-1]
@@ -1189,10 +1207,22 @@ def compact_candidates(cands, cfg: DspConfig, tile: int,
     rank = jnp.where(vflat, csum - 1, -1)               # invalid never match
     onehot = (kk[:, None] == rank[None, :]).astype(jnp.float32)
     # HIGHEST: TPU's default f32 matmul truncates operands to bf16, which
-    # would mangle index values > 2^8; 3-pass bf16 keeps exact f32 products
-    det_idx = jnp.round(
-        jnp.matmul(onehot, flat_idx.astype(jnp.float32),
+    # would mangle index values > 2^8; 3-pass bf16 keeps exact f32 products.
+    # The WITHIN-TILE index and the tile number are selected separately
+    # and recombined in int32: a single flat-index matmul computes in f32,
+    # where integers above 2^24 round to even — block_size > 16M would
+    # silently corrupt every detection past sample 2^24 (the unordered
+    # path already recombines post-matmul for the same reason).
+    assert tile <= 1 << 24 and tiles <= 1 << 24
+    tnum = jnp.broadcast_to(
+        jnp.arange(tiles, dtype=jnp.float32)[:, None], ec.shape).reshape(-1)
+    ec_sel = jnp.round(
+        jnp.matmul(onehot, ec.reshape(-1).astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+    t_sel = jnp.round(
+        jnp.matmul(onehot, tnum,
+                   precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+    det_idx = t_sel * tile + ec_sel
     valid = kk < jnp.minimum(total, K)
     det_idx = jnp.where(valid, det_idx, -1)
     n_det = jnp.sum(count)

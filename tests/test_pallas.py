@@ -599,3 +599,47 @@ def test_to_planar_i8_rejects_float():
                  np.float32)
     with pytest.raises(TypeError, match="int8"):
         to_planar_i8(x, cfg)
+
+
+def test_compact_candidates_exact_past_2pow24():
+    """Ordered compaction selects within-tile index and tile number
+    separately and recombines in int32: a single flat-index f32 matmul
+    rounds integers above 2^24 to even, silently shifting detections
+    past sample 16.7M (r4 review). Discriminating case: a candidate at
+    an ODD flat index > 2^24."""
+    from airmodes.kernels.preamble_pallas import (_extract_cands,
+                                                  compact_candidates)
+    tile, trows = 131072, 1024
+    tiles = 384                           # block = 384 * 131072 = 3 * 2^24
+    cfg = DspConfig(block_size=tiles * tile, max_detections=8)
+    # two candidates: one early, one far past 2^24 at an odd sample
+    keep_t200 = np.zeros((trows, 128), bool)
+    keep_t200[700, 33] = True             # flat = 200*131072 + 700*128 + 33
+    cands = np.zeros((tiles, 8, 128), np.int32)
+    c0 = np.asarray(_extract_cands(jax.numpy.asarray(
+        np.zeros((trows, 128), bool)), trows))
+    cands[:] = c0
+    cands[200] = np.asarray(_extract_cands(
+        jax.numpy.asarray(keep_t200), trows))
+    det_idx, valid, n_det, ovf = map(np.asarray, compact_candidates(
+        jax.numpy.asarray(cands), cfg, tile))
+    want = 200 * tile + 700 * 128 + 33    # 26 303 521 > 2^24, odd
+    assert want > (1 << 24) and want % 2 == 1
+    got = det_idx[valid.astype(bool)].tolist()
+    assert got == [want], (got, want)
+
+
+def test_compact_detections_exact_past_2pow24():
+    """The XLA grouped compaction has the same f32-exactness hazard in
+    its selection matmuls; verify an odd detection index past 2^24
+    survives exactly."""
+    from airmodes.dsp.pipeline import compact_detections
+    n = 3 * (1 << 24)                     # 50M samples
+    pos = (1 << 24) + 12345679            # odd, > 2^24
+    mask = np.zeros(n, bool)
+    mask[1000] = True
+    mask[pos] = True
+    det_idx, valid, n_det, ovf = map(np.asarray, compact_detections(
+        jax.numpy.asarray(mask), 4))
+    got = det_idx[valid.astype(bool)].tolist()
+    assert got == [1000, pos], got
