@@ -149,11 +149,13 @@ class IQStream:
                 f"block_size {self.block} < left_halo {self.left}: "
                 "unsupported framer geometry")
         if ring_samples is None:
-            # the framer needs block+right buffered to emit one block; a
-            # fixed 2^24 default would hang forever (next_block returns 0,
-            # "ring too small") for block sizes past it. +1M slack keeps
-            # the pump ahead; the C side rounds up to a power of two.
-            ring_samples = max(1 << 24, self.total + (1 << 20))
+            # size follows the FRAME (4 frames of pump-ahead, >= 2^22
+            # floor for UDP burst absorption = 2.1 s at 2 Msps): a fixed
+            # 2^24 default allocated 128 MiB of ring per channel
+            # regardless of block size (1 GiB for an 8-channel run) and
+            # would hang ("ring too small") past 2^24-sample blocks
+            # anyway. The C side rounds up to a power of two.
+            ring_samples = max(4 * self.total, 1 << 22)
         elif ring_samples < self.block + self.right:
             raise ValueError(
                 f"ring_samples {ring_samples} < block+right_halo "
@@ -199,6 +201,12 @@ class IQStream:
                                            float(timeout_s))
         if rc == -5:
             raise OSError("stream already started")
+        if rc == -3:
+            # the C side fails loudly on non-numeric hosts (inet_pton);
+            # folding it into "cannot bind" hid the actual problem
+            raise OSError(f"udp host {host!r} is not a numeric IPv4 "
+                          "address (hostnames are not resolved here — "
+                          "use e.g. 127.0.0.1 or 0.0.0.0)")
         if rc != 0:
             raise OSError(f"cannot bind udp {host}:{port}")
 

@@ -76,17 +76,6 @@ void ring_write(Ring& r, const float* src, uint64_t n) {
   r.head.store(h + n, std::memory_order_release);
 }
 
-// Copy n samples from the ring at tail into dst (caller checked avail).
-void ring_read(Ring& r, float* dst, uint64_t n) {
-  uint64_t t = r.tail.load(std::memory_order_relaxed);
-  uint64_t idx = t & r.mask();
-  uint64_t first = std::min(n, r.capacity - idx);
-  std::memcpy(dst, r.data + 2 * idx, first * 2 * sizeof(float));
-  if (n > first)
-    std::memcpy(dst + 2 * first, r.data, (n - first) * 2 * sizeof(float));
-  r.tail.store(t + n, std::memory_order_release);
-}
-
 // --- SDR wire-format converters (hot loops, auto-vectorized) ---------------
 
 void convert_uc8(const uint8_t* in, float* out, uint64_t n_samples) {
@@ -101,15 +90,20 @@ void convert_sc16(const int16_t* in, float* out, uint64_t n_samples) {
     out[i] = static_cast<float>(in[i]) * k;
 }
 
+// THE int8 quantization rule, ONE helper for every native quantize loop
+// (mirrors dsp/host.py quantize_i8_np: clamp to +-127, half-to-even
+// nearbyintf = np.round; four hand-copied bodies used to carry this —
+// a drifting copy breaks the cross-path dBFS/bit-exactness contract)
+inline int8_t quant_i8(float v) {
+  v = v > 127.f ? 127.f : (v < -127.f ? -127.f : v);
+  return static_cast<int8_t>(std::nearbyintf(v));
+}
+
 // f32 pairs -> int8 pairs (quantized device transfer format)
 void quantize_i8(const float* in, int8_t* out, uint64_t n_samples,
                  float scale) {
-  for (uint64_t i = 0; i < 2 * n_samples; ++i) {
-    float v = in[i] * scale;
-    v = v > 127.f ? 127.f : (v < -127.f ? -127.f : v);
-    out[i] = static_cast<int8_t>(std::nearbyintf(v));  // half-to-even,
-    // matching numpy np.round in the Python quantize path
-  }
+  for (uint64_t i = 0; i < 2 * n_samples; ++i)
+    out[i] = quant_i8(in[i] * scale);
 }
 
 // Write up to n samples into the ring without drop accounting; returns
@@ -187,7 +181,19 @@ uint64_t iq_stream_push_sc16(void* h, const int16_t* raw, uint64_t n) {
 }
 
 void iq_stream_set_eof(void* h) {
-  static_cast<Stream*>(h)->ring.eof.store(true);
+  auto* s = static_cast<Stream*>(h);
+  // end the PRODUCER before marking eof: the consumer's EOF zero-pad
+  // writes into the ring, and the SPSC invariant allows exactly one
+  // writer — a pump still running would race it (lost head advances,
+  // interleaved zeros/samples, corrupt frames). Self-join guard: the
+  // file pump sets ring.eof directly, but a callback on the pump
+  // thread calling this API must not deadlock.
+  s->stop.store(true);
+  if (s->sock_fd >= 0) ::shutdown(s->sock_fd, SHUT_RDWR);
+  if (s->pump.joinable() &&
+      s->pump.get_id() != std::this_thread::get_id())
+    s->pump.join();
+  s->ring.eof.store(true);
 }
 
 uint64_t iq_stream_dropped(void* h) {
@@ -205,12 +211,8 @@ int iq_stream_rcvbuf(void* h) {
 void iq_quantize_planar_i8(const float* iq, int8_t* out_i, int8_t* out_q,
                            uint64_t n_samples, float scale) {
   for (uint64_t i = 0; i < n_samples; ++i) {
-    float vi = iq[2 * i] * scale;
-    float vq = iq[2 * i + 1] * scale;
-    vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
-    vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
-    out_i[i] = static_cast<int8_t>(std::nearbyintf(vi));  // half-to-even,
-    out_q[i] = static_cast<int8_t>(std::nearbyintf(vq));  // = np.round
+    out_i[i] = quant_i8(iq[2 * i] * scale);
+    out_q[i] = quant_i8(iq[2 * i + 1] * scale);
   }
 }
 
@@ -273,7 +275,18 @@ int iq_stream_start_file(void* h, const char* path, int format,
         auto target = t0 + std::chrono::duration_cast<
             std::chrono::steady_clock::duration>(
             std::chrono::duration<double>(sent / throttle_sps));
-        std::this_thread::sleep_until(target);
+        // sleep in <=50 ms slices so stop (close()/destroy) interrupts
+        // promptly: one uninterruptible sleep is CHUNK/throttle_sps
+        // seconds (many seconds at low replay rates)
+        while (!s->stop.load()) {
+          auto now = std::chrono::steady_clock::now();
+          if (now >= target) break;
+          auto rem = target - now;
+          auto slice = std::chrono::duration_cast<
+              std::chrono::steady_clock::duration>(
+              std::chrono::milliseconds(50));
+          std::this_thread::sleep_for(rem < slice ? rem : slice);
+        }
       }
     }
     std::fclose(f);
@@ -293,8 +306,10 @@ int iq_stream_start_udp(void* h, const char* host, int port,
   if (s->pump.joinable()) return -5;   // already started (see start_file)
   int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return -1;
-  int one = 1;
-  ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  // NO SO_REUSEADDR: on UDP it lets a second process silently bind the
+  // same port and steal the stream (the first instance then "times out"
+  // with zero errors anywhere); a duplicate bind must fail loudly with
+  // EADDRINUSE, matching the pure-Python udp_source
   // absorb bursts while the consumer compiles / catches up: losses the
   // kernel takes here are invisible to the app, so make them rare and let
   // the ring's counted drop policy be the overrun authority
@@ -444,12 +459,8 @@ int iq_stream_next_block_planar_i8(void* h, int8_t* out_i, int8_t* out_q,
   int rc = iq_stream_next_block(h, buf, start_sample);
   if (rc != 1) return rc;
   for (uint64_t i = 0; i < total; ++i) {
-    float vi = buf[2 * i] * scale;
-    float vq = buf[2 * i + 1] * scale;
-    vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
-    vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
-    out_i[i] = static_cast<int8_t>(std::nearbyintf(vi));  // half-to-even
-    out_q[i] = static_cast<int8_t>(std::nearbyintf(vq));
+    out_i[i] = quant_i8(buf[2 * i] * scale);
+    out_q[i] = quant_i8(buf[2 * i + 1] * scale);
   }
   std::memset(out_i + total, 0, out_len - total);
   std::memset(out_q + total, 0, out_len - total);
@@ -478,12 +489,8 @@ int iq_stream_next_block_planar_agc(void* h, int8_t* out_i, int8_t* out_q,
   if (peak == 0.f) peak = 1.f;
   const float g = target / peak;
   for (uint64_t i = 0; i < total; ++i) {
-    float vi = buf[2 * i] * g;
-    float vq = buf[2 * i + 1] * g;
-    vi = vi > 127.f ? 127.f : (vi < -127.f ? -127.f : vi);
-    vq = vq > 127.f ? 127.f : (vq < -127.f ? -127.f : vq);
-    out_i[i] = static_cast<int8_t>(std::nearbyintf(vi));  // half-to-even
-    out_q[i] = static_cast<int8_t>(std::nearbyintf(vq));
+    out_i[i] = quant_i8(buf[2 * i] * g);
+    out_q[i] = quant_i8(buf[2 * i + 1] * g);
   }
   std::memset(out_i + total, 0, out_len - total);
   std::memset(out_q + total, 0, out_len - total);

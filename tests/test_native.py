@@ -554,3 +554,74 @@ def test_quantize_planar_i8_bit_exact():
             i8, np.clip(np.round(x.real * gain), -127, 127).astype(np.int8))
         np.testing.assert_array_equal(
             q8, np.clip(np.round(x.imag * gain), -127, 127).astype(np.int8))
+
+
+def test_udp_duplicate_bind_fails_loudly():
+    """No SO_REUSEADDR on the UDP socket: a second process binding the
+    same port used to silently steal the stream while the first timed
+    out as a normal EOF (r4 native review)."""
+    from airmodes.native import IQStream
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    a = IQStream(cfg)
+    a.start_udp("127.0.0.1", 0 or 47831)
+    b = IQStream(cfg)
+    try:
+        with pytest.raises(OSError):
+            b.start_udp("127.0.0.1", 47831)
+    finally:
+        b.close()
+        a.close()
+
+
+def test_udp_hostname_gets_clear_error():
+    from airmodes.native import IQStream
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    st = IQStream(cfg)
+    try:
+        with pytest.raises(OSError, match="numeric IPv4"):
+            st.start_udp("localhost", 47832)
+    finally:
+        st.close()
+
+
+def test_set_eof_stops_live_udp_pump():
+    """set_eof() on a live UDP stream must stop the producer BEFORE the
+    consumer's EOF zero-pad writes the ring (SPSC single-writer; r4
+    native review) — and the stream must then terminate cleanly."""
+    import socket
+    import numpy as np
+    from airmodes.native import IQStream
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    st = IQStream(cfg)
+    st.start_udp("127.0.0.1", 47833, timeout_s=30.0)
+    snd = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    raw = np.zeros(2048, np.complex64).tobytes()
+    for _ in range(4):
+        snd.sendto(raw, ("127.0.0.1", 47833))
+    snd.close()
+    time.sleep(0.3)
+    st.set_eof()                     # stops + joins the pump internally
+    t0 = time.time()
+    blocks = list(st.blocks())       # padded tail, then termination
+    assert time.time() - t0 < 5.0    # not the 30 s socket timeout
+    st.close()
+    assert len(blocks) >= 1
+
+
+def test_throttled_close_is_prompt():
+    """close() during a slow throttled replay must interrupt the pacing
+    sleep (it used to block CHUNK/throttle_sps seconds — r4 review)."""
+    import numpy as np
+    from airmodes.native import IQStream
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    iq = np.zeros(1 << 18, np.complex64)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "throttle.c64")
+    iq.tofile(p)
+    st = IQStream(cfg)
+    st.start_file(p, throttle_sps=20_000.0)   # 65536-chunk pace = 3.3 s
+    time.sleep(0.3)                           # pump inside the pacing sleep
+    t0 = time.time()
+    st.close()
+    assert time.time() - t0 < 1.0
