@@ -149,13 +149,16 @@ class IQStream:
                 f"block_size {self.block} < left_halo {self.left}: "
                 "unsupported framer geometry")
         if ring_samples is None:
-            # size follows the FRAME (4 frames of pump-ahead, >= 2^22
-            # floor for UDP burst absorption = 2.1 s at 2 Msps): a fixed
-            # 2^24 default allocated 128 MiB of ring per channel
-            # regardless of block size (1 GiB for an 8-channel run) and
-            # would hang ("ring too small") past 2^24-sample blocks
-            # anyway. The C side rounds up to a power of two.
-            ring_samples = max(4 * self.total, 1 << 22)
+            # size follows the FRAME (2 frames of pump-ahead, >= 2^22
+            # floor for UDP burst absorption = 2.1 s at 2 Msps; the C
+            # side's round-up to a power of two adds >= 2x headroom on
+            # top): a fixed 2^24 default allocated 128 MiB of ring per
+            # channel regardless of block size (1 GiB for an 8-channel
+            # run) and would hang ("ring too small") past 2^24-sample
+            # blocks anyway. 2x (not 4x): at the common 2^22-sample
+            # block, 4x total crosses 2^24 and the round-up DOUBLES the
+            # allocation the old default made.
+            ring_samples = max(2 * self.total, 1 << 22)
         elif ring_samples < self.block + self.right:
             raise ValueError(
                 f"ring_samples {ring_samples} < block+right_halo "
