@@ -295,7 +295,9 @@ def make_sharded_demod_planar_ctx(mesh: Mesh, cfg: DspConfig,
 
 
 def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
-                                p: int, q: int, taps_per_phase: int = 12):
+                                p: int, q: int, taps_per_phase: int = 12,
+                                planar: bool = False, tile: int = None,
+                                interpret: bool = None):
     """Fused resample + demod in ONE sharded XLA program.
 
     For SDR captures at rate != channel_rate the single-chip CLI runs the
@@ -304,30 +306,30 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
     round-trip through HBM-visible intermediates or the host:
 
       raw-rate shard --ppermute 128q-group halos--> group-matmul resample
-        --ppermute demod halos (resampled domain)--> demod_block
+        --on-device int8 quantize--> ppermute demod halos (int8 planar,
+        1 byte/sample/stream) --> planar Pallas demod
 
-    fn(iq): global float32 (n_channels, n_time * raw_block, 2) at the RAW
-    rate, sharded P("channel", "time", None), where raw_block =
-    cfg.block_size * q / p (must be an integer multiple of 128q — i.e.
-    cfg.block_size a multiple of 128p). Detection indices are global in
-    the RESAMPLED (channel-rate) domain, matching what a host-side
-    resample-then-demod produces.
+    planar=True selects the production planar-int8 Pallas kernel (r4 #1:
+    the demod_block fallback runs ~350x below it — gathers lower
+    sequentially on TPU); the default False keeps the f32 XLA path.
+    EXPLICIT, not backend-auto: planar changes the returned arity (gain
+    argument), so an environment-dependent default would break callers.
+
+    Planar: fn(iq, gain) — gain is the int8 quantization gain (traced
+    scalar, dsp/host.quantize_i8_np rule; report dBFS with full_scale =
+    gain/127). f32: fn(iq). Either way iq is global float32
+    (n_channels, n_time * raw_block, 2) at the RAW rate, sharded
+    P("channel", "time", None), where raw_block = cfg.block_size * q / p
+    (must be an integer multiple of 128q — i.e. cfg.block_size a multiple
+    of 128p). Detection indices are global in the RESAMPLED (channel-rate)
+    domain, matching what a host-side resample-then-demod produces.
     """
-    from ..resample.polyphase import (_GROUP_PQ_CAP, _to_interleaved,
-                                      _to_planar, resample_groups_halo)
+    from ..resample.fused import quantize_i8, raw_geometry
+    from ..resample.polyphase import (_to_interleaved, _to_planar,
+                                      resample_groups_halo)
 
     gi = 128 * q
-    raw_block = cfg.block_size * q // p
-    if raw_block * p != cfg.block_size * q or raw_block % gi:
-        raise ValueError(
-            f"block_size {cfg.block_size} not compatible with p/q={p}/{q}: "
-            f"needs block_size % {128 * p} == 0")
-    if p * q > _GROUP_PQ_CAP:
-        raise ValueError(
-            f"p/q={p}/{q}: group matrices would be {p * q // _GROUP_PQ_CAP}x "
-            f"over the {_GROUP_PQ_CAP} cap — resample on the host instead "
-            "(rational_rate with a smaller max_denominator usually suffices)")
-
+    raw_geometry(cfg, p, q)        # validates block alignment + pq cap
     left, right = cfg.left_halo, cfg.right_halo
     on_tpu = jax.default_backend() == "tpu"
 
@@ -340,21 +342,54 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
     def to_interleaved(yc):
         return _to_interleaved(yc) if on_tpu else yc.T
 
-    def shard_fn(iq_shard):
-        # (C_loc, raw_block, 2) f32 at the raw rate
+    def resample_shard(iq_shard):
+        # (C_loc, raw_block, 2) f32 at the raw rate -> (C_loc, 2, block)
         padded = _exchange_halos(iq_shard, gi, gi)       # resample halos
         c_loc = padded.shape[0]
         xc = jax.vmap(to_planar)(padded).reshape(2 * c_loc, -1)
         yc = resample_groups_halo(xc, p, q, taps_per_phase)
-        y = jax.vmap(to_interleaved)(yc.reshape(c_loc, 2, -1))
-        y = _exchange_halos(y, left, right)              # demod halos
-        table = jax.vmap(lambda x: demod_block(x, cfg))(y)
+        return yc.reshape(c_loc, 2, -1)
+
+    if not planar:
+        def shard_fn(iq_shard):
+            y = jax.vmap(to_interleaved)(resample_shard(iq_shard))
+            y = _exchange_halos(y, left, right)          # demod halos
+            table = jax.vmap(lambda x: demod_block(x, cfg))(y)
+            table = _globalize(table, cfg.block_size)
+            return jax.tree.map(lambda a: a[:, None], table)
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=P("channel", "time", None),
+            out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        )
+        return jax.jit(fn)
+
+    from ..kernels.preamble_pallas import (default_tile, demod_batch_planar,
+                                           planar_length)
+    if tile is None:
+        tile = default_tile(cfg)
+    if interpret is None:
+        interpret = not on_tpu
+    plen = planar_length(cfg, tile)
+
+    def shard_fn_planar(iq_shard, gain):
+        y8 = quantize_i8(resample_shard(iq_shard), gain)  # (C, 2, block) i8
+        xi = _exchange_halos(y8[:, 0], left, right)       # int8 ICI halos
+        xq = _exchange_halos(y8[:, 1], left, right)
+        pad = plen - xi.shape[1]
+        xi = jnp.pad(xi, ((0, 0), (0, pad)))
+        xq = jnp.pad(xq, ((0, 0), (0, pad)))
+        table = demod_batch_planar(xi, xq, cfg, tile=tile,
+                                   interpret=interpret)
         table = _globalize(table, cfg.block_size)
         return jax.tree.map(lambda a: a[:, None], table)
 
     fn = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=P("channel", "time", None),
+        shard_fn_planar, mesh=mesh,
+        in_specs=(P("channel", "time", None), P()),
         out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        # pallas_call outputs don't carry vma metadata; skip the check
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -56,13 +56,21 @@ class buffered_framer:
     per block (measured 12.9 Msps on 4M blocks, the single biggest cost
     of the modes_rx product path; this form measures memcpy-bound)."""
 
-    def __init__(self, cfg: DspConfig, start_sample: int = 0):
-        if cfg.block_size < cfg.left_halo:
+    def __init__(self, cfg: DspConfig, start_sample: int = 0,
+                 geometry=None):
+        """geometry=(left, block, right) overrides cfg's halo geometry —
+        used by the fused resample path to frame RAW-rate windows
+        (io/stream.run_resampled_fused; the raw halos come from
+        resample.fused.raw_geometry, not cfg)."""
+        left, block, right = geometry or (cfg.left_halo, cfg.block_size,
+                                          cfg.right_halo)
+        if block < left:
             raise ValueError(
-                f"block_size {cfg.block_size} < left_halo {cfg.left_halo}: "
+                f"block_size {block} < left_halo {left}: "
                 "the inter-block carry needs a full halo of owned samples")
         self.cfg = cfg
-        self._carry = np.zeros(cfg.left_halo, dtype=np.complex64)
+        self._geom = (left, block, right)
+        self._carry = np.zeros(left, dtype=np.complex64)
         self._chunks: list = []
         self._have = 0
         self._next_start = start_sample
@@ -88,8 +96,7 @@ class buffered_framer:
                 n = 0
 
     def push(self, samples: np.ndarray) -> Iterator[Block]:
-        cfg = self.cfg
-        left, n, right = cfg.left_halo, cfg.block_size, cfg.right_halo
+        left, n, right = self._geom
         if len(samples):
             self._chunks.append(np.asarray(samples, dtype=np.complex64))
             self._have += len(samples)
@@ -111,8 +118,7 @@ class buffered_framer:
         right_halo - 1 trailing samples only ever seen as someone's right
         halo — frames there would be silently lost (the native
         iqstream.cc EOF path loops the same way)."""
-        cfg = self.cfg
-        left, n, right = cfg.left_halo, cfg.block_size, cfg.right_halo
+        left, n, right = self._geom
         while self._have > 0:
             m = min(self._have, n + right)
             block = np.zeros(left + n + right, dtype=np.complex64)

@@ -116,6 +116,47 @@ def _dev_layout(block, quantize_i8: bool):
     return x, fs
 
 
+def _make_drain(cfg, epoch, stats, on_messages, batched: bool):
+    """Entry drainer shared by the pipelined runners: entry =
+    (dispatched packed table, starts, full_scales, n_real) -> per-block
+    wire-message lists (padding rows beyond n_real dropped)."""
+    def drain(entry):
+        packed, starts, scales, n_real = entry
+        arr = np.asarray(packed)
+        out = []
+        for j in range(n_real):
+            table = unpack_table(arr[j] if batched else arr)
+            msgs = host_mod.table_to_messages(
+                table, starts[j], cfg.channel_rate, epoch=epoch,
+                stats=stats, full_scale=scales[j])
+            if on_messages:
+                on_messages(msgs)
+            out.append(msgs)
+        return out
+    return drain
+
+
+def _pump(items, batch: int, depth: int, dispatch, drain):
+    """Shared batching pump (one copy of the fill/pad/inflight logic —
+    two hand-kept copies of exactly this code diverged in r4):
+    group `batch` items per dispatch(group) (a trailing partial group is
+    the dispatcher's to pad; its entry carries n_real so the drain drops
+    padding), keep `depth` dispatched entries in flight, drain in order."""
+    inflight: deque = deque()
+    acc: List = []
+    for item in items:
+        acc.append(item)
+        if len(acc) == batch:
+            inflight.append(dispatch(acc))
+            acc = []
+            if len(inflight) > depth:
+                yield from drain(inflight.popleft())
+    if acc:
+        inflight.append(dispatch(acc))
+    while inflight:
+        yield from drain(inflight.popleft())
+
+
 def run_pipelined(
     blocks: Iterable[Tuple[np.ndarray, int]],
     cfg: DspConfig,
@@ -139,57 +180,108 @@ def run_pipelined(
     if batch > 1 and step is None:
         step = _batch_step(cfg)
     step = step or _default_step(cfg)
-    inflight: deque = deque()
 
     def to_dev_layout(block):
         return _dev_layout(block, quantize_i8)
 
-    def drain_one():
-        packed, starts, scales, n_real = inflight.popleft()
-        arr = np.asarray(packed)
-        out = []
-        for j in range(n_real):
-            table = unpack_table(arr[j] if batch > 1 else arr)
-            msgs = host_mod.table_to_messages(
-                table, starts[j], cfg.channel_rate, epoch=epoch, stats=stats,
-                full_scale=scales[j])
-            if on_messages:
-                on_messages(msgs)
-            out.append(msgs)
-        return out
+    drain = _make_drain(cfg, epoch, stats, on_messages, batched=batch > 1)
 
     if batch == 1:
-        for block, start in blocks:
+        def dispatch1(acc):
+            (block, start), = acc
             x, fs = to_dev_layout(block)
-            inflight.append((step(x, cfg), [start], [fs], 1))
-            if len(inflight) > depth:
-                yield from drain_one()
-        while inflight:
-            yield from drain_one()
+            return (step(x, cfg), [start], [fs], 1)
+        yield from _pump(blocks, 1, depth, dispatch1, drain)
         return
 
-    acc: List[Tuple[np.ndarray, int]] = []
-    for item in blocks:
-        acc.append(item)
-        if len(acc) == batch:
-            devs = [to_dev_layout(b) for b, _ in acc]
-            xb = np.stack([d for d, _ in devs])
-            inflight.append((step(xb, cfg), [s for _, s in acc],
-                             [f for _, f in devs], batch))
-            acc = []
-            if len(inflight) > depth:
-                yield from drain_one()
-    if acc:
-        # pad with the last real block's ALREADY-converted form: a
-        # separate to_dev_layout(acc[-1]) call re-scanned + re-quantized
-        # the full block a second time (r4 review)
+    def dispatch(acc):
+        # pad a partial batch with the last block's ALREADY-converted
+        # form: a separate to_dev_layout(acc[-1]) call re-scanned +
+        # re-quantized the full block a second time (r4 review)
         devs = [to_dev_layout(b) for b, _ in acc]
         devs += [devs[-1]] * (batch - len(acc))
         xb = np.stack([d for d, _ in devs])
-        inflight.append((step(xb, cfg), [s for _, s in acc],
-                         [f for _, f in devs], len(acc)))
-    while inflight:
-        yield from drain_one()
+        return (step(xb, cfg), [s for _, s in acc],
+                [f for _, f in devs], len(acc))
+
+    yield from _pump(blocks, batch, depth, dispatch, drain)
+
+
+def run_resampled_fused(
+    path: str,
+    cfg: DspConfig,
+    *,
+    dtype: str,
+    rate_in: float,
+    start_sample: int = 0,
+    epoch: float = 0.0,
+    stats: Optional[host_mod.BlockStats] = None,
+    depth: int = 2,
+    batch: int = 1,
+    scale: Optional[float] = None,
+    max_blocks: Optional[int] = None,
+    on_messages: Optional[Callable[[List[str]], None]] = None,
+) -> Iterator[List[str]]:
+    """Single-chip resampled product path with the PRODUCTION kernel.
+
+    Frames the capture into RAW-rate windows (resample.fused.raw_geometry)
+    and runs resample -> int8 quantize -> planar Pallas demod as ONE
+    jitted program per batch (VERDICT r4 #1: the host-resample +
+    demod_block route left the resampled front-end ~350x below the
+    planar kernel). Per-window AGC gain (120/peak, or `scale` fixed)
+    ships as a traced vector, so one compile covers every block.
+    Yields the wire-message list per block, in stream order.
+    (Ref: the reference's resampler insertion, python/radio.py:~150.)
+    """
+    import jax
+    from ..resample.fused import raw_geometry, resample_demod_packed_planar_jit
+    from ..resample.polyphase import rational_rate
+    from ..io import sources as src_mod
+
+    import itertools
+
+    p_up, q_dn = rational_rate(rate_in, cfg.channel_rate)
+    raw_left, raw_block, raw_right = raw_geometry(cfg, p_up, q_dn)[:3]
+    interpret = jax.default_backend() != "tpu"
+    if start_sample % p_up:
+        # the raw-domain equivalent of start_sample must be an integer
+        # raw sample: flooring a fractional seek shifts the resampler
+        # grid sub-sample vs the reported counters (~83 ns of permanent
+        # timestamp skew at 4 Msps — poison for the ns-grade mlat wire).
+        # Snap DOWN to the nearest aligned resume point instead.
+        start_sample -= start_sample % p_up
+    in_skip = start_sample * q_dn // p_up
+    # framer counts RAW samples from the seek point (start 0); dispatch
+    # converts k*raw_block -> start_sample + k*block (channel rate)
+    framer = src_mod.buffered_framer(
+        cfg, start_sample=0, geometry=(raw_left, raw_block, raw_right))
+
+    def windows():
+        for chunk in src_mod.raw_file_chunks(path, dtype=dtype,
+                                             offset_samples=in_skip):
+            yield from framer.push(chunk)
+        yield from framer.flush()
+
+    def dispatch(acc):
+        n_real = len(acc)
+        acc = acc + [acc[-1]] * (batch - n_real)   # pad a partial batch;
+        x = np.stack([iq_to_device_layout(w) for w, _ in acc])
+        if scale is not None:
+            gains = np.full(batch, scale, np.float32)
+        else:
+            peaks = np.max(np.abs(x), axis=(1, 2))
+            gains = (120.0 / np.where(peaks > 0, peaks, 1.0)
+                     ).astype(np.float32)
+        # start counters are CHANNEL-rate samples (the framer counts raw
+        # samples from the raw seek point): start_sample + k * block
+        return (resample_demod_packed_planar_jit(
+                    x, gains, cfg, p_up, q_dn, interpret=interpret),
+                [start_sample + s * p_up // q_dn for _, s in acc],
+                [float(g) / 127.0 for g in gains], n_real)
+
+    drain = _make_drain(cfg, epoch, stats, on_messages, batched=True)
+    items = itertools.islice(windows(), max_blocks)
+    yield from _pump(items, batch, depth, dispatch, drain)
 
 
 def run_channels(

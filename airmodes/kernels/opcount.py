@@ -158,7 +158,17 @@ if __name__ == "__main__":
 
     cfg = DspConfig(block_size=1 << 22, max_detections=256)
     ops = detect_ops_per_sample(cfg)
+    # per-sps entries (VERDICT r4 #4): the kernel costs more per sample
+    # at sps > 1 (chip-energy integration + quiet offsets span 16*sps
+    # samples); pinning each supported rate's count lets bench derive
+    # utilization at the 10 Msps (sps=5) operating point too
+    per_sps = {}
+    for rate in (2e6, 4e6, 10e6):
+        c = DspConfig(channel_rate=rate, block_size=1 << 22,
+                      max_detections=256)
+        per_sps[str(c.sps)] = round(detect_ops_per_sample(c), 3)
     out = {"vpu_ops_per_sample": round(ops, 3),
+           "per_sps": per_sps,
            "cfg": {"block_size": cfg.block_size, "sps": cfg.sps,
                    "mxu_window_sum": cfg.mxu_window_sum},
            "method": "jaxpr elementwise-op count of the per-tile kernel "

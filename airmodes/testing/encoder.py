@@ -344,6 +344,74 @@ def make_capture(
     return iq, truth
 
 
+def frame_icao(frame: int, nbits: int) -> int:
+    """Transmitter address of an encoded frame: the AA field for
+    DF11/17/18, parity-overlay recovery otherwise (a clean AP frame's
+    syndrome IS the interrogated address — crc.py module docstring)."""
+    from ..crc import check_frame
+    df = frame >> (nbits - 5)
+    if df in (11, 17, 18):
+        return (frame >> (nbits - 32)) & 0xFFFFFF
+    return check_frame(frame, nbits)
+
+
+def random_mixed_frames(n: int, seed: int = 0) -> List[Tuple[int, int]]:
+    """Mixed live-traffic frame set (VERDICT r4 #3): ~60% DF17 plus every
+    other supported downlink format — DF11 (PI, clean-syndrome
+    acceptance), DF0/4/5 (56-bit length dispatch + AP-overlay address
+    recovery), DF16/20/21/24 (112-bit AP-overlay) — so the bench
+    exercises the slicer's DF->length dispatch and per-DF CRC acceptance
+    on the real chip, like the reference's de-facto mixed-traffic replay
+    (SURVEY §4; lib/slicer_impl.cc:~120 DF dispatch)."""
+    from ..decode.altitude import encode_alt_q
+    rng = np.random.default_rng(seed + 7)
+    df17 = random_df17_frames(n, seed=seed)
+
+    def rbits(b: int) -> int:
+        # rng.integers caps at int64; compose wide MB/MV/MD fields
+        v = 0
+        for _ in range(0, b, 32):
+            v = (v << 32) | int(rng.integers(0, 1 << 32))
+        return v & ((1 << b) - 1)
+
+    out: List[Tuple[int, int]] = []
+    for i in range(n):
+        icao = int(rng.integers(0, 1 << 24))
+        ac13 = encode_alt_q(float(rng.integers(40, 1600) * 25))
+        id13 = int(rng.integers(0, 1 << 13)) & 0x1F7F   # M bit clear
+        k = i % 10
+        if k < 6:
+            out.append(df17[i])
+        elif k == 6:
+            out.append((df11_frame(icao, interrogator=int(
+                rng.integers(0, 16))), SHORT_FRAME_BITS))
+        elif k == 7:
+            out.append((df4_frame(icao, ac13), SHORT_FRAME_BITS)
+                       if i % 20 == 7 else
+                       (df0_frame(icao, ac13), SHORT_FRAME_BITS))
+        elif k == 8:
+            out.append((df5_frame(icao, id13), SHORT_FRAME_BITS)
+                       if i % 20 == 8 else
+                       (df16_frame(icao, ac13,
+                                   mv=rbits(56)),
+                        MAX_FRAME_BITS))
+        else:
+            r = i % 30
+            if r == 9:
+                out.append((df20_frame(icao, ac13,
+                                       mb=rbits(56)),
+                            MAX_FRAME_BITS))
+            elif r == 19:
+                out.append((df21_frame(icao, id13,
+                                       mb=rbits(56)),
+                            MAX_FRAME_BITS))
+            else:
+                out.append((df24_frame(icao, int(rng.integers(0, 16)),
+                                       rbits(80)),
+                            MAX_FRAME_BITS))
+    return out
+
+
 def random_df17_frames(n: int, seed: int = 0) -> List[Tuple[int, int]]:
     """n random-but-valid DF17 airborne-position/ident/velocity frames."""
     rng = np.random.default_rng(seed)

@@ -50,9 +50,14 @@ if _deadline > 0:
 def build_capture(cfg, n_blocks: int, msg_rate_hz: float = 100.0, seed: int = 0):
     """Synthetic capture with a realistic message density (~100 msg/s).
 
-    Blocks ship as PLANAR int8 I and Q streams — the SDR's native
-    quantization (4x less host->device traffic than float32) in the layout
-    the traffic-minimal kernel DMAs directly; the device rescales.
+    MIXED traffic (VERDICT r4 #3): ~60% DF17 plus DF0/4/5/11/16/20/21/24,
+    so the 56-bit length dispatch, DF11 II acceptance, and AP-overlay
+    recovery run under bench/real-chip conditions every round (the
+    reference's de-facto integration test was mixed live traffic,
+    SURVEY §4). Blocks ship as PLANAR int8 I and Q streams — the SDR's
+    native quantization (4x less host->device traffic than float32) in
+    the layout the traffic-minimal kernel DMAs directly; the device
+    rescales.
     """
     from airmodes.testing import encoder
     from airmodes.io import sources
@@ -62,7 +67,7 @@ def build_capture(cfg, n_blocks: int, msg_rate_hz: float = 100.0, seed: int = 0)
     total = n_blocks * cfg.block_size
     duration_s = total / cfg.channel_rate
     n_msgs = max(int(duration_s * msg_rate_hz), 8)
-    frames = encoder.random_df17_frames(n_msgs, seed=seed)
+    frames = encoder.random_mixed_frames(n_msgs, seed=seed)
     spacing = total // n_msgs
     iq, truth = encoder.make_capture(
         frames, rate=cfg.channel_rate, snr_db=15.0, spacing=spacing,
@@ -134,19 +139,20 @@ def jnp_stack_iq(a, b):
 
 
 def write_uc8_capture(cfg, path: str, n_blocks: int, seed: int = 1):
-    """Write a uc8 (rtl-sdr byte format) capture with known traffic;
-    returns the injected ICAO set."""
+    """Write a uc8 (rtl-sdr byte format) capture with known MIXED traffic
+    (r5: every supported DF, like build_capture); returns the injected
+    ICAO set (AP-overlay addresses recovered via encoder.frame_icao)."""
     from airmodes.testing import encoder
 
     icaos = set()
     with open(path, "wb") as f:
         for b in range(n_blocks):
-            frames = encoder.random_df17_frames(13, seed=seed * 1000 + b)
+            frames = encoder.random_mixed_frames(13, seed=seed * 1000 + b)
             iq, truth = encoder.make_capture(
                 frames, rate=cfg.channel_rate, snr_db=18.0,
                 spacing=cfg.block_size // 14, seed=seed * 1000 + b,
                 total_samples=cfg.block_size)
-            icaos |= {(t.frame >> 80) & 0xFFFFFF for t in truth}
+            icaos |= {encoder.frame_icao(t.frame, t.nbits) for t in truth}
             peak = float(np.max(np.abs(iq))) or 1.0
             x = iq / peak * 0.9
             u = np.empty(2 * cfg.block_size, np.uint8)
@@ -154,6 +160,40 @@ def write_uc8_capture(cfg, path: str, n_blocks: int, seed: int = 1):
             u[1::2] = np.round(x.imag * 127.5 + 127.5).astype(np.uint8)
             u.tofile(f)
     return icaos
+
+
+def bench_parse_fanout(cfg, msgs, density_msgs_per_msample: float):
+    """Host decode-fanout ceiling (VERDICT r4 weak #6 / #5): wire strings
+    through the full parse + CPR stack, relay-free. Returns
+    (msgs_per_s, ceiling_msps): the second converts the message rate to
+    an equivalent samples/s ceiling AT BENCH TRAFFIC DENSITY, so the
+    product-claim min() can carry a parse term — at the device's ~10 Gsps
+    the parser sees ~5000x the reference's real-time message rate, and
+    without this term a parse regression is invisible to the bench."""
+    from airmodes.decode.parse import parse as parse_cls
+
+    wire = list(msgs)
+    if not wire:
+        return 0.0, float("inf")
+    reps = max(1, 20000 // len(wire))
+    wire = wire * reps
+    p = parse_cls(my_position=None)
+    t0 = time.time()
+    n = 0
+    for m in wire:
+        try:
+            p.parse(m)
+        except Exception:
+            pass
+        n += 1
+    dt = time.time() - t0
+    rate = n / dt
+    ceiling = rate / density_msgs_per_msample  # Msamples/s equivalent
+    print(f"# parse fan-out: {rate:.0f} msg/s single-threaded "
+          f"({n} msgs, wall {dt:.2f}s) -> {ceiling:.0f} Msps ceiling at "
+          f"bench density {density_msgs_per_msample:.2f} msg/Msample",
+          file=sys.stderr)
+    return rate, ceiling
 
 
 def bench_host_only(cfg, path: str, n_blocks: int):
@@ -349,16 +389,16 @@ def bench_sps5(n_runs: int = 5, seed: int = 100):
 
 
 def bench_sharded_resample(seed: int = 55):
-    """One real-chip 1x1 execution of the fused sharded resample+demod
-    (VERDICT r3 #3): 6 Msps raw capture -> group-matmul polyphase
-    resample to 4 Msps (sps=2) -> demod in ONE shard_map program.
-    Returns (msps_channel_rate, ok) — parity is the gate, the rate a
-    bonus. 4 Msps is the ROBUST operating point (polyphase.py): the r4
-    debug probes showed decimating all the way to 2 Msps (1 sample/chip)
-    drops every frame whose preamble lands at the wrong 1-of-q sub-chip
-    phase (exactly 1/3 of random placements at q=3 — a physics limit of
-    1 sps after a narrow anti-alias filter, identical on CPU and TPU,
-    not a kernel defect)."""
+    """Real-chip 1x1 execution of the fused sharded resample+demod:
+    6 Msps raw capture -> group-matmul polyphase resample to 4 Msps
+    (sps=2) -> ON-DEVICE int8 quantize -> planar Pallas demod, ONE
+    shard_map program (VERDICT r4 #1: the previous demod_block form ran
+    ~350x below the production kernel). Returns (msps_channel_rate, ok)
+    — decode parity is the gate. 4 Msps is the ROBUST operating point
+    (polyphase.py): the r4 debug probes showed decimating all the way to
+    2 Msps (1 sample/chip) drops every frame whose preamble lands at the
+    wrong 1-of-q sub-chip phase (a physics limit of 1 sps after a narrow
+    anti-alias filter, not a kernel defect)."""
     import jax
     import jax.numpy as jnp
     import airmodes
@@ -367,7 +407,7 @@ def bench_sharded_resample(seed: int = 55):
     from airmodes.dsp.pipeline import iq_to_device_layout
     from airmodes.testing import encoder
 
-    cfgr = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 20,
+    cfgr = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 22,
                               max_detections=64)
     p_up, q_dn = 2, 3
     raw_total = cfgr.block_size * q_dn // p_up
@@ -376,12 +416,19 @@ def bench_sharded_resample(seed: int = 55):
         frames, rate=6e6, snr_db=25.0, spacing=raw_total // 25, seed=seed,
         total_samples=raw_total)
     mesh = sharded.make_mesh(n_channel=1, n_time=1)
-    fn = sharded.make_sharded_resample_demod(mesh, cfgr, p_up, q_dn)
+    planar = jax.default_backend() == "tpu"
+    fn = sharded.make_sharded_resample_demod(mesh, cfgr, p_up, q_dn,
+                                             planar=planar)
     x = iq_to_device_layout(iq_raw)[None]
-    table = jax.block_until_ready(fn(sharded.shard_input(x, mesh)))
+    gain = np.float32(120.0 / (float(np.abs(iq_raw).max()) or 1.0))
+    args = (sharded.shard_input(x, mesh), gain) if planar \
+        else (sharded.shard_input(x, mesh),)
+    table = jax.block_until_ready(fn(*args))
     sub = type(table)(*(np.asarray(f)[0, 0] for f in table))
+    fs = float(gain) / 127.0 if planar else 1.0
     got = {m.split()[1]
-           for m in host.table_to_messages(sub, 0, cfgr.channel_rate)}
+           for m in host.table_to_messages(sub, 0, cfgr.channel_rate,
+                                           full_scale=fs)}
     want = {t.hex for t in truth}
     ok = len(want - got) <= max(1, len(want) // 100)
 
@@ -390,63 +437,70 @@ def bench_sharded_resample(seed: int = 55):
     # protocol: compare full paths only — CLAUDE.md det_idx note)
     from airmodes.dsp.pipeline import pack_table
     pack2 = jax.vmap(jax.vmap(pack_table))
-    sum_fn = jax.jit(lambda a: jnp.sum(pack2(fn(a))))
+    sum_fn = jax.jit(lambda *a: jnp.sum(pack2(fn(*a))))
     dx = jax.device_put(x)
-    np.asarray(sum_fn(dx))
-    t0 = time.time()
-    for _ in range(4):
-        np.asarray(sum_fn(dx))
-    dt = (time.time() - t0) / 4
-    msps = cfgr.block_size / dt / 1e6
-    print(f"# fused resample+demod 1x1: {msps:.0f} Msps (channel rate), "
-          f"decoded {len(got & want)}/{len(want)}", file=sys.stderr)
+    dargs = (dx, gain) if planar else (dx,)
+    np.asarray(sum_fn(*dargs))
+    rates = []
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(4):
+            np.asarray(sum_fn(*dargs))
+        rates.append(4 * cfgr.block_size / (time.time() - t0) / 1e6)
+    rates.sort()
+    msps = rates[len(rates) // 2]
+    print(f"# fused resample+demod 1x1 (planar={planar}): {msps:.0f} Msps "
+          f"(channel rate), decoded {len(got & want)}/{len(want)}",
+          file=sys.stderr)
     return msps, ok
 
 
-def bench_podpipeline(cfg, n_blocks: int = 4, seed: int = 2):
+def bench_podpipeline(cfg, n_steps: int = 14, seed: int = 2):
     """The production multi-chip streaming driver (dist.multihost
-    PodPipeline) timed on a 1x1 mesh over the SAME kind of capture —
-    measures the shard_map + stream-context + vmapped-pack wrapper cost
-    relative to the raw batched kernel (VERDICT r2 #4/weak 6).
+    PodPipeline) timed on a 1x1 mesh — measures the shard_map +
+    stream-context + vmapped-pack wrapper cost relative to the plain
+    streaming loop (VERDICT r2 #4; r4 weak #2).
 
-    r4: run_stream carries stream context device-resident (the 4 per-step
-    ctx H2Ds are gone — VERDICT r3 #2) and quantizes in one native pass,
-    leaving 2 bulk H2Ds + dispatch + table fetch per step — the same RPC
-    set as the streaming loop, paid per step instead of per 16-block
-    batch. The caller passes a pod-realistic step size (n_time x block on
-    a real pod; one 2^23 block here) so the per-step fixed relay cost
-    (~40 ms, which PCIe hosts pay in us) amortizes comparably."""
+    r5: STEADY STATE, not fill/drain. The r4 bench timed 3 passes of a
+    3-step stream, so nearly every timed step was pipeline fill/drain
+    plus the per-pass zeros edge step — the driver artifact read 0.44x
+    streaming while a same-session probe at steady state read 0.99x.
+    Now ONE long stream of n_steps (>= 12) pod-realistic steps (2^23
+    samples — a real pod step is n_time x block), timestamping each
+    yield and rating the interior span only (yields 2 .. n_steps-2),
+    which excludes compile/fill at the head and drain at the tail."""
     from airmodes.dist.multihost import PodPipeline
     from airmodes.testing import encoder
 
     pipe = PodPipeline(cfg, n_channel=1, n_time=1)
-    total = n_blocks * cfg.block_size
+    S = pipe.samples_per_step
     frames = encoder.random_df17_frames(
-        max(int(total / cfg.channel_rate * 100.0), 8), seed=seed)
+        max(int(S / cfg.channel_rate * 100.0), 8), seed=seed)
     iq, truth = encoder.make_capture(
         frames, rate=cfg.channel_rate, snr_db=15.0,
-        spacing=total // max(len(frames), 1), seed=seed,
-        total_samples=total)
+        spacing=S // max(len(frames), 1), seed=seed, total_samples=S)
     peak = float(np.max(np.abs(iq))) or 1.0
     pipe.gain = 120.0 / peak
-    chunk = cfg.block_size
 
-    def chunks():
-        for k in range(n_blocks):
-            yield iq[None, k * chunk: (k + 1) * chunk]
+    def chunks(n):
+        # the same step capture n times (fresh traffic each step would
+        # need n x the host memory; the device work is identical)
+        for _ in range(n):
+            yield iq[None]
 
     got = set()
-    for msgs in pipe.run_stream(chunks()):      # compile + warm pass
+    for msgs in pipe.run_stream(chunks(3)):     # compile + warm + parity
         got |= {m.split()[1] for m in msgs}
     want = {t.hex for t in truth}
     ok = len(want - got) <= max(1, len(want) // 100)
-    t0 = time.time()
-    passes = 3
-    for _ in range(passes):
-        for msgs in pipe.run_stream(chunks()):
-            pass
-    msps = passes * total / (time.time() - t0) / 1e6
-    print(f"# podpipeline 1x1: {msps:.1f} Msps (planar={pipe.planar}), "
+
+    stamps = []
+    for msgs in pipe.run_stream(chunks(n_steps)):
+        stamps.append(time.time())
+    k0, k1 = 2, n_steps - 2
+    msps = (k1 - k0) * S / (stamps[k1] - stamps[k0]) / 1e6
+    print(f"# podpipeline 1x1: {msps:.1f} Msps steady-state over steps "
+          f"{k0}..{k1} of {n_steps} (planar={pipe.planar}, step {S}), "
           f"decoded {len(got & want)}/{len(want)}", file=sys.stderr)
     return msps, ok
 
@@ -524,6 +578,23 @@ def main():
     got = {m.split()[1] for m in msgs}
     missing = len(want - got)
     spurious = len(got - want)
+    # per-DF decode parity (VERDICT r4 #3): the mixed capture injects
+    # every supported DF; each class must decode on the real chip, so a
+    # regression in the 56-bit dispatch / DF11 II acceptance / AP-overlay
+    # recovery fails the bench even when DF17 traffic is fine
+    df_decode = {}
+    df_ok = True
+    for t in truth:
+        # DF24 frames carry KE/ND bits inside the top-5-bit field (the
+        # df "24-31" family); normalize like the wire does (host.py
+        # df_wire = min(df, 24)) so the class gates as ONE bucket
+        d = df_decode.setdefault(f"df{min(t.df, 24)}", [0, 0])
+        d[0] += 1
+        d[1] += int(t.hex in got)
+    for k, (n_inj, n_dec) in sorted(df_decode.items()):
+        if n_inj - n_dec > max(1, n_inj // 20):
+            df_ok = False
+    df_decode = {k: f"{v[1]}/{v[0]}" for k, v in sorted(df_decode.items())}
     status_name = {0: "crc_ok", 1: "corrected_1", 2: "corrected_2",
                    3: "addr"}
     spurious_by_status = {}
@@ -534,6 +605,11 @@ def main():
             k = status_name.get(int(parts[3]), str(parts[3]))
             spurious_by_status[k] = spurious_by_status.get(k, 0) + 1
             spurious_hexes.discard(parts[1])   # count each hex once
+
+    # host decode-fanout ceiling (VERDICT r4 #5): relay-free, so it can
+    # run up front; the ceiling enters the product-claim min() below
+    density = len(msgs) / (C * cfg.block_size / 1e6)   # msg per Msample
+    parse_rate, parse_ceiling_msps = bench_parse_fanout(cfg, msgs, density)
 
     # primary metric FIRST (before the relay-heavy streaming/h2d loops):
     # r3 root-cause work (scripts/tpu_regress_probe.py, CLAUDE.md) showed
@@ -610,25 +686,35 @@ def main():
                 + b[0, :8].astype(jnp.int32).sum())
 
     def h2d_control():
+        # median of 5 samples (VERDICT r4 #6: single 4-iter runs read
+        # 8.7 and 13.0 Msps minutes apart — pure relay mood); report the
+        # sample spread so a noisy session is visible in the artifact
         np.asarray(touch(xi, xq))
-        t0 = time.time()
-        for _ in range(4):
-            np.asarray(touch(xi, xq))
-        return 4 * C * cfg.block_size / (time.time() - t0) / 1e6
+        runs = []
+        for _ in range(5):
+            t0 = time.time()
+            for _ in range(3):
+                np.asarray(touch(xi, xq))
+            runs.append(3 * C * cfg.block_size / (time.time() - t0) / 1e6)
+        runs.sort()
+        return runs[2], runs
 
-    h2d_msps = h2d_control()
+    h2d_msps, h2d_runs1 = h2d_control()
 
     # the reference's top rate (10 Msps) + fused resample on the chip
     # (VERDICT r3 #3) — device figures, so they run before the
     # relay-heavy product passes
     sps5_msps, sps5_ok = bench_sps5()
+    cfg5 = airmodes.DspConfig(channel_rate=10e6, block_size=1 << 22,
+                              max_detections=256)
+    ops_sps5 = vpu_ops_per_sample(cfg5)
+    vpu_util_sps5 = sps5_msps * 1e6 * ops_sps5 / VPU_PEAK_F32
     fused_msps, fused_ok = bench_sharded_resample()
 
     # production streaming driver, 1x1 mesh (VERDICT r2 #4); pod-realistic
     # step size (a real pod step is n_time x block — one 2^23 block here)
     pod_msps, pod_ok = bench_podpipeline(
-        airmodes.DspConfig(block_size=1 << 23, max_detections=512),
-        n_blocks=3)
+        airmodes.DspConfig(block_size=1 << 23, max_detections=512))
 
     # product path end-to-end (modes_rx: disk -> ... -> parse -> SQLite),
     # decomposed (VERDICT r3 #1) into min(host_only, h2d, device):
@@ -646,14 +732,22 @@ def main():
     host_only_msps = bench_host_only(cfg, cap_path, e2e_blocks)
     e2e_msps, e2e_ok = bench_e2e(cfg, cap_path, cap_icaos,
                                  n_blocks=e2e_blocks)
-    h2d_msps2 = h2d_control()
+    h2d_msps2, h2d_runs2 = h2d_control()
     try:
         os.remove(cap_path)
     except OSError:
         pass
     h2d_near = (h2d_msps + h2d_msps2) / 2.0
+    h2d_agree = (min(h2d_msps, h2d_msps2) / max(h2d_msps, h2d_msps2)
+                 if max(h2d_msps, h2d_msps2) > 0 else 0.0)
+    if h2d_agree < 0.85:
+        print(f"# RELAY-MOOD WARNING: bracketing h2d medians disagree "
+              f"{h2d_msps:.1f} vs {h2d_msps2:.1f} Msps (ratio "
+              f"{h2d_agree:.2f}); transport-relative figures carry that "
+              "noise", file=sys.stderr)
     e2e_vs_h2d = e2e_msps / h2d_near if h2d_near > 0 else 0.0
-    product_claim = min(host_only_msps, h2d_near, dev_msps)
+    product_claim = min(host_only_msps, h2d_near, dev_msps,
+                        parse_ceiling_msps)
 
     # aggregate north star end-to-end: C=4 channels, one batched device
     # call per step (VERDICT r3 #4)
@@ -674,16 +768,23 @@ def main():
         "streaming_incl_relay_msps": round(stream_msps, 2),
         "podpipeline_msps": round(pod_msps, 2),
         "device_msps_sps5": round(sps5_msps, 1),
+        "vpu_util_est_sps5": round(vpu_util_sps5, 3),
+        "vpu_ops_per_sample_sps5": round(ops_sps5, 2),
         "sharded_resample_demod_msps": round(fused_msps, 1),
         "kernel": kernel,
         "batch_blocks": reps * C,
         "spurious": spurious,
         "spurious_by_status": spurious_by_status,
+        "decoded_by_df": df_decode,
         "host_only_msps": round(host_only_msps, 2),
+        "parse_only_msgs_per_s": round(parse_rate, 0),
+        "parse_ceiling_msps": round(parse_ceiling_msps, 1),
         "e2e_modes_rx_msps": round(e2e_msps, 2),
         "e2e_multichannel_aggregate_msps": round(mc_msps, 2),
         "h2d_only_msps": round(h2d_msps, 2),
         "h2d_only_msps_post": round(h2d_msps2, 2),
+        "h2d_runs": [round(r, 1) for r in h2d_runs1 + h2d_runs2],
+        "h2d_bracket_agreement": round(h2d_agree, 3),
         "e2e_vs_h2d": round(e2e_vs_h2d, 3),
         "product_claim_msps": round(product_claim, 2),
     }
@@ -694,10 +795,24 @@ def main():
           f"device={dev_msps:.0f} Msps (runs {dev_runs[0]:.0f}.."
           f"{dev_runs[-1]:.0f}) decoded={len(got)}/{len(want)} "
           f"missing={missing} spurious={spurious} "
-          f"by_status={spurious_by_status}", file=sys.stderr)
-    ok = (missing <= max(1, len(want) // 1000)
-          and spurious <= max(1, len(want) // 100)
+          f"by_status={spurious_by_status} by_df={df_decode}",
+          file=sys.stderr)
+    # Gates (r5, mixed traffic): DF17 keeps the tight 99.9% bound (ECC
+    # rescues marginal frames); the AP-overlaid classes have NO ECC by
+    # protocol — a single bit error at 15 dB mints a wrong-address
+    # frame (a missing+spurious pair the reference emits identically) —
+    # so they carry the per-class 5% bound (df_ok) and the spurious cap
+    # widens to 2%. The real safety gate is unchanged: a clean-CRC
+    # spurious (noise minting a valid frame) must never happen.
+    n17 = [0, 0]
+    for t in truth:
+        if t.df == 17:
+            n17[0] += 1
+            n17[1] += int(t.hex not in got)
+    ok = (n17[1] <= max(1, n17[0] // 1000)
+          and spurious <= max(1, len(want) // 50)
           and spurious_by_status.get("crc_ok", 0) == 0
+          and df_ok
           and e2e_ok and pod_ok and sps5_ok and fused_ok and mc_ok)
     return 0 if ok else 1
 

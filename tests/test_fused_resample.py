@@ -1,0 +1,208 @@
+"""Fused resample -> on-device int8 quantize -> planar Pallas demod
+(VERDICT r4 #1): the resampled front-end on the PRODUCTION kernel.
+
+Covers airmodes/resample/fused.py, io/stream.run_resampled_fused, and
+dist/sharded.make_sharded_resample_demod(planar=True) on the CPU mesh
+(Pallas interpret mode)."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import pytest
+
+import airmodes
+from airmodes.dsp import host
+from airmodes.dsp.pipeline import iq_to_device_layout, unpack_table
+from airmodes.io.sources import buffered_framer
+from airmodes.resample import fused
+from airmodes.testing import encoder, golden
+
+CFG = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 16,
+                         max_detections=32)
+P_UP, Q_DN = 2, 3          # 6 Msps raw -> 4 Msps (sps=2)
+
+
+def _raw_capture(n_windows, snr_db=15.0, n_msgs=6, seed=7):
+    _, rb, _, _ = fused.raw_geometry(CFG, P_UP, Q_DN)
+    total = n_windows * rb
+    frames = encoder.random_df17_frames(n_msgs, seed=seed)
+    iq, truth = encoder.make_capture(
+        frames, rate=6e6, snr_db=snr_db, spacing=total // (n_msgs + 1),
+        seed=seed, total_samples=total)
+    return iq, truth
+
+
+def _windows(iq_raw):
+    rl, rb, rr, _ = fused.raw_geometry(CFG, P_UP, Q_DN)
+    fr = buffered_framer(CFG, geometry=(rl, rb, rr))
+    return list(fr.push(iq_raw)) + list(fr.flush())
+
+
+def test_raw_geometry_alignment():
+    rl, rb, rr, off = fused.raw_geometry(CFG, P_UP, Q_DN)
+    gi = 128 * Q_DN
+    assert rl % gi == 0 and rb % gi == 0 and rr % gi == 0
+    # the raw halos must cover the demod halos after resampling
+    assert (rl - gi) * P_UP // Q_DN >= CFG.left_halo
+    assert (rr - gi) * P_UP // Q_DN >= CFG.right_halo
+    assert off >= 0
+    with pytest.raises(ValueError):
+        fused.raw_geometry(
+            airmodes.DspConfig(channel_rate=4e6, block_size=(1 << 16) + 128),
+            P_UP, Q_DN)
+
+
+def test_fused_oracle_parity_sps2_15db():
+    """The golden gate for the fused path (r4 #1 'done' criterion):
+    quantization after resampling changes bit-level inputs, so the oracle
+    consumes EXACTLY the int8 stream the fused demod sees — decode sets
+    must match index-for-index, bit for bit, at marginal (15 dB) SNR."""
+    iq_raw, truth = _raw_capture(2, snr_db=15.0, n_msgs=8, seed=11)
+    gain = np.float32(120.0 / float(np.abs(iq_raw).max()))
+    got = []
+    ref = []
+    for w, s in _windows(iq_raw):
+        x = iq_to_device_layout(w)[None]
+        table = jax.jit(
+            fused.resample_demod_planar,
+            static_argnames=("cfg", "p", "q", "interpret"))(
+                x, gain, cfg=CFG, p=P_UP, q=Q_DN, interpret=True)
+        sub = type(table)(*(np.asarray(f)[0] for f in table))
+        start = s * P_UP // Q_DN
+        for m in host.table_to_messages(sub, start, CFG.channel_rate):
+            idx = int(float(m.split()[5]) * CFG.channel_rate + 0.5) - start
+            got.append((idx, m.split()[1], start))
+        y8 = np.asarray(fused.resample_quantize_planar(
+            x, gain, CFG, P_UP, Q_DN))[0]
+        iq8 = y8[0].astype(np.float32) + 1j * y8[1].astype(np.float32)
+        for idx, hexmsg in golden.reference_decode(iq8, CFG):
+            own = idx - CFG.left_halo
+            if 0 <= own < CFG.block_size:
+                ref.append((own, hexmsg, start))
+    assert sorted(got) == sorted(ref)
+    # and the capture's traffic actually decodes (the gate is not vacuous)
+    want = {t.hex for t in truth}
+    assert len(want - {h for _, h, _ in got}) <= 1, want
+
+
+def test_fused_front_matches_offline_resample():
+    """Window alignment: the fused front half must equal the OFFLINE
+    resample of the whole stream (to quantization of a <=1-ulp matmul
+    association difference) on every owned sample."""
+    from airmodes.resample.polyphase import resample
+
+    iq_raw, _ = _raw_capture(2, snr_db=20.0, seed=13)
+    gain = np.float32(100.0)
+    y_off = np.asarray(resample(iq_raw.astype(np.complex64), P_UP, Q_DN))
+    xi_off, xq_off = host.quantize_planar_i8_np(y_off, float(gain))
+    for w, s in _windows(iq_raw):
+        x = iq_to_device_layout(w)[None]
+        y8 = np.asarray(fused.resample_quantize_planar(
+            x, gain, CFG, P_UP, Q_DN))[0]
+        start = s * P_UP // Q_DN        # owned channel-rate start
+        own_i = y8[0, CFG.left_halo: CFG.left_halo + CFG.block_size]
+        own_q = y8[1, CFG.left_halo: CFG.left_halo + CFG.block_size]
+        ref_i = xi_off[start: start + CFG.block_size]
+        ref_q = xq_off[start: start + CFG.block_size]
+        n = len(ref_i)
+        di = np.abs(own_i[:n].astype(np.int32) - ref_i.astype(np.int32))
+        dq = np.abs(own_q[:n].astype(np.int32) - ref_q.astype(np.int32))
+        assert di.max(initial=0) <= 1 and dq.max(initial=0) <= 1
+        assert (di > 0).mean() < 1e-3 and (dq > 0).mean() < 1e-3
+
+
+def test_run_resampled_fused_runner():
+    """The single-chip CLI runner end to end: temp capture file -> raw
+    framing -> fused batched steps -> wire messages (AGC gains, stats)."""
+    from airmodes.io.stream import run_resampled_fused
+
+    iq_raw, truth = _raw_capture(3, snr_db=18.0, n_msgs=9, seed=17)
+    with tempfile.NamedTemporaryFile(suffix=".c64", delete=False) as f:
+        path = f.name
+        iq_raw.astype(np.complex64).tofile(f)
+    try:
+        stats = host.BlockStats()
+        msgs = []
+        for block_msgs in run_resampled_fused(
+                path, CFG, dtype="complex64", rate_in=6e6, batch=2,
+                stats=stats):
+            msgs.extend(block_msgs)
+        got = {m.split()[1] for m in msgs}
+        want = {t.hex for t in truth}
+        assert len(want - got) <= 1, want - got
+        assert stats.emitted == len(msgs) and stats.crc_ok > 0
+        # timestamps monotonic across block boundaries
+        ts = [float(m.split()[5]) for m in msgs]
+        assert ts == sorted(ts)
+    finally:
+        os.unlink(path)
+
+
+def test_run_resampled_fused_start_sample():
+    """Resume: start_sample (channel-rate units) seeks the raw capture and
+    keeps the global counter continuous."""
+    from airmodes.io.stream import run_resampled_fused
+
+    iq_raw, truth = _raw_capture(2, snr_db=20.0, n_msgs=6, seed=19)
+    with tempfile.NamedTemporaryFile(suffix=".c64", delete=False) as f:
+        path = f.name
+        iq_raw.astype(np.complex64).tofile(f)
+    try:
+        start = CFG.block_size
+        msgs = []
+        for bm in run_resampled_fused(path, CFG, dtype="complex64",
+                                      rate_in=6e6, start_sample=start):
+            msgs.extend(bm)
+        # every resumed message timestamps at/after the resume point and
+        # matches a second-half truth frame
+        late = {t.hex for t in truth
+                if t.sample_index * P_UP // Q_DN >= start + CFG.left_halo}
+        got = {m.split()[1] for m in msgs}
+        assert late - got == set()
+        for m in msgs:
+            assert float(m.split()[5]) * CFG.channel_rate >= start
+    finally:
+        os.unlink(path)
+
+
+def test_sharded_resample_planar_mesh():
+    """make_sharded_resample_demod(planar=True) on a 2x4 CPU mesh: int8
+    ICI demod halos + on-device quantize, decode parity with truth and
+    with the f32 XLA path."""
+    from airmodes.dist import sharded
+
+    cfg = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 14,
+                             max_detections=16)
+    n_time = 4
+    raw_total = n_time * cfg.block_size * Q_DN // P_UP
+    frames = encoder.random_df17_frames(8, seed=9)
+    iq_raw, truth = encoder.make_capture(
+        frames, rate=6e6, snr_db=20.0, spacing=raw_total // 9, seed=9,
+        total_samples=raw_total)
+    want = {t.hex for t in truth}
+    mesh = sharded.make_mesh(n_channel=2, n_time=n_time)
+    x = np.tile(iq_to_device_layout(iq_raw)[None], (2, 1, 1))
+    gain = np.float32(120.0 / float(np.abs(iq_raw).max()))
+
+    fn = sharded.make_sharded_resample_demod(mesh, cfg, P_UP, Q_DN,
+                                             planar=True, interpret=True)
+    table = jax.block_until_ready(fn(sharded.shard_input(x, mesh), gain))
+
+    def decode(tbl):
+        got = set()
+        for c in range(2):
+            for t in range(n_time):
+                sub = type(tbl)(*(np.asarray(f)[c, t] for f in tbl))
+                for m in host.table_to_messages(sub, 0, cfg.channel_rate):
+                    got.add(m.split()[1])
+        return got
+
+    got = decode(table)
+    assert want <= got, want - got
+
+    fn32 = sharded.make_sharded_resample_demod(mesh, cfg, P_UP, Q_DN,
+                                               planar=False)
+    got32 = decode(jax.block_until_ready(fn32(sharded.shard_input(x, mesh))))
+    assert want <= got32

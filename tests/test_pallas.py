@@ -514,6 +514,21 @@ def test_vpu_opcount_pinned_to_evidence():
     # sanity band: the r2/r3 ablation probes measured ~85 ops/sample;
     # the model was validated to 0.2% against that
     assert 40 < ops < 160
+    # per-sps entries (VERDICT r4 #4): the 10 Msps operating point's
+    # utilization canary derives from the same evidence file
+    with open(path) as f:
+        per_sps = json.load(f)["per_sps"]
+    for rate in (2e6, 4e6, 10e6):
+        c5 = DspConfig(channel_rate=rate, block_size=1 << 22,
+                       max_detections=256)
+        got5 = opcount.detect_ops_per_sample(c5)
+        assert abs(got5 - per_sps[str(c5.sps)]) < 0.01, (
+            f"sps={c5.sps} op count changed ({got5:.3f} vs pinned "
+            f"{per_sps[str(c5.sps)]}): regenerate with "
+            "`python -m airmodes.kernels.opcount`")
+    # ops/sample must GROW with sps (wider quiet/pulse spans) but far
+    # slower than linearly (the spans are chip-indexed, not sample-dense)
+    assert per_sps["1"] < per_sps["2"] < per_sps["5"] < 2 * per_sps["1"]
     # the model must RESPOND to kernel changes: the VPU window-sum form
     # replaces two MXU matmuls with 7 shifted-add passes
     cfg_vpu = DspConfig(block_size=1 << 22, max_detections=256,
