@@ -208,27 +208,36 @@ def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
             path, cfg, dtype=args.file_format, rate_in=args.rate,
             start_sample=args.start_sample)
 
+    # resampled + --int8 on TPU: ONE batched fused device program per
+    # step (resample -> on-device quantize -> planar kernel) across all
+    # channels — the channel-axis twin of the single-channel fused path
+    fused_mc = (needs_resample and args.int8
+                and all(s not in ("uhd", "osmocom", "udp", "synthetic")
+                        for s in srcs)
+                and _fused_resample_ok(cfg, args.rate))
+
     chans = []
-    for s in srcs:
-        if s in ("uhd", "osmocom", "udp"):
-            print(f"multi-channel mode takes file/synthetic sources, "
-                  f"not {s!r}", file=sys.stderr)
-            return 2
-        if s == "synthetic":
-            if needs_resample:
-                print("resampling is only wired for file sources",
-                      file=sys.stderr)
+    if not fused_mc:
+        for s in srcs:
+            if s in ("uhd", "osmocom", "udp"):
+                print(f"multi-channel mode takes file/synthetic sources, "
+                      f"not {s!r}", file=sys.stderr)
                 return 2
-            chans.append(src_mod.synthetic_source(
-                cfg, n_blocks=args.max_blocks or 4))
-        elif needs_resample:
-            chans.append(resampled_channel(s))
-        else:
-            chans.append(src_mod.file_source(
-                s, cfg, dtype=args.file_format,
-                start_sample=args.start_sample))
-    if args.max_blocks:
-        chans = [itertools.islice(c, args.max_blocks) for c in chans]
+            if s == "synthetic":
+                if needs_resample:
+                    print("resampling is only wired for file sources",
+                          file=sys.stderr)
+                    return 2
+                chans.append(src_mod.synthetic_source(
+                    cfg, n_blocks=args.max_blocks or 4))
+            elif needs_resample:
+                chans.append(resampled_channel(s))
+            else:
+                chans.append(src_mod.file_source(
+                    s, cfg, dtype=args.file_format,
+                    start_sample=args.start_sample))
+        if args.max_blocks:
+            chans = [itertools.islice(c, args.max_blocks) for c in chans]
 
     stats = stats if stats is not None else host.BlockStats()
     epoch = time.time()
@@ -238,7 +247,15 @@ def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
     # same native treatment as the single-channel path: all-file sources
     # with --int8 run the C++ framer (per-block AGC quantize, Python
     # semantics) + planar kernel + threaded dispatch
-    if (not args.no_native and not needs_resample and args.int8
+    if fused_mc:
+        from ..io.stream import run_resampled_fused_channels
+        chans = srcs
+        step_iter = run_resampled_fused_channels(
+            list(srcs), cfg, dtype=args.file_format, rate_in=args.rate,
+            start_sample=args.start_sample, epoch=epoch, stats=stats,
+            depth=args.depth, scale=args.i8_scale,
+            max_blocks=args.max_blocks)
+    elif (not args.no_native and not needs_resample and args.int8
             and all(s not in ("synthetic",) for s in srcs)
             and args.start_sample >= 0
             and native_stream.native_available()):

@@ -284,6 +284,100 @@ def run_resampled_fused(
     yield from _pump(items, batch, depth, dispatch, drain)
 
 
+def run_resampled_fused_channels(
+    paths,
+    cfg: DspConfig,
+    *,
+    dtype: str,
+    rate_in: float,
+    start_sample: int = 0,
+    epoch: float = 0.0,
+    stats: Optional[host_mod.BlockStats] = None,
+    depth: int = 2,
+    scale: Optional[float] = None,
+    max_blocks: Optional[int] = None,
+) -> Iterator[List[Optional[List[str]]]]:
+    """Multi-channel twin of run_resampled_fused: C raw-rate captures,
+    ONE batched fused device call (resample -> int8 quantize -> planar
+    Pallas demod) per step — the "channel" data-parallel axis of
+    run_channels, now for resampled sources too. Yields one
+    List[Optional[List[str]]] per step; ended channels ride along as
+    silence and yield None (same contract as run_channels)."""
+    import itertools
+    import jax
+    from ..resample.fused import (raw_geometry,
+                                  resample_demod_packed_planar_jit)
+    from ..resample.polyphase import rational_rate
+    from ..io import sources as src_mod
+
+    p_up, q_dn = rational_rate(rate_in, cfg.channel_rate)
+    raw_left, raw_block, raw_right = raw_geometry(cfg, p_up, q_dn)[:3]
+    interpret = jax.default_backend() != "tpu"
+    if start_sample % p_up:
+        start_sample -= start_sample % p_up   # raw-integer resume point
+        # (see run_resampled_fused: flooring a fractional raw seek skews
+        # every timestamp of the resumed stream)
+    in_skip = start_sample * q_dn // p_up
+
+    def windows(path):
+        framer = src_mod.buffered_framer(
+            cfg, start_sample=0,
+            geometry=(raw_left, raw_block, raw_right))
+
+        def gen():
+            for chunk in src_mod.raw_file_chunks(path, dtype=dtype,
+                                                 offset_samples=in_skip):
+                yield from framer.push(chunk)
+            yield from framer.flush()
+        return itertools.islice(gen(), max_blocks)
+
+    iters = [iter(windows(p)) for p in paths]
+    C = len(iters)
+    if C == 0:
+        return
+    zero_win = np.zeros((raw_left + raw_block + raw_right, 2), np.float32)
+    inflight: deque = deque()
+
+    def drain_one() -> List[Optional[List[str]]]:
+        packed, starts, fss, live = inflight.popleft()
+        arr = np.asarray(packed)
+        out: List[Optional[List[str]]] = []
+        for c in range(C):
+            if not live[c]:
+                out.append(None)
+                continue
+            table = unpack_table(arr[c])
+            out.append(host_mod.table_to_messages(
+                table, starts[c], cfg.channel_rate, epoch=epoch,
+                stats=stats, full_scale=fss[c]))
+        return out
+
+    while True:
+        items = [next(it, None) for it in iters]
+        live = [i is not None for i in items]
+        if not any(live):
+            break
+        rows = [iq_to_device_layout(items[c][0]) if live[c] else zero_win
+                for c in range(C)]
+        x = np.stack(rows)
+        if scale is not None:
+            gains = np.full(C, scale, np.float32)
+        else:
+            peaks = np.max(np.abs(x), axis=(1, 2))
+            gains = (120.0 / np.where(peaks > 0, peaks, 1.0)
+                     ).astype(np.float32)
+        starts = [start_sample + (items[c][1] * p_up // q_dn if live[c]
+                                  else 0) for c in range(C)]
+        inflight.append((
+            resample_demod_packed_planar_jit(x, gains, cfg, p_up, q_dn,
+                                             interpret=interpret),
+            starts, [float(g) / 127.0 for g in gains], live))
+        if len(inflight) > depth:
+            yield drain_one()
+    while inflight:
+        yield drain_one()
+
+
 def run_channels(
     channel_blocks: List[Iterable[Tuple[np.ndarray, int]]],
     cfg: DspConfig,

@@ -167,6 +167,41 @@ def test_run_resampled_fused_start_sample():
         os.unlink(path)
 
 
+def test_run_resampled_fused_channels():
+    """Multi-channel fused runner: two captures of different lengths, one
+    batched device call per step; the shorter channel ends first and
+    yields None while the longer finishes (run_channels contract)."""
+    from airmodes.io.stream import run_resampled_fused_channels
+
+    paths = []
+    truths = []
+    try:
+        for c, n_win in enumerate((1, 2)):
+            iq_raw, truth = _raw_capture(n_win, snr_db=20.0,
+                                         n_msgs=3 * n_win, seed=23 + c)
+            f = tempfile.NamedTemporaryFile(suffix=".c64", delete=False)
+            iq_raw.astype(np.complex64).tofile(f)
+            f.close()
+            paths.append(f.name)
+            truths.append({t.hex for t in truth})
+        stats = host.BlockStats()
+        steps = list(run_resampled_fused_channels(
+            paths, CFG, dtype="complex64", rate_in=6e6, stats=stats))
+        assert len(steps) == 2
+        got = [set(), set()]
+        for step in steps:
+            for c, msgs in enumerate(step):
+                if msgs is not None:
+                    got[c] |= {m.split()[1] for m in msgs}
+        assert steps[1][0] is None          # short channel ended
+        assert steps[1][1] is not None
+        for c in range(2):
+            assert len(truths[c] - got[c]) <= 1, truths[c] - got[c]
+    finally:
+        for p in paths:
+            os.unlink(p)
+
+
 def test_sharded_resample_planar_mesh():
     """make_sharded_resample_demod(planar=True) on a 2x4 CPU mesh: int8
     ICI demod halos + on-device quantize, decode parity with truth and
