@@ -95,10 +95,12 @@ class PodPipeline:
                 ">= 2^31 overflows the int32 detection index; use more "
                 "channel shards / smaller blocks")
         if self.planar is None:
+            # gate from the kernels' OWN predicate — a hand-copied
+            # constraint list here drifted from the kernel's asserts
+            # before (CLAUDE.md kernels-owned-gate rule)
+            from ..kernels.preamble_pallas import supported_planar_tile
             self.planar = (jax.default_backend() == "tpu"
-                           and self.cfg.noise_window == 128
-                           and self.cfg.block_size % 4096 == 0
-                           and 14 * self.cfg.sps < 128)
+                           and supported_planar_tile(self.cfg) is not None)
         # pack device-side: the whole step comes back as ONE
         # (C, T, K+1, 9) int32 fetch instead of 10 per-field transfers
         # (each np.asarray costs ~24 ms fixed on relay/DCN paths)
@@ -296,6 +298,15 @@ class PodPipeline:
             while not done and buffered < S:
                 try:
                     c = np.ascontiguousarray(next(chunks))
+                    if c.shape[0] != self.n_channel:
+                        # numpy would BROADCAST a (1, N) chunk across all
+                        # channels in take_step — every frame silently
+                        # decoded n_channel times with plausible
+                        # per-channel provenance (r5 review)
+                        raise ValueError(
+                            f"run_stream chunk has {c.shape[0]} channels; "
+                            f"pipeline was built with n_channel="
+                            f"{self.n_channel}")
                     parts.append(c)
                     buffered += c.shape[1]
                 except StopIteration:

@@ -88,7 +88,7 @@ class _PlanarSource:
                  udp_port: int = 10000, start_sample: int = 0,
                  throttle_sps: float = 0.0,
                  ring_samples: Optional[int] = None,
-                 udp_timeout_s: float = 5.0):
+                 udp_timeout_s: float = 0.0):
         # udp_timeout_s <= 0 = never time out (the C++ pump sets no
         # SO_RCVTIMEO; close() shutdown()s the socket to unblock recv)
         from ..native import IQStream
@@ -237,7 +237,7 @@ def run_native_pipelined(
     max_blocks: Optional[int] = None,
     scale: Optional[float] = None,
     ring_samples: Optional[int] = None,
-    udp_timeout_s: float = 5.0,
+    udp_timeout_s: float = 0.0,
 ) -> Iterator[List[str]]:
     """Drive a file/UDP capture through the native runtime + planar demod.
 

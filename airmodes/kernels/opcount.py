@@ -39,8 +39,14 @@ _VPU_PRIMS = {
 _FREE_PRIMS = {
     "slice", "squeeze", "broadcast_in_dim", "reshape", "concatenate",
     "transpose", "iota", "copy", "stop_gradient", "pad", "rev",
-    "gather", "dynamic_slice",
 }
+# pathological on TPU (sequential lowering, ~2.5 us per element/slice —
+# CLAUDE.md): counted at output size AND surfaced like unknowns, so a
+# kernel revision that reintroduces one fails the canary test instead of
+# being silently scored cheap (r5 review: these sat in _FREE_PRIMS,
+# bypassing exactly the drift detection they most need)
+_SEQUENTIAL_PRIMS = {"gather", "dynamic_slice", "scatter",
+                     "dynamic_update_slice", "sort"}
 # reductions: one pass over the INPUT elements
 _REDUCE_PRIMS = {"reduce_sum", "reduce_max", "reduce_min", "reduce_and",
                  "reduce_or", "argmax", "argmin", "cumsum", "cumlogsumexp"}
@@ -50,15 +56,19 @@ def count_ops(fn, *avals):
     """Trace fn on ShapeDtypeStructs and count vector-op elements.
 
     Returns {"vpu_elems": int, "mxu_macs": int, "by_prim": dict,
-    "unknown": set} — unknown primitives are counted as VPU passes too
-    (conservative: a new primitive inflates rather than hides cost) and
-    surfaced so the test catches model drift.
+    "unknown": set, "sequential": set} — unknown primitives are counted
+    as VPU passes too (conservative: a new primitive inflates rather
+    than hides cost) and surfaced so the test catches model drift;
+    "sequential" surfaces gather/scatter-class primitives the same way
+    (they lower to per-element loops on TPU — a kernel must never
+    contain one).
     """
     jaxpr = jax.make_jaxpr(fn)(*avals)
     vpu = 0
     macs = 0
     by_prim: dict = {}
     unknown = set()
+    sequential = set()
     # compile-time-constant value tracking: iota outputs, literals, and
     # any op of only-static inputs are folded by the compiler (e.g. the
     # lane masks `iota < k` in _shift2d cost nothing at run time)
@@ -109,6 +119,9 @@ def count_ops(fn, *avals):
                 continue
             if name in _REDUCE_PRIMS:
                 n = size(eqn.invars[0])
+            elif name in _SEQUENTIAL_PRIMS:
+                sequential.add(name)
+                n = size(eqn.outvars[0]) if eqn.outvars else 0
             elif name in _VPU_PRIMS:
                 n = size(eqn.outvars[0])
             else:
@@ -119,7 +132,7 @@ def count_ops(fn, *avals):
 
     walk(jaxpr.jaxpr)
     return {"vpu_elems": vpu, "mxu_macs": macs, "by_prim": by_prim,
-            "unknown": unknown}
+            "unknown": unknown, "sequential": sequential}
 
 
 def detect_ops_per_sample(cfg: DspConfig, tile: int = None) -> float:
@@ -129,24 +142,41 @@ def detect_ops_per_sample(cfg: DspConfig, tile: int = None) -> float:
     (int8->f32 load scale, `_detect_keep_2d`, unordered candidate
     extraction) on the real window geometry.
     """
-    from .preamble_pallas import (_detect_keep_2d, _extract_cands_unordered,
+    from .preamble_pallas import (_COUNT_ROW, _detect_keep_2d,
+                                  _extract_cands_unordered,
                                   _planar_geometry, cand_capacity,
-                                  default_tile)
+                                  DEFAULT_NBUF, default_tile)
     if tile is None:
         tile = default_tile(cfg)
     trows, rows_w, _, _ = _planar_geometry(cfg, tile)
-    # the unordered layout physically caps per_lane at its 4 count rows
-    per_lane = min(cand_capacity(tile)[1], 4)
+    # the unordered layout physically caps per_lane at the count rows
+    # (same clamp preamble_detect_cands_planar applies)
+    per_lane = min(cand_capacity(tile)[1], _COUNT_ROW)
+    nbuf = DEFAULT_NBUF
     scale = jnp.float32(1.0 / 127.0)
 
-    def body(i8, q8):
-        xi = i8.astype(jnp.float32) * scale
-        xq = q8.astype(jnp.float32) * scale
-        keep, _ = _detect_keep_2d(xi, xq, cfg=cfg, tile=tile)
+    def body(i8_slots, q8_slots, slot):
+        # mirror _detect_kernel_cands_i8_db's per-tile compute EXACTLY,
+        # including the nbuf rotating-slot select (one extra convert +
+        # select per stream window at nbuf=2 — ~4 ops/sample the r5
+        # review found undercounted)
+        xi = i8_slots[0].astype(jnp.float32)
+        xq = q8_slots[0].astype(jnp.float32)
+        for s in range(1, nbuf):
+            xi = jnp.where(slot == s, i8_slots[s].astype(jnp.float32), xi)
+            xq = jnp.where(slot == s, q8_slots[s].astype(jnp.float32), xq)
+        keep, _ = _detect_keep_2d(xi * scale, xq * scale, cfg=cfg,
+                                  tile=tile)
         return _extract_cands_unordered(keep, trows, per_lane)
 
-    aval = jax.ShapeDtypeStruct((rows_w, 128), jnp.int8)
-    c = count_ops(body, aval, aval)
+    aval = jax.ShapeDtypeStruct((nbuf, rows_w, 128), jnp.int8)
+    c = count_ops(body, aval, aval,
+                  jax.ShapeDtypeStruct((), jnp.int32))
+    # the canary must never silently absorb a mismodeled primitive in
+    # ANY part of the traced body (the test additionally checks the
+    # detect core alone)
+    assert not c["unknown"], c["unknown"]
+    assert not c["sequential"], c["sequential"]
     return c["vpu_elems"] / float(tile)
 
 

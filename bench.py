@@ -362,7 +362,15 @@ def bench_sps5(n_runs: int = 5, seed: int = 100):
     ok = (len(want - got) <= max(1, len(want) // 1000)
           and len(got - want) <= max(1, len(want) // 100))
 
-    reps = 8
+    # 256 blocks per dispatch, SAME as the primary device loop: the r4
+    # figure (3887, reps=8 = 32 blocks/call) was dispatch-floor-bound,
+    # not kernel-bound — the ~40 ms fixed relay RPC ate ~60% of each
+    # 28 ms call. The r5 batch sweep (scripts/tpu_sps5_ablate.py +
+    # same-process reps sweep) measured 4191/7664/8121 Msps at
+    # 32/128/256 blocks/call; at 256 the sps5/sps1 ratio matches the
+    # per-sps VPU op counts (112.5/89.0 -> 0.79), i.e. the kernel is
+    # ~95% VPU-bound at sps=5 with no sps-specific inefficiency.
+    reps = 64
     di = jax.device_put(np.tile(xi, (reps, 1)))
     dq = jax.device_put(np.tile(xq, (reps, 1)))
     sum_step = jax.jit(lambda a, b: (lambda t: (t, jnp.sum(t)))(

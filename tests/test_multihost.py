@@ -200,6 +200,21 @@ def test_pod_stream_many_tiny_chunks():
     assert want <= got, want - got
 
 
+def test_pod_stream_rejects_channel_mismatch():
+    """A chunk with the wrong channel count must fail loudly: numpy
+    would otherwise BROADCAST a (1, N) chunk across every channel in
+    take_step, emitting each frame n_channel times with plausible
+    per-channel provenance (r5 review)."""
+    import numpy as np
+    import pytest
+    from airmodes.config import DspConfig
+    cfg = DspConfig(block_size=1 << 14, max_detections=16)
+    pipe = PodPipeline(cfg, n_channel=2, n_time=1, planar=False)
+    bad = np.zeros((1, 2048), np.complex64)
+    with pytest.raises(ValueError, match="channel"):
+        list(pipe.run_stream(iter([bad])))
+
+
 def test_initialize_calls_jax_distributed_on_pod_metadata(monkeypatch):
     """A Cloud TPU pod slice without JAX_COORDINATOR_ADDRESS coordinates
     via TPU metadata that jax.distributed.initialize() only discovers
