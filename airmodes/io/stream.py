@@ -243,12 +243,15 @@ def run_resampled_fused(
     p_up, q_dn = rational_rate(rate_in, cfg.channel_rate)
     raw_left, raw_block, raw_right = raw_geometry(cfg, p_up, q_dn)[:3]
     interpret = jax.default_backend() != "tpu"
+    req_start = start_sample
     if start_sample % p_up:
         # the raw-domain equivalent of start_sample must be an integer
         # raw sample: flooring a fractional seek shifts the resampler
         # grid sub-sample vs the reported counters (~83 ns of permanent
         # timestamp skew at 4 Msps — poison for the ns-grade mlat wire).
-        # Snap DOWN to the nearest aligned resume point instead.
+        # Snap DOWN to the nearest aligned resume point; messages whose
+        # preamble precedes the REQUESTED start are filtered below, so
+        # resume semantics stay exact for the caller.
         start_sample -= start_sample % p_up
     in_skip = start_sample * q_dn // p_up
     # framer counts RAW samples from the seek point (start 0); dispatch
@@ -258,6 +261,7 @@ def run_resampled_fused(
 
     def windows():
         for chunk in src_mod.raw_file_chunks(path, dtype=dtype,
+                                             chunk_samples=1 << 22,
                                              offset_samples=in_skip):
             yield from framer.push(chunk)
         yield from framer.flush()
@@ -266,22 +270,44 @@ def run_resampled_fused(
         n_real = len(acc)
         acc = acc + [acc[-1]] * (batch - n_real)   # pad a partial batch;
         x = np.stack([iq_to_device_layout(w) for w, _ in acc])
-        if scale is not None:
-            gains = np.full(batch, scale, np.float32)
-        else:
-            peaks = np.max(np.abs(x), axis=(1, 2))
-            gains = (120.0 / np.where(peaks > 0, peaks, 1.0)
-                     ).astype(np.float32)
-        # start counters are CHANNEL-rate samples (the framer counts raw
-        # samples from the raw seek point): start_sample + k * block
-        return (resample_demod_packed_planar_jit(
-                    x, gains, cfg, p_up, q_dn, interpret=interpret),
-                [start_sample + s * p_up // q_dn for _, s in acc],
-                [float(g) / 127.0 for g in gains], n_real)
+        # scale=None -> per-channel device AGC AFTER resampling (the
+        # raw-window host peak underestimates resample overshoot and
+        # quantize clipped the strongest pulses — r5 review)
+        gain = None if scale is None else np.float32(scale)
+        out = resample_demod_packed_planar_jit(x, gain, cfg, p_up, q_dn,
+                                               interpret=interpret)
+        return (out, [start_sample + s * p_up // q_dn for _, s in acc],
+                n_real)
 
-    drain = _make_drain(cfg, epoch, stats, on_messages, batched=True)
-    items = itertools.islice(windows(), max_blocks)
-    yield from _pump(items, batch, depth, dispatch, drain)
+    yield from _pump(itertools.islice(windows(), max_blocks), batch, depth,
+                     dispatch,
+                     _make_fused_drain(cfg, epoch, stats, on_messages,
+                                       req_start))
+
+
+def _make_fused_drain(cfg, epoch, stats, on_messages, req_start: int):
+    """Drainer for the fused runners: the packed table AND the device-AGC
+    gains come back from the same program; messages before the REQUESTED
+    resume point (possible only in a snapped first window) are dropped."""
+    def drain(entry):
+        (packed, gains), starts, n_real = entry
+        arr = np.asarray(packed)
+        gs = np.asarray(gains)
+        out = []
+        for j in range(n_real):
+            table = unpack_table(arr[j])
+            msgs = host_mod.table_to_messages(
+                table, starts[j], cfg.channel_rate, epoch=epoch,
+                stats=stats, full_scale=float(gs[j]) / 127.0)
+            if starts[j] < req_start:
+                msgs = [m for m in msgs
+                        if int(float(m.split()[5]) * cfg.channel_rate
+                               + 0.5) >= req_start]
+            if on_messages:
+                on_messages(msgs)
+            out.append(msgs)
+        return out
+    return drain
 
 
 def run_resampled_fused_channels(
@@ -313,10 +339,12 @@ def run_resampled_fused_channels(
     p_up, q_dn = rational_rate(rate_in, cfg.channel_rate)
     raw_left, raw_block, raw_right = raw_geometry(cfg, p_up, q_dn)[:3]
     interpret = jax.default_backend() != "tpu"
+    req_start = start_sample
     if start_sample % p_up:
         start_sample -= start_sample % p_up   # raw-integer resume point
         # (see run_resampled_fused: flooring a fractional raw seek skews
-        # every timestamp of the resumed stream)
+        # every timestamp of the resumed stream; pre-req_start messages
+        # are filtered in the drain)
     in_skip = start_sample * q_dn // p_up
 
     def windows(path):
@@ -326,6 +354,7 @@ def run_resampled_fused_channels(
 
         def gen():
             for chunk in src_mod.raw_file_chunks(path, dtype=dtype,
+                                                 chunk_samples=1 << 22,
                                                  offset_samples=in_skip):
                 yield from framer.push(chunk)
             yield from framer.flush()
@@ -337,20 +366,12 @@ def run_resampled_fused_channels(
         return
     zero_win = np.zeros((raw_left + raw_block + raw_right, 2), np.float32)
     inflight: deque = deque()
+    fused_drain = _make_fused_drain(cfg, epoch, stats, None, req_start)
 
     def drain_one() -> List[Optional[List[str]]]:
-        packed, starts, fss, live = inflight.popleft()
-        arr = np.asarray(packed)
-        out: List[Optional[List[str]]] = []
-        for c in range(C):
-            if not live[c]:
-                out.append(None)
-                continue
-            table = unpack_table(arr[c])
-            out.append(host_mod.table_to_messages(
-                table, starts[c], cfg.channel_rate, epoch=epoch,
-                stats=stats, full_scale=fss[c]))
-        return out
+        entry, live = inflight.popleft()
+        msgs = fused_drain(entry)
+        return [msgs[c] if live[c] else None for c in range(C)]
 
     while True:
         items = [next(it, None) for it in iters]
@@ -360,18 +381,12 @@ def run_resampled_fused_channels(
         rows = [iq_to_device_layout(items[c][0]) if live[c] else zero_win
                 for c in range(C)]
         x = np.stack(rows)
-        if scale is not None:
-            gains = np.full(C, scale, np.float32)
-        else:
-            peaks = np.max(np.abs(x), axis=(1, 2))
-            gains = (120.0 / np.where(peaks > 0, peaks, 1.0)
-                     ).astype(np.float32)
+        gain = None if scale is None else np.float32(scale)
         starts = [start_sample + (items[c][1] * p_up // q_dn if live[c]
                                   else 0) for c in range(C)]
-        inflight.append((
-            resample_demod_packed_planar_jit(x, gains, cfg, p_up, q_dn,
-                                             interpret=interpret),
-            starts, [float(g) / 127.0 for g in gains], live))
+        out = resample_demod_packed_planar_jit(x, gain, cfg, p_up, q_dn,
+                                               interpret=interpret)
+        inflight.append(((out, starts, C), live))
         if len(inflight) > depth:
             yield drain_one()
     while inflight:

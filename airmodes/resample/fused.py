@@ -78,11 +78,13 @@ def raw_geometry(cfg: DspConfig, p: int, q: int) -> Tuple[int, int, int, int]:
 
 
 def resample_quantize_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
-                             p: int, q: int, taps_per_phase: int = 12
-                             ) -> jax.Array:
+                             p: int, q: int, taps_per_phase: int = 12):
     """Front half of the fused step: (C, rawL+rawB+rawR, 2) f32 raw ->
-    (C, 2, left+block+right) int8 planar at channel rate. Exposed so
-    tests can oracle-decode EXACTLY the int8 stream the fused demod sees
+    ((C, 2, left+block+right) int8 planar at channel rate, (C,) f32
+    gains). gain=None runs per-channel device AGC (120/peak of the
+    RESAMPLED waveform — the quantize-after-resample rule the host path
+    applies); a scalar or (C,) gain is applied as-is. Exposed so tests
+    can oracle-decode EXACTLY the int8 stream the fused demod sees
     (quantization after resampling changes bit-level inputs, so the
     golden comparison must consume the same bits)."""
     from .polyphase import _to_planar, resample_groups_halo
@@ -99,20 +101,38 @@ def resample_quantize_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
         xc = jax.vmap(_to_planar)(iq_raw).reshape(2 * c, -1)
     else:
         xc = jnp.swapaxes(iq_raw, 1, 2).reshape(2 * c, -1)
-    yc = resample_groups_halo(xc, p, q, taps_per_phase)
     win = cfg.left_halo + cfg.block_size + cfg.right_halo
-    y = jax.lax.slice_in_dim(yc, out_off, out_off + win, axis=1)
-    g = jnp.asarray(gain, jnp.float32)
-    if g.ndim == 1:            # per-channel AGC gains -> per planar row
-        g = jnp.repeat(g, 2)[:, None]
-    return quantize_i8(y, g).reshape(c, 2, win)
+    if p == q == 1:
+        # same-rate: pass through (resample()'s own short-circuit rule —
+        # the group matmuls at p=q=1 are a half-sample interpolator, not
+        # identity: r5 review)
+        y = jax.lax.slice_in_dim(xc, raw_left - cfg.left_halo,
+                                 raw_left - cfg.left_halo + win, axis=1)
+    else:
+        yc = resample_groups_halo(xc, p, q, taps_per_phase)
+        y = jax.lax.slice_in_dim(yc, out_off, out_off + win, axis=1)
+    if gain is None:
+        # on-device AGC AFTER resampling (the host raw-window peak under-
+        # estimates band-limited reconstruction overshoot by 1-3 dB and
+        # quantize clips exactly the strongest pulses — r5 review); the
+        # same 120/peak rule as _dev_layout, per channel
+        pk = jnp.maximum(
+            jnp.max(jnp.abs(y.reshape(c, 2 * win)), axis=1), 1e-30)
+        gains = jnp.float32(120.0) / pk
+    else:
+        g = jnp.asarray(gain, jnp.float32)
+        gains = jnp.broadcast_to(g, (c,)) if g.ndim == 0 else g
+    grow = jnp.repeat(gains, 2)[:, None]
+    return quantize_i8(y, grow).reshape(c, 2, win), gains
 
 
 def resample_demod_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
                           p: int, q: int, taps_per_phase: int = 12,
                           tile: int = None, interpret: bool = False):
     """Fused single-chip step: (C, rawL+rawB+rawR, 2) f32 raw-rate IQ ->
-    DetectionTable (leading C), indices relative to the owned block.
+    (DetectionTable (leading C), (C,) f32 gains), indices relative to
+    the owned block. gain=None = per-channel device AGC (see
+    resample_quantize_planar).
 
     The window layout is raw_geometry(cfg, p, q); resample, int8 quantize
     (round-half-even, the shared rule) and the planar Pallas demod all run
@@ -120,12 +140,14 @@ def resample_demod_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
     HBM-visible f32 intermediate at channel rate."""
     from ..kernels.preamble_pallas import demod_batch_planar, planar_length
 
-    y8 = resample_quantize_planar(iq_raw, gain, cfg, p, q, taps_per_phase)
+    y8, gains = resample_quantize_planar(iq_raw, gain, cfg, p, q,
+                                         taps_per_phase)
     c, _, win = y8.shape
     plen = planar_length(cfg, tile)
     xi = jnp.pad(y8[:, 0], ((0, 0), (0, plen - win)))
     xq = jnp.pad(y8[:, 1], ((0, 0), (0, plen - win)))
-    return demod_batch_planar(xi, xq, cfg, tile=tile, interpret=interpret)
+    return (demod_batch_planar(xi, xq, cfg, tile=tile, interpret=interpret),
+            gains)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -135,9 +157,10 @@ def resample_demod_packed_planar_jit(iq_raw, gain, cfg: DspConfig,
                                      taps_per_phase: int = 12,
                                      tile: int = None,
                                      interpret: bool = False):
-    """Fused path + pack_table: (C, W, 2) f32 raw + gain -> (C, K+1, 9)."""
+    """Fused path + pack_table: (C, W, 2) f32 raw (+ gain or None=AGC)
+    -> ((C, K+1, 9) int32, (C,) f32 gains)."""
     from ..dsp.pipeline import pack_table
-    table = resample_demod_planar(iq_raw, gain, cfg, p, q,
-                                  taps_per_phase=taps_per_phase,
-                                  tile=tile, interpret=interpret)
-    return jax.vmap(pack_table)(table)
+    table, gains = resample_demod_planar(iq_raw, gain, cfg, p, q,
+                                         taps_per_phase=taps_per_phase,
+                                         tile=tile, interpret=interpret)
+    return jax.vmap(pack_table)(table), gains

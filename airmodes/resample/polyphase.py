@@ -38,11 +38,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def design_lowpass(num_taps: int, cutoff: float, beta: float = 8.6) -> np.ndarray:
-    """Kaiser-windowed sinc low-pass; cutoff in (0, 1] of Nyquist."""
-    n = np.arange(num_taps) - (num_taps - 1) / 2
+def design_lowpass(num_taps: int, cutoff: float, beta: float = 8.6,
+                   delay: float = None) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass; cutoff in (0, 1] of Nyquist.
+
+    delay sets the filter's group delay in samples (default (N-1)/2, the
+    symmetric linear-phase center). The polyphase bank passes N/2: its
+    anchor arithmetic advances by p*(taps_eff//2) = N/2 upsampled ticks,
+    so a (N-1)/2-delay prototype left every resampled stream HALF an
+    upsampled tick early — a constant 1/(2*p*rate_in) timestamp bias
+    (~42 ns at 6->4 Msps; ~12 m of TDOA for a resampled mlat station
+    against native-rate stations — r5 review, verified by impulse
+    centroid)."""
+    c = (num_taps - 1) / 2 if delay is None else delay
+    n = np.arange(num_taps) - c
     h = np.sinc(cutoff * n) * cutoff
-    h *= np.kaiser(num_taps, beta)
+    # kaiser window evaluated about the SAME center (np.kaiser is only
+    # symmetric about (N-1)/2)
+    half = max(c, num_taps - 1 - c) + 0.5
+    h *= np.i0(beta * np.sqrt(np.clip(1 - (n / half) ** 2, 0.0, 1.0))) \
+        / np.i0(beta)
     return (h / h.sum()).astype(np.float32)
 
 
@@ -62,7 +77,8 @@ def _polyphase_bank(p: int, q: int, taps_per_phase: int) -> np.ndarray:
     """
     taps_eff = taps_per_phase * (-(-max(p, q) // p))
     num_taps = p * taps_eff
-    h = design_lowpass(num_taps, cutoff=1.0 / max(p, q)) * p
+    h = design_lowpass(num_taps, cutoff=1.0 / max(p, q),
+                       delay=num_taps / 2) * p
     return h.reshape(taps_eff, p).T.copy()  # [phase, tap]
 
 

@@ -65,7 +65,7 @@ def test_fused_oracle_parity_sps2_15db():
     ref = []
     for w, s in _windows(iq_raw):
         x = iq_to_device_layout(w)[None]
-        table = jax.jit(
+        table, _ = jax.jit(
             fused.resample_demod_planar,
             static_argnames=("cfg", "p", "q", "interpret"))(
                 x, gain, cfg=CFG, p=P_UP, q=Q_DN, interpret=True)
@@ -75,7 +75,7 @@ def test_fused_oracle_parity_sps2_15db():
             idx = int(float(m.split()[5]) * CFG.channel_rate + 0.5) - start
             got.append((idx, m.split()[1], start))
         y8 = np.asarray(fused.resample_quantize_planar(
-            x, gain, CFG, P_UP, Q_DN))[0]
+            x, gain, CFG, P_UP, Q_DN)[0])[0]
         iq8 = y8[0].astype(np.float32) + 1j * y8[1].astype(np.float32)
         for idx, hexmsg in golden.reference_decode(iq8, CFG):
             own = idx - CFG.left_halo
@@ -100,7 +100,7 @@ def test_fused_front_matches_offline_resample():
     for w, s in _windows(iq_raw):
         x = iq_to_device_layout(w)[None]
         y8 = np.asarray(fused.resample_quantize_planar(
-            x, gain, CFG, P_UP, Q_DN))[0]
+            x, gain, CFG, P_UP, Q_DN)[0])[0]
         start = s * P_UP // Q_DN        # owned channel-rate start
         own_i = y8[0, CFG.left_halo: CFG.left_halo + CFG.block_size]
         own_q = y8[1, CFG.left_halo: CFG.left_halo + CFG.block_size]
@@ -111,6 +111,59 @@ def test_fused_front_matches_offline_resample():
         dq = np.abs(own_q[:n].astype(np.int32) - ref_q.astype(np.int32))
         assert di.max(initial=0) <= 1 and dq.max(initial=0) <= 1
         assert (di > 0).mean() < 1e-3 and (dq > 0).mean() < 1e-3
+
+
+def test_device_agc_and_identity_passthrough():
+    """gain=None runs per-channel AGC on the RESAMPLED waveform (peak ->
+    exactly 120, so quantize can never clip resample overshoot — r5
+    review), and p=q=1 passes the stream through instead of applying the
+    half-sample group interpolator."""
+    iq_raw, _ = _raw_capture(1, snr_db=20.0, seed=37)
+    w, _ = _windows(iq_raw)[0]
+    x = iq_to_device_layout(w)[None]
+    y8, gains = fused.resample_quantize_planar(x, None, CFG, P_UP, Q_DN)
+    y8, gains = np.asarray(y8), np.asarray(gains)
+    assert gains.shape == (1,) and gains[0] > 0
+    assert 115 <= np.abs(y8).max() <= 120      # AGC: peak == round(120)
+    # p=q=1 identity: the window slice must equal the input quantized
+    cfg1 = airmodes.DspConfig(channel_rate=2e6, block_size=1 << 16,
+                              max_detections=16)
+    rl, rb, rr, _ = fused.raw_geometry(cfg1, 1, 1)
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((rl + rb + rr, 2)) * 0.1).astype(np.float32)
+    y1, g1 = fused.resample_quantize_planar(w[None], np.float32(100.0),
+                                            cfg1, 1, 1)
+    y1 = np.asarray(y1)[0]
+    win = cfg1.left_halo + cfg1.block_size + cfg1.right_halo
+    lo = rl - cfg1.left_halo
+    ref = host.quantize_i8_np(w[lo: lo + win], 100.0)
+    assert np.array_equal(y1[0], ref[:, 0]) and np.array_equal(y1[1],
+                                                               ref[:, 1])
+
+
+def test_resampler_group_delay_unbiased():
+    """The polyphase prototype's group delay must cancel the anchor
+    advance exactly (r5 review: the (N-1)/2 prototype left every
+    resampled stream half an upsampled tick early — a constant
+    1/(2*p*rate_in) timestamp bias, ~12 m of TDOA for resampled mlat
+    stations). Metric: p/q-then-q/p round trip of band-limited noise,
+    delay from the cross-spectrum phase slope; must be exactly zero."""
+    from airmodes.resample.polyphase import resample
+    rng = np.random.default_rng(0)
+    n = 1 << 14
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    X = np.fft.fft(x)
+    X[n // 8: -n // 8] = 0                      # band-limit to 1/4 Nyq
+    x = np.fft.ifft(X).astype(np.complex64)
+    for p, q in ((2, 3), (3, 2), (1, 4), (5, 3)):
+        y = np.asarray(resample(np.asarray(resample(x, p, q)), q, p))
+        m = min(len(x), len(y))
+        a, b = x[256: m - 256], y[256: m - 256]
+        S = np.fft.fft(b) * np.conj(np.fft.fft(a))
+        k = np.fft.fftfreq(len(S))
+        band = np.abs(k) < 0.1
+        lag = -np.polyfit(k[band], np.angle(S[band]), 1)[0] / (2 * np.pi)
+        assert abs(lag) < 0.01, (p, q, lag)
 
 
 def test_run_resampled_fused_runner():
