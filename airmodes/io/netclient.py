@@ -280,8 +280,14 @@ class net_client:
             delta = ((mlat - c0 + half) & ((1 << 48) - 1)) - half
             # a healthy counter's implied elapsed time tracks the host
             # clock; divergence (not mere age!) marks a remote counter
-            # reset/re-lock without a TCP disconnect
-            if abs(delta / MLAT_HZ - (time.time() - t0)) > 5.0:
+            # reset/re-lock without a TCP disconnect. The threshold grows
+            # with elapsed time: SDR sample clocks run 30-100 ppm off, so
+            # a fixed 5 s bound false-fired on a healthy day-old feed
+            # (~4.3 s/day at 50 ppm) and trashed the trained mlat sync
+            # state ~daily; a real reset diverges by minutes-to-days
+            # (r5 review). 200 ppm covers worst-case drift both ways.
+            elapsed = time.time() - t0
+            if abs(delta / MLAT_HZ - elapsed) > 5.0 + 200e-6 * abs(elapsed):
                 self._anchor = (time.time(), mlat)
                 t0, c0 = self._anchor
                 delta = 0
@@ -547,6 +553,11 @@ def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
             if not host or not port.isdigit():
                 raise ValueError(f"bad network source {url!r} "
                                  "(want scheme://host:port)")
+            if host.startswith("[") and host.endswith("]"):
+                # bracketed IPv6 literal: socket APIs take the bare
+                # address (brackets left on, every connect gaierror'd
+                # forever — r5 review)
+                host = host[1:-1]
             return scheme, host, int(port)
     return None
 

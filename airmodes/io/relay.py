@@ -74,6 +74,11 @@ class zmq_pubsub_iface:
         self._pubaddr = pubaddr
         self._local = local_pubsub()
         self._stop = threading.Event()
+        self._closed = threading.Event()
+        # set by the bridge thread if it exits on an unrecoverable socket
+        # error: publish() then falls back to local dispatch so local
+        # subscribers keep working (r5 review: they silently starved)
+        self._bridge_dead = threading.Event()
         # (subscribe?, topic) ops the bridge thread has yet to apply —
         # zmq sockets are single-threaded, so SUBSCRIBE *and* UNSUBSCRIBE
         # both queue here
@@ -107,14 +112,17 @@ class zmq_pubsub_iface:
             self._pending_topics.append((False, topic))
 
     def publish(self, topic: str, msg: str) -> None:
+        if self._closed.is_set():
+            return        # post-close publishes DROP (r5 review: falling
+            # through to local dispatch delivered messages after close)
         if self._pub is not None:
             with self._pub_lock:
                 if self._pub is not None:   # close() raced us: drop
                     self._pub.send_multipart([topic.encode(), msg.encode()])
-            if self._thread is None:
-                # pubaddr-only iface: local subscribers would otherwise
-                # NEVER fire (no SUB bridge to loop the message back) —
-                # dispatch locally too. With a bridge, the loopback
+            if self._thread is None or self._bridge_dead.is_set():
+                # pubaddr-only iface (or the SUB bridge died on a socket
+                # error): local subscribers would otherwise NEVER fire —
+                # dispatch locally too. With a live bridge, the loopback
                 # delivers, so skip to avoid double dispatch.
                 self._local.publish(topic, msg)
         else:
@@ -126,37 +134,61 @@ class zmq_pubsub_iface:
 
     def _run(self) -> None:
         import sys
+        sub = None
         try:
             sub = self._ctx.socket(zmq.SUB)
             sub.connect(self._subaddr)
+            poller = zmq.Poller()
+            poller.register(sub, zmq.POLLIN)
+            errors = 0
+            while not self._stop.is_set():
+                with self._pending_lock:
+                    pending, self._pending_topics = self._pending_topics, []
+                try:
+                    # setsockopt INSIDE the guarded region: an ETERM /
+                    # EINVAL here used to kill the thread with an
+                    # unhandled traceback and leak the socket (r5 review)
+                    for is_sub, t in pending:
+                        sub.setsockopt(
+                            zmq.SUBSCRIBE if is_sub else zmq.UNSUBSCRIBE,
+                            t.encode())
+                    if not dict(poller.poll(timeout=100)):
+                        continue
+                    parts = sub.recv_multipart()
+                    errors = 0
+                except zmq.ZMQError as e:
+                    if self._stop.is_set():
+                        break
+                    if getattr(e, "errno", None) == zmq.ETERM:
+                        print("zmq_pubsub_iface: context terminated",
+                              file=sys.stderr)
+                        break
+                    # transient error: log and RETRY (a permanent break
+                    # silently starved every subscriber — r5 review);
+                    # give up only after a burst of consecutive failures
+                    errors += 1
+                    print(f"zmq_pubsub_iface: recv error ({errors}): {e}",
+                          file=sys.stderr)
+                    if errors >= 10:
+                        break
+                    self._stop.wait(0.2)
+                    continue
+                if len(parts) == 2:
+                    self._dispatch(parts[0].decode(), parts[1].decode())
         except zmq.ZMQError as e:
             print(f"zmq_pubsub_iface: SUB setup failed for "
                   f"{self._subaddr!r}: {e}", file=sys.stderr)
-            return
-        poller = zmq.Poller()
-        poller.register(sub, zmq.POLLIN)
-        while not self._stop.is_set():
-            with self._pending_lock:
-                pending, self._pending_topics = self._pending_topics, []
-            for is_sub, t in pending:
-                sub.setsockopt(zmq.SUBSCRIBE if is_sub else zmq.UNSUBSCRIBE,
-                               t.encode())
-            try:
-                if not dict(poller.poll(timeout=100)):
-                    continue
-                parts = sub.recv_multipart()
-            except zmq.ZMQError as e:
-                # context terminated / transient socket error: a silent
-                # thread death would stop every subscriber with no signal
-                if self._stop.is_set():
-                    break
-                print(f"zmq_pubsub_iface: recv error: {e}", file=sys.stderr)
-                break
-            if len(parts) == 2:
-                self._dispatch(parts[0].decode(), parts[1].decode())
-        sub.close(linger=0)
+        finally:
+            if not self._stop.is_set():
+                self._bridge_dead.set()
+            if sub is not None:
+                try:
+                    sub.close(linger=0)
+                except zmq.ZMQError:
+                    pass
 
     def close(self) -> None:
+        self._closed.set()
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)

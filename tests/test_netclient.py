@@ -141,6 +141,32 @@ def test_parse_net_url():
     assert parse_net_url("capture.c64") is None
     with pytest.raises(ValueError):
         parse_net_url("beast://noport")
+    # bracketed IPv6 literal: socket APIs take the bare address (r5
+    # review: brackets left on -> every connect gaierror'd forever)
+    assert parse_net_url("beast://[2001:db8::1]:30005") == \
+        ("beast", "2001:db8::1", 30005)
+
+
+def test_mlat_reanchor_tolerates_sdr_clock_drift(monkeypatch):
+    """A healthy day-old feed whose 12 MHz counter runs 50 ppm fast
+    (typical rtl-sdr) must NOT be misread as a counter reset (r5 review:
+    a fixed 5 s divergence bound false-fired ~daily, trashing trained
+    mlat clock-sync state); a true reset (counter restart) still must."""
+    from airmodes.io import netclient as nc
+
+    clock = [1000.0]
+    monkeypatch.setattr(nc.time, "time", lambda: clock[0])
+    reanchors = []
+    c = nc.net_client("h", 1, lambda m: None, fmt="beast",
+                      timestamps="mlat")
+    c.on_reanchor = lambda: reanchors.append(1)
+    c._emit("8d" + "0" * 26, 100, 0)            # anchors at counter 0
+    clock[0] += 86400.0                          # one day of host time
+    tick = int(86400 * nc.MLAT_HZ * (1 + 50e-6))  # 50 ppm fast counter
+    c._emit("8d" + "0" * 26, 100, tick)
+    assert not reanchors, "healthy drift misread as counter reset"
+    c._emit("8d" + "0" * 26, 100, 1000)          # true restart near zero
+    assert reanchors
 
 
 # --- end-to-end over loopback TCP ----------------------------------------
