@@ -88,6 +88,9 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
             import math
             pts = []
             for brg, rng in azm.envelope():
+                if rng <= 0.0:
+                    continue    # uncovered bearing: drawing it collapses
+                    # the polygon to the center (render_ascii skips too)
                 rr = r * min(rng / maxr, 1.0)
                 a = math.radians(brg - 90.0)
                 pts.append(QtCore.QPointF(cx + rr * math.cos(a),
@@ -122,7 +125,9 @@ def run_qt(feed, dash: dashboard, azm: az_map_model) -> int:
     t = threading.Thread(target=lambda: feed(stop), daemon=True)
     t.start()
     try:
-        return app.exec_()
+        # PySide6 6.x removed the snake_case exec_(); PyQt5 has both
+        run = getattr(app, "exec", None) or app.exec_
+        return run()
     finally:
         stop.set()
 
@@ -184,7 +189,9 @@ def run_curses(feed, dash: dashboard, azm: az_map_model,
             # wraps over row 3 on an 80-column terminal (or aborts the
             # UI entirely on a window too short for the wrapped line)
             scr.addstr(2, 0, hdr[: maxx - 1], curses.A_UNDERLINE)
-            for i, r in enumerate(rows[: maxy - 4]):
+            # max(0, ...): on a terminal shorter than 4 lines a negative
+            # slice keeps rows and addstr past the bottom aborts the UI
+            for i, r in enumerate(rows[: max(0, maxy - 4)]):
                 (icao, ident, sqk, alt, spd, hdg, vs, lat, lon, rng, brg,
                  emerg, rssi, _) = r
                 def s(v, fmt="{}"):
@@ -331,42 +338,24 @@ def main(argv=None) -> int:
                 emit(wire_msg)
             return
         from ..config import DspConfig
-        from ..io import sources as src_mod
-        from ..io.stream import run_pipelined
+        from .modes_rx import build_msg_iter
         cfg = DspConfig(channel_rate=args.channel_rate,
                         threshold_db=args.threshold,
                         block_size=args.block_size,
                         max_detections=args.max_detections)
-        if source == "synthetic":
-            blocks = src_mod.synthetic_source(cfg, n_blocks=args.max_blocks or 64)
-        elif source == "udp":
-            blocks = src_mod.udp_source(cfg, port=args.udp_port,
-                                        timeout_s=args.udp_timeout)
-        elif needs_resample:
-            # -r/--rate != channel rate: resample like modes_rx (silently
-            # framing a wrong-rate capture demodulates garbage)
-            blocks = src_mod.resampled_file_source(
-                source, cfg, dtype=args.file_format, rate_in=args.rate,
-                start_sample=args.start_sample)
-        else:
-            blocks = src_mod.file_source(source, cfg,
-                                         dtype=args.file_format,
-                                         start_sample=args.start_sample)
-        if args.max_blocks and source != "synthetic":
-            import itertools
-            blocks = itertools.islice(blocks, args.max_blocks)
-        epoch = time.time()
-        # the same pipelined runner as modes_rx: per-block synchronous
-        # dispatch+fetch costs ~60-75 ms of dead relay time per block;
-        # run_pipelined keeps --depth steps in flight and honors
-        # --int8/--batch (batch auto-sizes like modes_rx)
-        batch = args.batch
-        if batch <= 0:
-            import jax
-            batch = 8 if jax.default_backend() == "tpu" else 1
-        for msgs in run_pipelined(blocks, cfg, epoch=epoch, batch=batch,
-                                  quantize_i8=args.int8,
-                                  depth=args.depth):
+        # the SAME source->pipeline dispatch as modes_rx (native C++
+        # runtime, fused resample, python fallback — r5 review: a
+        # hand-simplified copy here had drifted, skipping the native
+        # path and silently ignoring --no-native/--i8-scale)
+        args.source = source
+        if source == "synthetic" and not args.max_blocks:
+            args.max_blocks = 64     # GUI demo default (modes_rx uses 4)
+        try:
+            msg_iter = build_msg_iter(args, cfg, epoch=time.time())
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return
+        for msgs in msg_iter:
             if stop.is_set():
                 return
             for m in msgs:

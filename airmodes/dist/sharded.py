@@ -239,6 +239,13 @@ def shard_input_planar(xi, xq, mesh: Mesh):
     return _place(xi, s), _place(xq, s)
 
 
+def shard_input_resample_planar(iqp, mesh: Mesh):
+    """Place a host PLANAR (C, 2, T_raw) f32 array with the fused
+    resample pipeline's sharding (make_sharded_resample_demod
+    planar=True)."""
+    return _place(iqp, NamedSharding(mesh, P("channel", None, "time")))
+
+
 def make_sharded_demod_planar_ctx(mesh: Mesh, cfg: DspConfig,
                                   tile: int = None, interpret: bool = None):
     """Planar-int8 sharded demod with STREAM context at the step edges.
@@ -315,11 +322,15 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
     EXPLICIT, not backend-auto: planar changes the returned arity (gain
     argument), so an environment-dependent default would break callers.
 
-    Planar: fn(iq, gain) — gain is the int8 quantization gain (traced
-    scalar, dsp/host.quantize_i8_np rule; report dBFS with full_scale =
-    gain/127). f32: fn(iq). Either way iq is global float32
-    (n_channels, n_time * raw_block, 2) at the RAW rate, sharded
-    P("channel", "time", None), where raw_block = cfg.block_size * q / p
+    Planar: fn(iqp, gain) — iqp is PLANAR float32
+    (n_channels, 2, n_time * raw_block) sharded P("channel", None,
+    "time") (a minor-dim-2 interleaved device array reads ~15x slower
+    through a tile-padded relayout — r5 stage probe; hosts split I/Q
+    with two strided copies); gain is the int8 quantization gain
+    (traced scalar or (C,) vector, or None for on-device per-channel
+    AGC; report dBFS with full_scale = gain/127). f32: fn(iq) with iq
+    interleaved (n_channels, n_time * raw_block, 2) sharded
+    P("channel", "time", None). raw_block = cfg.block_size * q / p
     (must be an integer multiple of 128q — i.e. cfg.block_size a multiple
     of 128p). Detection indices are global in the RESAMPLED (channel-rate)
     domain, matching what a host-side resample-then-demod produces.
@@ -373,8 +384,22 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
         interpret = not on_tpu
     plen = planar_length(cfg, tile)
 
-    def shard_fn_planar(iq_shard, gain):
-        y8 = quantize_i8(resample_shard(iq_shard), gain)  # (C, 2, block) i8
+    def shard_fn_planar(iqp_shard, gain):
+        # (C_loc, 2, raw_block) PLANAR f32 at the raw rate
+        c_loc = iqp_shard.shape[0]
+        ri = _exchange_halos(iqp_shard[:, 0], gi, gi)     # resample halos
+        rq = _exchange_halos(iqp_shard[:, 1], gi, gi)
+        xc = jnp.concatenate([ri[:, None], rq[:, None]],
+                             axis=1).reshape(2 * c_loc, -1)
+        yc = resample_groups_halo(xc, p, q, taps_per_phase)
+        y = yc.reshape(c_loc, 2, -1)
+        # gain is caller-supplied here (scalar or per-channel) — device
+        # AGC inside shard_map would mint a DIFFERENT gain per time
+        # shard, breaking the one-full_scale-per-stream dBFS contract;
+        # the single-chip fused path (resample/fused.py) offers AGC
+        g = jnp.asarray(gain, jnp.float32)
+        gain_c = jnp.broadcast_to(g, (c_loc,)) if g.ndim == 0 else g
+        y8 = quantize_i8(y, jnp.repeat(gain_c, 2).reshape(c_loc, 2, 1))
         xi = _exchange_halos(y8[:, 0], left, right)       # int8 ICI halos
         xq = _exchange_halos(y8[:, 1], left, right)
         pad = plen - xi.shape[1]
@@ -387,7 +412,7 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
 
     fn = shard_map(
         shard_fn_planar, mesh=mesh,
-        in_specs=(P("channel", "time", None), P()),
+        in_specs=(P("channel", None, "time"), P()),
         out_specs=DetectionTable(*([P("channel", "time")] * 10)),
         # pallas_call outputs don't carry vma metadata; skip the check
         check_vma=False,

@@ -116,6 +116,14 @@ def _dev_layout(block, quantize_i8: bool):
     return x, fs
 
 
+def _planar_f32(w: np.ndarray) -> np.ndarray:
+    """complex64 (W,) window -> PLANAR (2, W) f32 — the fused resample
+    path's input layout (an interleaved minor-dim-2 device array reads
+    ~15x slower on TPU through a tile-padded relayout; two host strided
+    copies are far cheaper — r5 stage probe)."""
+    return np.stack([w.real, w.imag])
+
+
 def _make_drain(cfg, epoch, stats, on_messages, batched: bool):
     """Entry drainer shared by the pipelined runners: entry =
     (dispatched packed table, starts, full_scales, n_real) -> per-block
@@ -269,7 +277,9 @@ def run_resampled_fused(
     def dispatch(acc):
         n_real = len(acc)
         acc = acc + [acc[-1]] * (batch - n_real)   # pad a partial batch;
-        x = np.stack([iq_to_device_layout(w) for w, _ in acc])
+        # PLANAR (B, 2, W) f32: a minor-dim-2 (W, 2) device array reads
+        # ~15x slower through a tile-padded relayout (r5 stage probe)
+        x = np.stack([_planar_f32(w) for w, _ in acc])
         # scale=None -> per-channel device AGC AFTER resampling (the
         # raw-window host peak underestimates resample overshoot and
         # quantize clipped the strongest pulses — r5 review)
@@ -364,7 +374,7 @@ def run_resampled_fused_channels(
     C = len(iters)
     if C == 0:
         return
-    zero_win = np.zeros((raw_left + raw_block + raw_right, 2), np.float32)
+    zero_win = np.zeros((2, raw_left + raw_block + raw_right), np.float32)
     inflight: deque = deque()
     fused_drain = _make_fused_drain(cfg, epoch, stats, None, req_start)
 
@@ -378,7 +388,7 @@ def run_resampled_fused_channels(
         live = [i is not None for i in items]
         if not any(live):
             break
-        rows = [iq_to_device_layout(items[c][0]) if live[c] else zero_win
+        rows = [_planar_f32(items[c][0]) if live[c] else zero_win
                 for c in range(C)]
         x = np.stack(rows)
         gain = None if scale is None else np.float32(scale)

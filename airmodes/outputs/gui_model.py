@@ -107,7 +107,12 @@ class dashboard:
         st.last_seen = rep.timestamp
         self._latest = max(self._latest, rep.timestamp)
         self._n_updates += 1
-        st.rssi_dbfs = rep.ref_dbfs
+        if rep.ref_dbfs:
+            # 0.0 dBFS is the no-measurement placeholder (counter-less
+            # AVR records, mlat solutions) — a real full-scale reading is
+            # physically implausible; letting it through clobbered real
+            # rssi with "full scale" in every table (r5 review)
+            st.rssi_dbfs = rep.ref_dbfs
         st.n_messages += 1
         if rep.altitude_ft is not None:
             # GNSS HAE (TC20-22) must not overwrite barometric altitude:

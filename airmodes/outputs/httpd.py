@@ -26,7 +26,8 @@ import json
 import threading
 from typing import Optional, Tuple
 
-from ..constants import STATUS_CORRECTED_1, STATUS_CORRECTED_2
+from ..constants import (AP_ADDRESS_DFS, STATUS_CORRECTED_1,
+                         STATUS_CORRECTED_2)
 from ..decode.parse import parse
 from ..exceptions import ADSBError
 from .az_map import az_map_model
@@ -141,7 +142,7 @@ async function tick(){
         rng=Math.hypot(dx,dy).toFixed(1);
         brg=((Math.atan2(dx,dy)*180/Math.PI+360)%360).toFixed(0);
       }
-      for(const v of [a.hex,a.flight,a.squawk,a.alt_baro,a.gs&&a.gs.toFixed(0),
+      for(const v of [a.hex,a.flight,a.squawk,a.alt_baro??a.alt_geom,a.gs&&a.gs.toFixed(0),
                       a.track&&a.track.toFixed(0),a.baro_rate,rng,brg,a.rssi,
                       a.messages,a.seen]){
         const td=document.createElement('td');td.textContent=v===undefined?'':v;tr.appendChild(td);
@@ -228,12 +229,14 @@ class output_http:
         self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
-        self._thread = threading.Thread(
-            target=self._httpd.serve_forever, daemon=True)
-        self._thread.start()
+        # attribute init BEFORE the server thread starts: a GET accepted
+        # in the gap hit AttributeError in aircraft_doc (r5 review)
         self._last_snap: Optional[float] = None
         self._last_snap_wall: Optional[float] = None
         self._last_doc_wall: float = 0.0
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
 
     def aircraft_doc(self) -> bytes:
         """Snapshot bytes for GET, re-serialized when the message stream
@@ -311,7 +314,18 @@ class output_http:
                 self._n_corrected += 1
             if rep.lat is not None:
                 self._n_positions += 1
-            if rep.icao is not None:
+            if rep.icao is not None and (
+                    trusted or rep.df not in AP_ADDRESS_DFS
+                    or rep.icao in self._seen_icaos
+                    or rep.icao in self._dash.aircraft):
+                # unique_aircraft counts VALIDATED addresses (same rule
+                # as the dashboard's icao gate): an unvalidated
+                # AP-overlay syndrome is a phantom ~every few seconds on
+                # busy marginal traffic, and the ungated set both
+                # inflated the stat and grew without bound (r5 review)
+                if len(self._seen_icaos) > 1 << 17:
+                    self._seen_icaos.clear()   # day-scale safety valve;
+                    # the count restarts rather than growing forever
                 self._seen_icaos.add(rep.icao)
             if self._t_first is None:
                 self._t_first = rep.timestamp

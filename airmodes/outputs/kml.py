@@ -104,3 +104,11 @@ class output_kml:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        try:
+            # final rewrite: a replay shorter than one interval would
+            # otherwise end with NO KML file at all (the timer never
+            # fired), and a longer one would drop its last interval's
+            # positions (r5: caught by the all-plugins soak test)
+            self.write_once()
+        except (sqlite3.Error, OSError):
+            pass

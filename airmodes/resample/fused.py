@@ -77,30 +77,32 @@ def raw_geometry(cfg: DspConfig, p: int, q: int) -> Tuple[int, int, int, int]:
     return raw_left, raw_block, raw_right, out_off
 
 
-def resample_quantize_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
+def resample_quantize_planar(iqp_raw: jax.Array, gain, cfg: DspConfig,
                              p: int, q: int, taps_per_phase: int = 12):
-    """Front half of the fused step: (C, rawL+rawB+rawR, 2) f32 raw ->
-    ((C, 2, left+block+right) int8 planar at channel rate, (C,) f32
-    gains). gain=None runs per-channel device AGC (120/peak of the
+    """Front half of the fused step: PLANAR (C, 2, rawL+rawB+rawR) f32
+    raw -> ((C, 2, left+block+right) int8 planar at channel rate, (C,)
+    f32 gains). gain=None runs per-channel device AGC (120/peak of the
     RESAMPLED waveform — the quantize-after-resample rule the host path
-    applies); a scalar or (C,) gain is applied as-is. Exposed so tests
-    can oracle-decode EXACTLY the int8 stream the fused demod sees
+    applies); a scalar or (C,) gain is applied as-is.
+
+    Input is PLANAR f32, not interleaved (N, 2): a minor-dim-2 device
+    array reads through a tile-padded relayout that measured 77 ms of a
+    92 ms call (~5 GB/s effective, r5 stage probe) — the host splits
+    I/Q with two strided copies instead. Exposed so tests can
+    oracle-decode EXACTLY the int8 stream the fused demod sees
     (quantization after resampling changes bit-level inputs, so the
     golden comparison must consume the same bits)."""
-    from .polyphase import _to_planar, resample_groups_halo
+    from .polyphase import resample_groups_halo
 
     raw_left, raw_block, raw_right, out_off = raw_geometry(cfg, p, q)
-    if iq_raw.ndim == 2:
-        iq_raw = iq_raw[None]
-    c = iq_raw.shape[0]
+    if iqp_raw.ndim == 2:
+        iqp_raw = iqp_raw[None]
+    c = iqp_raw.shape[0]
     want = raw_left + raw_block + raw_right
-    if iq_raw.shape[1] != want:
-        raise ValueError(f"fused window must be {want} raw samples "
-                         f"(raw_geometry), got {iq_raw.shape[1]}")
-    if jax.default_backend() == "tpu":
-        xc = jax.vmap(_to_planar)(iq_raw).reshape(2 * c, -1)
-    else:
-        xc = jnp.swapaxes(iq_raw, 1, 2).reshape(2 * c, -1)
+    if iqp_raw.shape[1] != 2 or iqp_raw.shape[2] != want:
+        raise ValueError(f"fused window must be planar (C, 2, {want}) "
+                         f"(raw_geometry), got {iqp_raw.shape}")
+    xc = iqp_raw.reshape(2 * c, want)
     win = cfg.left_halo + cfg.block_size + cfg.right_halo
     if p == q == 1:
         # same-rate: pass through (resample()'s own short-circuit rule —
@@ -129,7 +131,7 @@ def resample_quantize_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
 def resample_demod_planar(iq_raw: jax.Array, gain, cfg: DspConfig,
                           p: int, q: int, taps_per_phase: int = 12,
                           tile: int = None, interpret: bool = False):
-    """Fused single-chip step: (C, rawL+rawB+rawR, 2) f32 raw-rate IQ ->
+    """Fused single-chip step: PLANAR (C, 2, rawL+rawB+rawR) f32 raw ->
     (DetectionTable (leading C), (C,) f32 gains), indices relative to
     the owned block. gain=None = per-channel device AGC (see
     resample_quantize_planar).
@@ -157,8 +159,8 @@ def resample_demod_packed_planar_jit(iq_raw, gain, cfg: DspConfig,
                                      taps_per_phase: int = 12,
                                      tile: int = None,
                                      interpret: bool = False):
-    """Fused path + pack_table: (C, W, 2) f32 raw (+ gain or None=AGC)
-    -> ((C, K+1, 9) int32, (C,) f32 gains)."""
+    """Fused path + pack_table: planar (C, 2, W) f32 raw (+ gain or
+    None=AGC) -> ((C, K+1, 9) int32, (C,) f32 gains)."""
     from ..dsp.pipeline import pack_table
     table, gains = resample_demod_planar(iq_raw, gain, cfg, p, q,
                                          taps_per_phase=taps_per_phase,

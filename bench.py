@@ -427,10 +427,15 @@ def bench_sharded_resample(seed: int = 55):
     planar = jax.default_backend() == "tpu"
     fn = sharded.make_sharded_resample_demod(mesh, cfgr, p_up, q_dn,
                                              planar=planar)
-    x = iq_to_device_layout(iq_raw)[None]
     gain = np.float32(120.0 / (float(np.abs(iq_raw).max()) or 1.0))
-    args = (sharded.shard_input(x, mesh), gain) if planar \
-        else (sharded.shard_input(x, mesh),)
+    if planar:
+        # PLANAR (C, 2, N) f32 (minor-dim-2 interleaved reads relayout
+        # ~15x slower — r5 stage probe)
+        x = np.stack([iq_raw.real, iq_raw.imag]).astype(np.float32)[None]
+        args = (jax.device_put(x), gain)
+    else:
+        x = iq_to_device_layout(iq_raw)[None]
+        args = (sharded.shard_input(x, mesh),)
     table = jax.block_until_ready(fn(*args))
     sub = type(table)(*(np.asarray(f)[0, 0] for f in table))
     fs = float(gain) / 127.0 if planar else 1.0

@@ -14,10 +14,15 @@ import pytest
 
 import airmodes
 from airmodes.dsp import host
-from airmodes.dsp.pipeline import iq_to_device_layout, unpack_table
+from airmodes.dsp.pipeline import unpack_table
 from airmodes.io.sources import buffered_framer
 from airmodes.resample import fused
 from airmodes.testing import encoder, golden
+
+
+def _planar(w):
+    """complex (W,) -> the fused path's planar (1, 2, W) f32 input."""
+    return np.stack([w.real, w.imag]).astype(np.float32)[None]
 
 CFG = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 16,
                          max_detections=32)
@@ -64,7 +69,7 @@ def test_fused_oracle_parity_sps2_15db():
     got = []
     ref = []
     for w, s in _windows(iq_raw):
-        x = iq_to_device_layout(w)[None]
+        x = _planar(w)
         table, _ = jax.jit(
             fused.resample_demod_planar,
             static_argnames=("cfg", "p", "q", "interpret"))(
@@ -98,7 +103,7 @@ def test_fused_front_matches_offline_resample():
     y_off = np.asarray(resample(iq_raw.astype(np.complex64), P_UP, Q_DN))
     xi_off, xq_off = host.quantize_planar_i8_np(y_off, float(gain))
     for w, s in _windows(iq_raw):
-        x = iq_to_device_layout(w)[None]
+        x = _planar(w)
         y8 = np.asarray(fused.resample_quantize_planar(
             x, gain, CFG, P_UP, Q_DN)[0])[0]
         start = s * P_UP // Q_DN        # owned channel-rate start
@@ -120,7 +125,7 @@ def test_device_agc_and_identity_passthrough():
     half-sample group interpolator."""
     iq_raw, _ = _raw_capture(1, snr_db=20.0, seed=37)
     w, _ = _windows(iq_raw)[0]
-    x = iq_to_device_layout(w)[None]
+    x = _planar(w)
     y8, gains = fused.resample_quantize_planar(x, None, CFG, P_UP, Q_DN)
     y8, gains = np.asarray(y8), np.asarray(gains)
     assert gains.shape == (1,) and gains[0] > 0
@@ -131,8 +136,8 @@ def test_device_agc_and_identity_passthrough():
     rl, rb, rr, _ = fused.raw_geometry(cfg1, 1, 1)
     rng = np.random.default_rng(5)
     w = (rng.standard_normal((rl + rb + rr, 2)) * 0.1).astype(np.float32)
-    y1, g1 = fused.resample_quantize_planar(w[None], np.float32(100.0),
-                                            cfg1, 1, 1)
+    y1, g1 = fused.resample_quantize_planar(
+        np.ascontiguousarray(w.T)[None], np.float32(100.0), cfg1, 1, 1)
     y1 = np.asarray(y1)[0]
     win = cfg1.left_halo + cfg1.block_size + cfg1.right_halo
     lo = rl - cfg1.left_halo
@@ -271,12 +276,13 @@ def test_sharded_resample_planar_mesh():
         total_samples=raw_total)
     want = {t.hex for t in truth}
     mesh = sharded.make_mesh(n_channel=2, n_time=n_time)
-    x = np.tile(iq_to_device_layout(iq_raw)[None], (2, 1, 1))
+    x = np.tile(_planar(iq_raw), (2, 1, 1))
     gain = np.float32(120.0 / float(np.abs(iq_raw).max()))
 
     fn = sharded.make_sharded_resample_demod(mesh, cfg, P_UP, Q_DN,
                                              planar=True, interpret=True)
-    table = jax.block_until_ready(fn(sharded.shard_input(x, mesh), gain))
+    table = jax.block_until_ready(
+        fn(sharded.shard_input_resample_planar(x, mesh), gain))
 
     def decode(tbl):
         got = set()
@@ -292,5 +298,8 @@ def test_sharded_resample_planar_mesh():
 
     fn32 = sharded.make_sharded_resample_demod(mesh, cfg, P_UP, Q_DN,
                                                planar=False)
-    got32 = decode(jax.block_until_ready(fn32(sharded.shard_input(x, mesh))))
+    x32 = np.tile(np.stack([iq_raw.real, iq_raw.imag],
+                           -1).astype(np.float32)[None], (2, 1, 1))
+    got32 = decode(jax.block_until_ready(
+        fn32(sharded.shard_input(x32, mesh))))
     assert want <= got32
