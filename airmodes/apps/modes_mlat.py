@@ -99,6 +99,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         stations.append(pos)
         addrs.append(addr)
+    if args.min_stations < 3:
+        # the TDOA solver hard-requires >= 3 stations; a lower setting
+        # would run forever silently solving nothing (every group's
+        # mlat() raises, swallowed as drop-and-continue — r5 review)
+        print("--min-stations must be >= 3 (TDOA needs 3+ receivers)",
+              file=sys.stderr)
+        return 2
     if len(stations) < args.min_stations:
         print(f"need >= {args.min_stations} stations", file=sys.stderr)
         return 2

@@ -89,9 +89,19 @@ def summarize(ra: Dict) -> str:
             bits.append("reversal")
         if ra.get("altitude_crossing"):
             bits.append("crossing")
-    else:
+    elif ra.get("multiple_threats"):
         bits.append("RA (multi-threat encoding)")
-    if ra.get("multiple_threats"):
+    elif ra.get("complements"):
+        # complements-only coordination report (ARA inactive): the RAC
+        # bits ARE the content — dropping them labeled these messages
+        # "multi-threat encoding", factually wrong at MTE=0 (r5 review)
+        bits.append("RA complements")
+    else:
+        bits.append("RA")
+    if ra.get("complements"):
+        bits.append("complement " + "+".join(ra["complements"]))
+    if ra.get("multiple_threats") and (ra.get("ra_active")
+                                       or ra.get("ra_terminated")):
         bits.append("multi-threat")
     if "threat_icao" in ra:
         bits.append(f"threat {ra['threat_icao']:06x}")

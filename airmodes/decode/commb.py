@@ -311,7 +311,7 @@ def decode_bds44(mb: int) -> Dict:
     if r["press_status"]:
         out["pressure_hpa"] = float(r["press"])
     if r["turb_status"]:
-        out["turbulence"] = ("nil", "light", "moderate", "severe")[r["turb"]]
+        out["turbulence"] = HAZARD_LEVELS[r["turb"]]
     if r["hum_status"]:
         out["humidity_pct"] = r["hum"] * 100.0 / 64.0
     return out

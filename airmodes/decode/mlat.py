@@ -192,7 +192,9 @@ def mlat(replies: Dict[Tuple[float, float, float], float],
     leave-one-out solution is accepted if its residual passes the bound.
     Identification needs the SUBSETS to stay over-determined (an exactly
     determined 4-station subset fits ANY timestamps with zero residual),
-    so dropping requires n >= 6, or n >= 5 with an altitude constraint;
+    by >= 2: dropping requires n >= 7, or n >= 6 with an altitude
+    constraint (matching the code's can_drop — the r3 identifiability
+    floor);
     below that a failing bound refuses the fix rather than emitting a
     confidently wrong one. Size max_resid_m to the timestamp grade
     (~100 m for GPS/ns stamps; ~500 m for clock-sync-trained networks).
@@ -313,6 +315,9 @@ class mlat_coordinator:
         self._pending = {}  # hex -> {station: timestamp}
         self._seen_t = {}   # hex -> first timestamp
         self._all_ns = {}   # hex -> every arrival carried the ns field
+        self._solved = {}   # hex -> group first-timestamp of the solve:
+        # late copies of an already-solved transmission must not re-mint
+        # a second (worse-geometry) group for the same frame (r5 review)
         self._since_prune = 0
         # internal times are epoch-relative (see mlat_net.epoch_timebase
         # for the float64-precision rationale; shared with the correlator)
@@ -344,6 +349,12 @@ class mlat_coordinator:
         if self._since_prune >= 256:
             self._since_prune = 0
             self.prune(t)
+        sol_t = self._solved.get(hexframe)
+        if sol_t is not None and abs(t - sol_t) <= self.window_s:
+            # a late copy of an ALREADY-solved transmission: re-creating
+            # a group here would mint a second position for one frame
+            # from only the late (geometrically worse) subset (r5 review)
+            return None
         obs = self._pending.setdefault(hexframe, {})
         first = self._seen_t.setdefault(hexframe, t)
         if t - first > self.window_s:
@@ -358,7 +369,12 @@ class mlat_coordinator:
             # resetting (repeated identical DF4/DF11 transmissions arrive
             # seconds apart; CLAUDE.md round-2 grouping note)
             return None
-        obs[station] = t
+        if station not in obs or t < obs[station]:
+            # keep the EARLIEST arrival per station: a later own-multipath
+            # copy is ~us late (= km of pseudorange); same rule as
+            # mlat_correlator.feed (r5 review: last-wins silently
+            # diverged)
+            obs[station] = t
         self._all_ns[hexframe] = self._all_ns.get(hexframe, True) \
             and ns is not None
         if len(obs) < self.min_stations:
@@ -367,6 +383,7 @@ class mlat_coordinator:
         all_ns = self._all_ns.pop(hexframe, False)
         del self._pending[hexframe]
         del self._seen_t[hexframe]
+        self._solved[hexframe] = first
         # altitude constraint from the frame itself when decodable
         # (function-level import: mlat_net imports this module at top)
         from .mlat_net import _frame_altitude_ft
@@ -387,3 +404,6 @@ class mlat_coordinator:
             self._pending.pop(h, None)
             self._seen_t.pop(h, None)
             self._all_ns.pop(h, None)
+        for h in [h for h, t in self._solved.items()
+                  if now - t > 10 * self.window_s]:
+            del self._solved[h]

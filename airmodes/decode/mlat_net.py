@@ -70,16 +70,28 @@ class epoch_timebase:
     def __init__(self):
         self.base_ns: Optional[int] = None
 
+    # plausibility bound for anchoring AND per-message use: 2^35 s
+    # (~year 3058) covers unix-epoch and capture-relative time domains.
+    # Without it, one absurd-but-FINITE first timestamp (1e200, or a
+    # 30-digit ns token — int() is arbitrary precision) anchored the
+    # shared timebase so far away that every later arrival collapsed to
+    # one identical float, permanently disabling the solver and
+    # unbounding _pending (prune's age test always read 0) — r5 review.
+    _MAX_S = 1 << 35
+
     def rel(self, t_abs: float, ns: Optional[int]) -> float:
         import math
-        if self.base_ns is None and (ns is not None or math.isfinite(t_abs)):
-            base = ns if ns is not None else int(t_abs) * 1_000_000_000
+        ok_ns = ns is not None and 0 <= ns < self._MAX_S * 1_000_000_000
+        ok_t = math.isfinite(t_abs) and 0 <= t_abs < self._MAX_S
+        if self.base_ns is None and (ok_ns or ok_t):
+            base = ns if ok_ns else int(t_abs) * 1_000_000_000
             self.base_ns = base - base % 1_000_000_000
-        if ns is not None:
+        if ok_ns:
             return (ns - self.base_ns) * 1e-9
-        if self.base_ns is not None and math.isfinite(t_abs):
+        if self.base_ns is not None and ok_t:
             return t_abs - self.base_ns * 1e-9
-        return t_abs    # non-finite (or pre-anchor): callers gate on it
+        return math.nan  # non-finite or implausible: callers' finite
+        # gates drop the message without touching the anchor
 
     def abs_(self, t_rel: float) -> float:
         return t_rel + (self.base_ns or 0) * 1e-9
@@ -418,6 +430,9 @@ class mlat_correlator:
             # where a NaN timestamp corrupts pair-window/eviction checks
             # even when the ns field supplies the arrival time
         t = self._tb.rel(t_abs, ns)
+        if not math.isfinite(t):
+            return []   # implausible timestamp domain (rel() refused to
+            # anchor/convert): NaN must not reach the window comparisons
         # AP-overlaid DFs (0/4/5/16/20/21/24) carry the transmitter address
         # in the wire syndrome (status ADDR) — recover it so their TDOA
         # solutions are attributable, not anonymous

@@ -154,6 +154,75 @@ def test_coordinator_ns_extension_sub_50m():
     assert float(np.hypot(dlat, dlon)) < 50.0
 
 
+def test_coordinator_keeps_earliest_arrival_and_tombstones():
+    """r5 review: (a) a station's own later multipath copy must not
+    OVERWRITE its direct-path arrival (last-wins injected km of
+    pseudorange; mlat_correlator keeps earliest); (b) late copies of an
+    already-solved transmission must not re-create the group and mint a
+    second, worse-geometry position for the same frame."""
+    from airmodes.decode.mlat import C, llh2ecef, mlat_coordinator
+    from airmodes.testing import encoder
+    target = (47.1, 8.25, 9144.0)
+    stations = {f"st{i}": s for i, s in enumerate(STATIONS4)}
+    coord = mlat_coordinator(stations, min_stations=4)
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("EARL"))
+    t_ecef = llh2ecef(target)
+    unix_ns = 1_700_000_000_000_000_000
+
+    def msg(s, extra_ns=0):
+        d = np.linalg.norm(llh2ecef(s) - t_ecef)
+        ns = unix_ns + int(round(float(d) / C * 1e9)) + extra_ns
+        return f"17 {frame:028x} 000000 0 -20.0 {ns * 1e-9:.9f} {ns}"
+
+    names = list(stations)
+    pos = None
+    for name in names[:3]:
+        assert coord.report(name, msg(stations[name])) is None
+        # multipath copy 30 us later: must NOT replace the direct path
+        assert coord.report(name, msg(stations[name],
+                                      extra_ns=30_000)) is None
+    pos = coord.report(names[3], msg(stations[names[3]]))
+    assert pos is not None
+    lat, lon, _ = pos
+    dlat = (lat - target[0]) * 111_320.0
+    dlon = (lon - target[1]) * 111_320.0 * np.cos(np.radians(target[0]))
+    assert float(np.hypot(dlat, dlon)) < 100.0, "late copies biased solve"
+    # tombstone: late copies of the SAME transmission from the other
+    # stations must not mint a second group/solution
+    for name in names:
+        assert coord.report(name, msg(stations[name],
+                                      extra_ns=50_000)) is None
+    assert coord._pending == {}
+
+
+def test_timebase_rejects_implausible_anchor():
+    """r5 review: one absurd-but-FINITE first timestamp (1e200, or a
+    30-digit ns token) anchored the shared timebase so far away that
+    every later arrival collapsed to one float — silently disabling the
+    solver forever. rel() must refuse to anchor on it AND the message
+    must drop."""
+    import math
+    from airmodes.decode.mlat import mlat_coordinator
+    from airmodes.decode.mlat_net import epoch_timebase
+    tb = epoch_timebase()
+    assert math.isnan(tb.rel(1e200, None))
+    assert tb.base_ns is None                  # anchor untouched
+    # absurd ns token + sane float: degrades to the float path and
+    # anchors from the FLOAT, never the poisoned ns
+    t = tb.rel(5.0, 10 ** 30)
+    assert math.isfinite(t) and tb.base_ns == 5_000_000_000
+    assert math.isfinite(tb.rel(1.5, None))
+    # coordinator end-to-end: poison first, then a normal group solves
+    stations = {f"st{i}": s for i, s in enumerate(STATIONS4)}
+    coord = mlat_coordinator(stations, min_stations=4)
+    from airmodes.testing import encoder
+    frame = encoder.df17_frame(0x4840D6, encoder.me_identification("PSON"))
+    assert coord.report("st0",
+                        f"17 {frame:028x} 000000 0 -20.0 1e200") is None
+    assert coord._pending == {}
+    assert coord._tb.base_ns is None
+
+
 def test_mlat_outlier_rejection_leave_one_out():
     """A garbled arrival (multipath / counter glitch) silently biases
     plain least squares; with reject_outliers and identifiable
