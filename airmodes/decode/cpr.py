@@ -258,10 +258,22 @@ class cpr_decoder:
         if 0 in frames and 1 in frames and \
                 abs(frames[0][2] - frames[1][2]) <= PAIR_WINDOW_S and not (
                     surface and ref is None):
-            lat, lon = decode_global(
-                frames[0][:2], frames[1][:2],
-                most_recent_odd=frames[1][2] >= frames[0][2],
-                surface=surface, ref=ref if surface else None)
+            try:
+                lat, lon = decode_global(
+                    frames[0][:2], frames[1][:2],
+                    most_recent_odd=frames[1][2] >= frames[0][2],
+                    surface=surface, ref=ref if surface else None)
+            except CPRBoundaryStraddleError:
+                # an aircraft flying along an NL zone boundary straddles
+                # on EVERY pair — without this fallback its positions
+                # black out for the whole crossing even with a fresh own
+                # position cached (r5 review). Own-position local decode
+                # is alias-safe (the aircraft moved << half a zone).
+                if not ref_is_own:
+                    raise
+                lat, lon = decode_local(
+                    (encoded_lat, encoded_lon), bool(cpr_format), ref,
+                    surface)
         elif ref is not None and (ref_is_own or not self.global_first):
             # my_location-referenced local decode is zone-alias-limited
             # (see __init__); global_first restricts it to own-position

@@ -115,7 +115,13 @@ class parse:
         nbits = len(hexframe) * 4
         if nbits not in (56, 112):
             raise ParserError(f"bad frame length {nbits}")
-        data = int(hexframe, 16)
+        try:
+            data = int(hexframe, 16)
+        except ValueError:
+            # the documented contract is ADSBError-only: a non-hex frame
+            # token of valid length escaped as plain ValueError and killed
+            # every ADSBError-catching output sink (r5 review)
+            raise ParserError(f"non-hex frame {hexframe!r}")
         if (data >> (nbits - 5)) != df and not (df == 24 and data >> (nbits - 2) == 3):
             raise ParserError("DF mismatch between header and frame")
         # CRC re-check (ref: parse.py re-validates before dispatch). The wire
@@ -144,7 +150,10 @@ class parse:
         # ELM cycles that ended by going idle (no restart segment will ever
         # emit them) surface on whatever message arrives next — the message
         # stream is the parser's only clock
-        if self._elm_flush_t is None:
+        if self._elm_flush_t is None or timestamp < self._elm_flush_t:
+            # also RE-anchor on a timestamp regression (replay restart /
+            # feed switch): a stale high-water mark stalled idle-ELM
+            # delivery until timestamps climbed past it (r5 review)
             self._elm_flush_t = timestamp
         elif timestamp - self._elm_flush_t >= 1.0:
             flushed = self.elm.flush(timestamp)
@@ -170,10 +179,12 @@ class parse:
 
     def parse4(self, reply, report):
         report.flight_status = reply["fs"]
+        report.on_surface = reply["fs"] in (1, 3)  # FS 1/3 = on ground
         report.altitude_ft = self._alt13(reply["ac"])
 
     def parse5(self, reply, report):
         report.flight_status = reply["fs"]
+        report.on_surface = reply["fs"] in (1, 3)
         report.squawk = decode_squawk(reply["id"])
 
     def parse11(self, reply, report):
@@ -290,8 +301,12 @@ class parse:
                     # (geometric), not barometric altitude — flagged so
                     # consumers keep the two apart (decode_alt_gnss12
                     # documents the encoding-reading choice)
-                    report.altitude_ft = decode_alt(alt12, bit13=False)
-                    report.altitude_gnss = ftc >= 20
+                    if ftc >= 20:
+                        from .altitude import decode_alt_gnss12
+                        report.altitude_ft = decode_alt_gnss12(alt12)
+                        report.altitude_gnss = True
+                    else:
+                        report.altitude_ft = decode_alt(alt12, bit13=False)
                 except ADSBError:
                     pass
             self._decode_position(rep, report, surface=False)

@@ -378,7 +378,9 @@ def random_mixed_frames(n: int, seed: int = 0) -> List[Tuple[int, int]]:
     for i in range(n):
         icao = int(rng.integers(0, 1 << 24))
         ac13 = encode_alt_q(float(rng.integers(40, 1600) * 25))
-        id13 = int(rng.integers(0, 1 << 13)) & 0x1F7F   # M bit clear
+        id13 = int(rng.integers(0, 1 << 13)) & 0x1FBF   # X bit clear
+        # (bit 7-of-13; the old 0x1F7F cleared A4 instead, silently
+        # restricting squawk digit A to 0-3 — r5 review)
         k = i % 10
         if k < 6:
             out.append(df17[i])

@@ -11,6 +11,39 @@ from airmodes.decode import cpr
 from airmodes.exceptions import CPRNoPositionError
 
 
+def test_straddling_pair_falls_back_to_own_position_local():
+    """An aircraft crossing an NL zone boundary straddles on EVERY
+    even/odd pair; with a fresh own-position reference the decoder must
+    fall back to local decode instead of blacking out for the whole
+    crossing (r5 review)."""
+    lo, hi = 10.0, 11.0          # bisect an NL transition latitude
+    while hi - lo > 1e-9:
+        mid = (lo + hi) / 2
+        if cpr.nl(mid) == cpr.nl(lo):
+            lo = mid
+        else:
+            hi = mid
+    b = hi
+    dec = cpr.cpr_decoder(my_location=None)
+    icao, lon = 0x123456, 8.0
+    below = b - 0.03
+    # clean pair below the boundary establishes the own-position cache
+    yz, xz = cpr.cpr_encode(below, lon, odd=False, surface=False)
+    with pytest.raises(CPRNoPositionError):
+        dec.decode(icao, yz, xz, 0, timestamp=0.0)   # unpaired first frame
+    yz, xz = cpr.cpr_encode(below, lon, odd=True, surface=False)
+    got = dec.decode(icao, yz, xz, 1, timestamp=1.0)
+    assert got[0] is not None and abs(got[0] - below) < 1e-3
+    # the aircraft crosses: even just below, odd just above the boundary
+    yz0, xz0 = cpr.cpr_encode(b - 0.001, lon, odd=False, surface=False)
+    yz1, xz1 = cpr.cpr_encode(b + 0.001, lon, odd=True, surface=False)
+    assert cpr.nl(b - 0.001) != cpr.nl(b + 0.001)
+    dec.decode(icao, yz0, xz0, 0, timestamp=2.0)
+    lat2, lon2 = dec.decode(icao, yz1, xz1, 1, timestamp=2.5)[:2]
+    assert lat2 is not None and abs(lat2 - (b + 0.001)) < 5e-3
+    assert abs(lon2 - lon) < 5e-3
+
+
 def test_nl_values():
     assert cpr.nl(0) == 59
     assert cpr.nl(10.4704713) == 58   # just inside first transition

@@ -484,6 +484,42 @@ def test_parse_nonnumeric_tokens_raise_parsererror():
             parse().parse(" ".join(parts))
 
 
+def test_parse_nonhex_frame_raises_parsererror():
+    """A valid-length frame token of non-hex characters must raise
+    ParserError, not plain ValueError (r5 review: the int(hex, 16) sat
+    outside the try, killing every ADSBError-only output sink)."""
+    with pytest.raises(ADSBError):
+        parse().parse("17 " + "Z" * 28 + " 000000 0 -20.0 1.0")
+    with pytest.raises(ADSBError):
+        parse().parse("4 " + "Q" * 14 + " 000000 3 -20.0 1.0")
+
+
+def test_surveillance_fs_maps_on_surface():
+    """DF4/5/20/21 flight status 1/3 = on the ground; the report (and
+    thus the SBS-1 ground flag) must say so (r5 review: only DF0/16's
+    VS bit was mapped)."""
+    from airmodes.decode.altitude import encode_alt_q
+    for fs, expect in ((0, False), (1, True), (2, False), (3, True)):
+        f4 = encoder.df4_frame(0x123456, encode_alt_q(10000.0), fs=fs)
+        rep = parse().parse(wire(f4, 56, syndrome=0x123456, status=3))
+        assert rep.on_surface is expect, (fs, expect)
+        f5 = encoder.df5_frame(0x123456, 0o1234, fs=fs)
+        rep5 = parse().parse(wire(f5, 56, syndrome=0x123456, status=3))
+        assert rep5.on_surface is expect
+
+
+def test_elm_flush_anchor_survives_timestamp_regression():
+    """A replay restart jumps wire timestamps backwards; the idle-ELM
+    flush high-water mark must re-anchor instead of stalling flushes
+    until time climbs past the old mark (r5 review)."""
+    p = parse()
+    f = encoder.df17_frame(0x4840D6, encoder.me_identification("ELMT"))
+    p.parse(wire(f, 112, ts=1000.0))
+    assert p._elm_flush_t == 1000.0
+    p.parse(wire(f, 112, ts=3.0))       # regression: re-anchor
+    assert p._elm_flush_t == 3.0
+
+
 def test_parse_wrong_length_for_df_raises_adsberror():
     """A 56-bit frame whose header claims a 112-bit DF must raise an
     ADSBError from layout extraction, not plain ValueError (r4 review:
