@@ -116,8 +116,17 @@ def table_to_messages(
         # the low DF bits): normalize to 24 on the wire, the format the
         # parser dispatches on (ref: parse.py treats first-2-bits==3 as DF24)
         df_wire = min(int(df[k]), 24)
-        ns = epoch_ns + int(round(
-            (block_start_sample + int(index[k])) * 1e9 / rate))
+        samples = block_start_sample + int(index[k])
+        irate = int(rate)
+        if irate == rate:
+            # INTEGER ns scaling: the float64 form (samples*1e9/rate)
+            # loses ~4 ns after months of uptime (samples ~3e13 -> the
+            # 1e22 intermediate has ~8e6 ulp), eroding the ns field's
+            # whole purpose; every supported channel rate is integral
+            # (r5 review; the GPS-counter path already scales in ints)
+            ns = epoch_ns + (samples * 1_000_000_000) // irate
+        else:
+            ns = epoch_ns + int(round(samples * 1e9 / rate))
         msgs.append(
             f"{df_wire} {frame:0{n // 4}x} {int(synd[k]) & 0xFFFFFF:06x} "
             f"{int(status[k])} {ref_dbfs:.2f} {t:.9f} {ns}")

@@ -107,7 +107,12 @@ def _dev_layout(block, quantize_i8: bool):
     x = iq_to_device_layout(block)
     fs = 1.0
     if quantize_i8 and x.dtype == np.float32:
-        peak = float(np.max(np.abs(x))) or 1.0
+        # finite-only peak: one corrupt Inf sample (random wire bytes
+        # with exponent 0xFF) otherwise drives gain to 0 and the WHOLE
+        # block quantizes to silence with no error (r5 review; the
+        # native AGC framer guards identically)
+        ax = np.abs(x)
+        peak = float(np.max(ax, initial=0.0, where=np.isfinite(ax))) or 1.0
         gain = 120.0 / peak
         # the ONE quantization rule (dsp/host.py) — an inline copy here
         # could silently drift from the native/pod paths' dBFS reference

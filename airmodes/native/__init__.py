@@ -165,6 +165,20 @@ class IQStream:
                 f"{self.block + self.right}: the framer could never emit")
         self._h = lib.iq_stream_create(ring_samples, self.left, self.block,
                                        self.right)
+        # guards every C call against close() from another thread: a bare
+        # `while self._h` check-then-call left a use-after-free window
+        # (destroy frees the Stream between the check and the call — r5
+        # review). The C calls are non-blocking, so hold times are short.
+        import threading as _threading
+        self._lock = _threading.Lock()
+
+    def _handle(self):
+        """The open C handle, or raise — every post-close call used to
+        hand NULL to C and segfault the process (r5 review)."""
+        h = self._h
+        if not h:
+            raise RuntimeError("IQStream is closed")
+        return h
 
     # --- producer -----------------------------------------------------------
 
@@ -182,15 +196,17 @@ class IQStream:
         elif arr.dtype != np.float32:
             arr = np.ascontiguousarray(arr.astype(np.float32))
         n = arr.size // 2
-        return int(self._lib.iq_stream_push_f32(
-            self._h, arr.ctypes.data_as(ctypes.c_void_p), n))
+        with self._lock:
+            return int(self._lib.iq_stream_push_f32(
+                self._handle(), arr.ctypes.data_as(ctypes.c_void_p), n))
 
     def start_file(self, path: str, fmt: str = "complex64",
                    throttle_sps: float = 0.0,
                    offset_samples: int = 0) -> None:
-        rc = self._lib.iq_stream_start_file(
-            self._h, path.encode(), _FMT[fmt], float(throttle_sps),
-            int(offset_samples))
+        with self._lock:
+            rc = self._lib.iq_stream_start_file(
+                self._handle(), path.encode(), _FMT[fmt],
+                float(throttle_sps), int(offset_samples))
         if rc == -5:
             raise OSError("stream already started")
         if rc != 0:
@@ -200,8 +216,10 @@ class IQStream:
                   timeout_s: float = 5.0) -> None:
         """timeout_s > 0 ends the stream after that much receive silence
         (parity with io.sources.udp_source)."""
-        rc = self._lib.iq_stream_start_udp(self._h, host.encode(), port,
-                                           float(timeout_s))
+        with self._lock:
+            rc = self._lib.iq_stream_start_udp(self._handle(),
+                                               host.encode(), port,
+                                               float(timeout_s))
         if rc == -5:
             raise OSError("stream already started")
         if rc == -3:
@@ -214,21 +232,26 @@ class IQStream:
             raise OSError(f"cannot bind udp {host}:{port}")
 
     def set_eof(self) -> None:
-        self._lib.iq_stream_set_eof(self._h)
+        with self._lock:
+            if self._h:
+                self._lib.iq_stream_set_eof(self._h)
 
     @property
     def dropped(self) -> int:
-        return int(self._lib.iq_stream_dropped(self._h))
+        with self._lock:
+            return int(self._lib.iq_stream_dropped(self._handle()))
 
     @property
     def rcvbuf(self) -> int:
         """Effective UDP socket receive buffer (bytes): the kernel may
         silently clamp the requested 8 MB to net.core.rmem_max."""
-        return int(self._lib.iq_stream_rcvbuf(self._h))
+        with self._lock:
+            return int(self._lib.iq_stream_rcvbuf(self._handle()))
 
     @property
     def available(self) -> int:
-        return int(self._lib.iq_stream_available(self._h))
+        with self._lock:
+            return int(self._lib.iq_stream_available(self._handle()))
 
     # --- consumer -----------------------------------------------------------
 
@@ -242,11 +265,15 @@ class IQStream:
         import time as _t
         if out is None:
             out = np.empty((self.total, 2), np.float32)
+        self._check_out(out, np.float32)
         start = ctypes.c_int64(0)
-        while self._h and not (stop is not None and stop.is_set()):
-            rc = self._lib.iq_stream_next_block(
-                self._h, out.ctypes.data_as(ctypes.c_void_p),
-                ctypes.byref(start))
+        while not (stop is not None and stop.is_set()):
+            with self._lock:
+                if not self._h:
+                    return None
+                rc = self._lib.iq_stream_next_block(
+                    self._h, out.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.byref(start))
             if rc == 1:
                 return out, int(start.value)
             if rc == -1:
@@ -259,11 +286,15 @@ class IQStream:
         import time as _t
         if out is None:
             out = np.empty((self.total, 2), np.int8)
+        self._check_out(out, np.int8)
         start = ctypes.c_int64(0)
-        while self._h and not (stop is not None and stop.is_set()):
-            rc = self._lib.iq_stream_next_block_i8(
-                self._h, out.ctypes.data_as(ctypes.c_void_p),
-                ctypes.byref(start), float(scale))
+        while not (stop is not None and stop.is_set()):
+            with self._lock:
+                if not self._h:
+                    return None
+                rc = self._lib.iq_stream_next_block_i8(
+                    self._h, out.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.byref(start), float(scale))
             if rc == 1:
                 return out, int(start.value)
             if rc == -1:
@@ -278,16 +309,16 @@ class IQStream:
         start sample, or None at end of stream. Blocks until data is
         available."""
         import time as _t
-        assert out_i.dtype == np.int8 and out_q.dtype == np.int8
-        assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
-        # the C side writes BOTH buffers up to out_len (= out_i.size)
-        assert out_q.size >= out_i.size
+        self._check_planar_out(out_i, out_q)
         start = ctypes.c_int64(0)
-        while self._h and not (stop is not None and stop.is_set()):
-            rc = self._lib.iq_stream_next_block_planar_i8(
-                self._h, out_i.ctypes.data_as(ctypes.c_void_p),
-                out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
-                ctypes.byref(start), float(scale))
+        while not (stop is not None and stop.is_set()):
+            with self._lock:
+                if not self._h:
+                    return None
+                rc = self._lib.iq_stream_next_block_planar_i8(
+                    self._h, out_i.ctypes.data_as(ctypes.c_void_p),
+                    out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
+                    ctypes.byref(start), float(scale))
             if rc == 1:
                 return int(start.value)
             if rc == -1:
@@ -304,17 +335,17 @@ class IQStream:
         the framed block, Python quantize_i8 semantics); returns
         (start_sample, gain) or None at end of stream."""
         import time as _t
-        assert out_i.dtype == np.int8 and out_q.dtype == np.int8
-        assert out_i.flags.c_contiguous and out_q.flags.c_contiguous
-        # the C side writes BOTH buffers up to out_len (= out_i.size)
-        assert out_q.size >= out_i.size
+        self._check_planar_out(out_i, out_q)
         start = ctypes.c_int64(0)
         gain = ctypes.c_float(1.0)
-        while self._h and not (stop is not None and stop.is_set()):
-            rc = self._lib.iq_stream_next_block_planar_agc(
-                self._h, out_i.ctypes.data_as(ctypes.c_void_p),
-                out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
-                ctypes.byref(start), float(target), ctypes.byref(gain))
+        while not (stop is not None and stop.is_set()):
+            with self._lock:
+                if not self._h:
+                    return None
+                rc = self._lib.iq_stream_next_block_planar_agc(
+                    self._h, out_i.ctypes.data_as(ctypes.c_void_p),
+                    out_q.ctypes.data_as(ctypes.c_void_p), out_i.size,
+                    ctypes.byref(start), float(target), ctypes.byref(gain))
             if rc == 1:
                 return int(start.value), float(gain.value)
             if rc == -1:
@@ -323,6 +354,27 @@ class IQStream:
                 raise ValueError(
                     f"planar row too short: {out_i.size} < {self.total}")
             _t.sleep(0.001)
+
+    def _check_out(self, out, dtype) -> None:
+        # the C side unconditionally writes total*2 elements: a wrong
+        # dtype/shape/layout buffer is silent heap corruption, and these
+        # must be REAL raises (asserts vanish under python -O) — r5 review
+        if out.dtype != dtype or out.shape != (self.total, 2) \
+                or not out.flags.c_contiguous:
+            raise ValueError(
+                f"out must be C-contiguous {np.dtype(dtype).name} "
+                f"({self.total}, 2); got {out.dtype} {out.shape}")
+
+    def _check_planar_out(self, out_i, out_q) -> None:
+        if out_i.dtype != np.int8 or out_q.dtype != np.int8 \
+                or not out_i.flags.c_contiguous \
+                or not out_q.flags.c_contiguous \
+                or out_q.size < out_i.size:
+            # the C side writes BOTH buffers up to out_len (= out_i.size)
+            raise ValueError(
+                "planar outputs must be C-contiguous int8 with "
+                f"out_q.size >= out_i.size; got {out_i.dtype} "
+                f"{out_i.shape} / {out_q.dtype} {out_q.shape}")
 
     def blocks(self, i8: bool = False, scale: float = 127.0):
         """Generator over all blocks until end of stream."""
@@ -333,9 +385,10 @@ class IQStream:
             yield nxt
 
     def close(self) -> None:
-        if self._h:
-            self._lib.iq_stream_destroy(self._h)
-            self._h = None
+        with self._lock:
+            if self._h:
+                h, self._h = self._h, None
+                self._lib.iq_stream_destroy(h)
 
     def __del__(self):
         try:

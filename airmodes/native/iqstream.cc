@@ -25,7 +25,9 @@
 
 #include <arpa/inet.h>
 #include <netinet/in.h>
+#include <poll.h>
 #include <sys/socket.h>
+#include <sys/stat.h>
 #include <unistd.h>
 
 namespace {
@@ -95,7 +97,11 @@ void convert_sc16(const int16_t* in, float* out, uint64_t n_samples) {
 // nearbyintf = np.round; four hand-copied bodies used to carry this —
 // a drifting copy breaks the cross-path dBFS/bit-exactness contract)
 inline int8_t quant_i8(float v) {
-  v = v > 127.f ? 127.f : (v < -127.f ? -127.f : v);
+  // NaN-safe clamp: comparisons with NaN are all false, so the old
+  // ternary form passed NaN through to an undefined int8 cast (r5
+  // review). NaN quantizes to 0 (a noise sample), +/-inf saturates.
+  if (!(v >= -127.f)) return v < 0.f ? -127 : 0;
+  if (v > 127.f) return 127;
   return static_cast<int8_t>(std::nearbyintf(v));
 }
 
@@ -210,6 +216,9 @@ int iq_stream_rcvbuf(void* h) {
 // does not apply (the chunks arrive as host complex64 arrays).
 void iq_quantize_planar_i8(const float* iq, int8_t* out_i, int8_t* out_q,
                            uint64_t n_samples, float scale) {
+  // the ONE fused quantize+planar-split loop: the framers below call
+  // this too (three hand-copied bodies used to carry it — r5 review;
+  // same consolidation rationale as quantize_i8's comment)
   for (uint64_t i = 0; i < n_samples; ++i) {
     out_i[i] = quant_i8(iq[2 * i] * scale);
     out_q[i] = quant_i8(iq[2 * i + 1] * scale);
@@ -231,6 +240,12 @@ int iq_stream_start_file(void* h, const char* path, int format,
   // joinable std::thread calls std::terminate — fail as an error instead
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  // FIFO/pipe sources: fread blocks indefinitely while the writer
+  // stalls and never consults the stop flag, so destroy()'s join would
+  // hang the caller forever (r5 review) — poll+read for non-regular
+  // files instead
+  struct stat stbuf {};
+  bool regular = fstat(fileno(f), &stbuf) == 0 && S_ISREG(stbuf.st_mode);
   if (offset_samples) {
     uint64_t elem = format == 0 ? 8 : (format == 1 ? 4 : 2);
     if (std::fseek(f, static_cast<long>(offset_samples * elem),
@@ -241,15 +256,35 @@ int iq_stream_start_file(void* h, const char* path, int format,
     s->start_offset = offset_samples;
     s->next_start = offset_samples;
   }
-  s->pump = std::thread([s, f, format, throttle_sps]() {
+  s->pump = std::thread([s, f, format, throttle_sps, regular]() {
     constexpr uint64_t CHUNK = 1 << 16;
     auto* raw = new uint8_t[CHUNK * 8];
     auto* conv = new float[CHUNK * 2];
     auto t0 = std::chrono::steady_clock::now();
     uint64_t sent = 0;
+    uint64_t pend = 0;   // carried partial-element bytes (pipe reads)
     while (!s->stop.load()) {
       uint64_t elem = format == 0 ? 8 : (format == 1 ? 4 : 2);
-      uint64_t n = std::fread(raw, elem, CHUNK, f);
+      uint64_t n;
+      if (regular) {
+        n = std::fread(raw, elem, CHUNK, f);
+      } else {
+        struct pollfd pfd {fileno(f), POLLIN, 0};
+        ssize_t got = -1;
+        while (!s->stop.load()) {
+          int pr = poll(&pfd, 1, 100);
+          if (pr < 0 && errno == EINTR) continue;
+          if (pr < 0) { got = 0; break; }
+          if (pr == 0) continue;          // stall: re-check stop
+          got = read(fileno(f), raw + pend, CHUNK * elem - pend);
+          break;
+        }
+        if (s->stop.load() || got <= 0) break;  // EOF / error / stop
+        uint64_t have = pend + static_cast<uint64_t>(got);
+        n = have / elem;
+        pend = have - n * elem;
+        if (n == 0) continue;             // only a partial element yet
+      }
       if (n == 0) break;
       const float* src;
       if (format == 0) {
@@ -270,6 +305,8 @@ int iq_stream_start_file(void* h, const char* path, int format,
         if (took == 0)
           std::this_thread::sleep_for(std::chrono::microseconds(200));
       }
+      if (!regular && pend)
+        std::memmove(raw, raw + n * elem, pend);
       sent += n;
       if (throttle_sps > 0) {
         auto target = t0 + std::chrono::duration_cast<
@@ -458,10 +495,7 @@ int iq_stream_next_block_planar_i8(void* h, int8_t* out_i, int8_t* out_q,
   float* buf = bufv.data();
   int rc = iq_stream_next_block(h, buf, start_sample);
   if (rc != 1) return rc;
-  for (uint64_t i = 0; i < total; ++i) {
-    out_i[i] = quant_i8(buf[2 * i] * scale);
-    out_q[i] = quant_i8(buf[2 * i + 1] * scale);
-  }
+  iq_quantize_planar_i8(buf, out_i, out_q, total, scale);
   std::memset(out_i + total, 0, out_len - total);
   std::memset(out_q + total, 0, out_len - total);
   return 1;
@@ -484,14 +518,14 @@ int iq_stream_next_block_planar_agc(void* h, int8_t* out_i, int8_t* out_q,
   float peak = 0.f;
   for (uint64_t i = 0; i < 2 * total; ++i) {
     float a = buf[i] < 0 ? -buf[i] : buf[i];
-    if (a > peak) peak = a;
+    // finite-only: one corrupt Inf sample otherwise drives gain to 0
+    // and the whole block quantizes to silence with no error (r5
+    // review); NaN already fails the > compare
+    if (a > peak && a <= 3.4e38f) peak = a;
   }
   if (peak == 0.f) peak = 1.f;
   const float g = target / peak;
-  for (uint64_t i = 0; i < total; ++i) {
-    out_i[i] = quant_i8(buf[2 * i] * g);
-    out_q[i] = quant_i8(buf[2 * i + 1] * g);
-  }
+  iq_quantize_planar_i8(buf, out_i, out_q, total, g);
   std::memset(out_i + total, 0, out_len - total);
   std::memset(out_q + total, 0, out_len - total);
   *gain_out = g;

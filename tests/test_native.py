@@ -625,3 +625,105 @@ def test_throttled_close_is_prompt():
     t0 = time.time()
     st.close()
     assert time.time() - t0 < 1.0
+
+
+def test_closed_stream_raises_not_segfaults():
+    """r5 review: every post-close handle call used to hand NULL to C
+    and SIGSEGV the process; now they raise RuntimeError (or no-op for
+    set_eof)."""
+    import numpy as np
+    import pytest
+    from airmodes.native import IQStream
+    st = IQStream(DspConfig(block_size=1 << 14, max_detections=8))
+    st.close()
+    with pytest.raises(RuntimeError):
+        st.dropped
+    with pytest.raises(RuntimeError):
+        st.available
+    with pytest.raises(RuntimeError):
+        st.push(np.zeros(16, np.complex64))
+    st.set_eof()                       # teardown helper: harmless no-op
+    assert st.next_block() is None     # consumer loop: clean end
+    st.close()                         # idempotent
+
+
+def test_next_block_validates_out_buffer():
+    """r5 review: the C side writes total*2 elements unconditionally; a
+    wrong-shape/dtype out buffer was silent heap corruption."""
+    import numpy as np
+    import pytest
+    from airmodes.native import IQStream
+    st = IQStream(DspConfig(block_size=1 << 14, max_detections=8))
+    try:
+        with pytest.raises(ValueError):
+            st.next_block(out=np.empty(st.total, np.float32))   # 1-D
+        with pytest.raises(ValueError):
+            st.next_block(out=np.empty((st.total, 2), np.float64))
+        with pytest.raises(ValueError):
+            st.next_block_planar_i8(np.empty(st.total, np.int16),
+                                    np.empty(st.total, np.int8))
+        with pytest.raises(ValueError):
+            st.next_block_planar_agc(np.empty(st.total, np.int8),
+                                     np.empty(st.total - 1, np.int8))
+    finally:
+        st.close()
+
+
+def test_agc_survives_nonfinite_samples():
+    """r5 review: one Inf sample drove the AGC gain to 0 and the whole
+    block quantized to silence; NaN hit an undefined int8 cast. Now the
+    peak scan is finite-only and the quantizer saturates/zeroes."""
+    import numpy as np
+    from airmodes.native import IQStream
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    st = IQStream(cfg)
+    try:
+        iq = (np.ones(st.total + 1024) * (0.25 + 0.25j)).astype(np.complex64)
+        iq[100] = np.inf + 0j
+        iq[200] = np.nan + 0j
+        iq[300] = -np.inf * 1j
+        off = 0
+        while off < len(iq):
+            off += st.push(iq[off:])
+        st.set_eof()
+        out_i = np.zeros(st.total, np.int8)
+        out_q = np.zeros(st.total, np.int8)
+        got = st.next_block_planar_agc(out_i, out_q)
+        assert got is not None
+        start, gain = got
+        # the finite 0.25 samples must quantize to ~120, not 0
+        assert abs(int(out_i[st.left + 1000]) - 120) <= 1
+        assert abs(gain - 120.0 / 0.25) / (120.0 / 0.25) < 1e-5
+        # non-finite samples saturate/zero instead of poisoning
+        assert int(out_i[st.left + 100]) in (127, 0, -127)
+    finally:
+        st.close()
+
+
+def test_fifo_source_teardown_does_not_hang():
+    """r5 review: fread on a FIFO whose writer stalls blocked forever
+    and destroy()'s join hung the caller; the non-regular-file pump
+    polls with a timeout so close() returns promptly."""
+    import os
+    import tempfile
+    import numpy as np
+    from airmodes.native import IQStream
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "pump.fifo")
+    os.mkfifo(path)
+    fd = os.open(path, os.O_RDWR)      # keep a writer open (never EOF)
+    cfg = DspConfig(block_size=1 << 14, max_detections=8)
+    st = IQStream(cfg)
+    try:
+        st.start_file(path)
+        # feed one block's worth through the pipe, then let it stall
+        iq = (np.ones(st.total + 4096) * 0.5).astype(np.complex64)
+        os.write(fd, iq.tobytes())
+        got = st.next_block()
+        assert got is not None
+        t0 = time.time()
+        st.close()                     # writer still open: pump must exit
+        assert time.time() - t0 < 2.0, "FIFO teardown hung"
+    finally:
+        os.close(fd)
+        os.unlink(path)
