@@ -109,6 +109,13 @@ class parse:
             # docstring promises ADSBError subclasses only, and consumer
             # loops catch exactly that to drop-and-continue
             raise ParserError(f"malformed slicer message: {message!r}")
+        import math
+        if not math.isfinite(timestamp) or not math.isfinite(ref_dbfs):
+            # 'nan'/'inf' PARSE as floats but poison every downstream
+            # time comparison (NaN ordering is all-False: json_out's
+            # write throttle froze forever, eviction heaps corrupt,
+            # json.dump emits invalid bare-NaN documents — r5 review)
+            raise ParserError(f"non-finite wire field in {message!r}")
         if status == STATUS_FAIL:
             raise ParserError("uncorrectable frame")
 

@@ -156,5 +156,6 @@ class output_print:
         """Idle-completed ELMs piggybacked on this report (decode/elm)."""
         if not rep.elm_flushed:
             return []
-        return [f"Comm-D ELM complete (idle) from {i:06x}: "
+        from ..decode.parse import format_icao
+        return [f"Comm-D ELM complete (idle) from {format_icao(i)}: "
                 f"{len(d)}B {d.hex()}" for i, d in rep.elm_flushed]

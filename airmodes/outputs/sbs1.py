@@ -94,8 +94,12 @@ def format_sbs1(rep: AircraftReport) -> Optional[str]:
                     f[3] = f"{rep.heading_deg:.0f}"
                 return line(2, f)
             return line(3, f)
-        if rep.speed_kt is not None:
-            f[2] = f"{rep.speed_kt:.0f}"
+        if rep.speed_kt is not None or rep.heading_deg is not None \
+                or rep.vertical_rate_fpm is not None:
+            # vertical-rate-only / heading-only BDS0,9 reports are real
+            # velocity messages (horizontal field flagged 'no info') —
+            # gating MSG,4 on speed alone silently dropped them (r5)
+            f[2] = None if rep.speed_kt is None else f"{rep.speed_kt:.0f}"
             f[3] = None if rep.heading_deg is None else f"{rep.heading_deg:.0f}"
             f[6] = None if rep.vertical_rate_fpm is None else f"{rep.vertical_rate_fpm:.0f}"
             return line(4, f)

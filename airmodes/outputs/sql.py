@@ -48,6 +48,7 @@ CREATE TABLE IF NOT EXISTS track (
     alt INTEGER
 );
 CREATE INDEX IF NOT EXISTS track_icao ON track (icao, seen);
+CREATE INDEX IF NOT EXISTS track_seen ON track (seen);
 """
 
 
@@ -59,6 +60,9 @@ class output_sql:
         self._lock = lock or threading.Lock()
         self._track_keep_s = track_keep_s
         self._since_prune = 0
+        self._since_commit = 0
+        import time as _time
+        self._last_commit = _time.monotonic()
         self._db = sqlite3.connect(dbname, check_same_thread=False)
         with self._lock:
             self._db.executescript(_SCHEMA)
@@ -84,24 +88,33 @@ class output_sql:
                     "UPDATE aircraft SET ident=?, category=? WHERE icao=?",
                     (rep.callsign, rep.category, rep.icao))
             if rep.lat is not None:
+                # alt columns are BAROMETRIC (the r4 routing policy every
+                # other consumer follows): TC20-22 GNSS HAE differs by
+                # geoid+pressure offsets and flip-flopped KML track
+                # altitudes by hundreds of ft (r5 review)
+                baro = None if rep.altitude_gnss else rep.altitude_ft
                 self._db.execute(
-                    "INSERT OR REPLACE INTO positions (icao, seen, lat, lon, alt) "
-                    "VALUES (?, ?, ?, ?, ?)",
-                    (rep.icao, rep.timestamp, rep.lat, rep.lon, rep.altitude_ft))
+                    "INSERT INTO positions (icao, seen, lat, lon, alt) "
+                    "VALUES (?, ?, ?, ?, ?) ON CONFLICT(icao) DO UPDATE "
+                    "SET seen=excluded.seen, lat=excluded.lat, "
+                    "lon=excluded.lon, alt=COALESCE(excluded.alt, alt)",
+                    (rep.icao, rep.timestamp, rep.lat, rep.lon, baro))
                 # position HISTORY feeds the KML track lines (the
                 # reference's kml.py draws tracks); bounded by age
                 self._db.execute(
                     "INSERT INTO track (icao, seen, lat, lon, alt) "
                     "VALUES (?, ?, ?, ?, ?)",
-                    (rep.icao, rep.timestamp, rep.lat, rep.lon,
-                     rep.altitude_ft))
+                    (rep.icao, rep.timestamp, rep.lat, rep.lon, baro))
                 self._since_prune += 1
                 if self._since_prune >= 256:
                     self._since_prune = 0
                     self._db.execute(
                         "DELETE FROM track WHERE seen < ?",
                         (rep.timestamp - self._track_keep_s,))
-            if rep.speed_kt is not None or rep.vertical_rate_fpm is not None:
+            if rep.speed_kt is not None or rep.vertical_rate_fpm is not None \
+                    or rep.heading_deg is not None:
+                # heading-only reports (BDS0,6 mov=0 / BDS0,9 sub 3-4)
+                # must persist too (r5 review)
                 # merge, don't replace: a vertical-rate-only report must not
                 # null out the last known speed/heading (and vice versa)
                 self._db.execute(
@@ -117,8 +130,19 @@ class output_sql:
                 self._db.execute(
                     "INSERT OR REPLACE INTO squawks (icao, seen, squawk) "
                     "VALUES (?, ?, ?)", (rep.icao, rep.timestamp, rep.squawk))
-            self._db.commit()
+            # batch commits: one journal write per message put synchronous
+            # disk I/O on the decode fan-out thread at traffic rates (r5
+            # review); readers (kml thread, tests) see data at most
+            # ~1 s / 64 inserts late, and close() flushes the tail
+            self._since_commit += 1
+            import time as _time
+            now = _time.monotonic()
+            if self._since_commit >= 64 or now - self._last_commit >= 1.0:
+                self._db.commit()
+                self._since_commit = 0
+                self._last_commit = now
 
     def close(self) -> None:
         with self._lock:
+            self._db.commit()
             self._db.close()

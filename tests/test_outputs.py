@@ -218,12 +218,12 @@ def test_sql_vectors_merge_not_replace(tmp_path):
     out.insert(AircraftReport(timestamp=1.0, speed_kt=410.0,
                               heading_deg=95.0, **base))
     out.insert(AircraftReport(timestamp=2.0, vertical_rate_fpm=-640.0, **base))
+    out.close()          # commits are batched (r5): flush before reading
     import sqlite3
     con = sqlite3.connect(str(db))
     row = con.execute("SELECT speed, heading, vertical FROM vectors "
                       "WHERE icao=?", (0xAAA,)).fetchone()
     con.close()
-    out.close()
     assert row == (410.0, 95.0, -640.0)   # merged, not nulled
 
 
@@ -250,8 +250,8 @@ def test_kml_track_lines(tmp_path):
     for i, (la, lo) in enumerate([(47.0, 8.0), (47.05, 8.1), (47.1, 8.2)]):
         out.insert(AircraftReport(timestamp=float(i), lat=la, lon=lo,
                                   altitude_ft=30000, **base))
+    out.close()          # commits are batched (r5): flush before reading
     doc = render_kml(str(db))
-    out.close()
     assert "<LineString>" in doc
     assert "8.000000,47.000000" in doc and "8.200000,47.100000" in doc
     assert doc.count("<Placemark>") == 2   # point + track
@@ -1027,3 +1027,58 @@ def test_all_output_plugins_survive_wire_fuzz(tmp_path):
             close = getattr(p, "close", None)
             if close:
                 close()
+
+
+def test_sbs1_vertical_rate_only_velocity_emits_msg4():
+    """BDS0,9 with the horizontal field flagged 'no info' but a valid
+    vertical rate is a real velocity message; gating MSG,4 on speed
+    alone silently dropped it (r5 review)."""
+    from airmodes.decode.parse import AircraftReport
+    from airmodes.outputs.sbs1 import format_sbs1
+    rep = AircraftReport(df=17, icao=0x123456, timestamp=1.0,
+                         ref_dbfs=-20.0, raw_hex="",
+                         vertical_rate_fpm=-1280.0)
+    line = format_sbs1(rep)
+    assert line is not None and line.startswith("MSG,4")
+    assert line.split(",")[16] == "-1280"
+
+
+def test_sql_heading_only_and_gnss_alt_routing(tmp_path):
+    """r5 review: heading-only reports must persist to vectors, and
+    TC20-22 GNSS HAE must not overwrite the barometric alt column."""
+    import sqlite3
+    from airmodes.decode.parse import AircraftReport
+    from airmodes.outputs.sql import output_sql
+    db = tmp_path / "t.db"
+    out = output_sql(dbname=str(db))
+    base = dict(df=17, icao=0xBBB, ref_dbfs=-20.0, raw_hex="")
+    out.insert(AircraftReport(timestamp=1.0, heading_deg=271.0, **base))
+    out.insert(AircraftReport(timestamp=2.0, lat=47.0, lon=8.0,
+                              altitude_ft=35000, **base))
+    out.insert(AircraftReport(timestamp=3.0, lat=47.01, lon=8.01,
+                              altitude_ft=36100, altitude_gnss=True,
+                              **base))
+    out.close()
+    con = sqlite3.connect(str(db))
+    assert con.execute("SELECT heading FROM vectors WHERE icao=?",
+                       (0xBBB,)).fetchone()[0] == 271.0
+    lat, alt = con.execute("SELECT lat, alt FROM positions WHERE icao=?",
+                           (0xBBB,)).fetchone()
+    con.close()
+    # position updated from the GNSS frame, alt column stays barometric
+    assert abs(lat - 47.01) < 1e-6 and alt == 35000
+
+
+def test_parse_rejects_nonfinite_wire_floats():
+    """'nan'/'inf' timestamps/dbfs PARSE as floats but poison every
+    downstream time comparison (json_out's throttle froze forever) —
+    they must drop as ParserError (r5 review)."""
+    import pytest
+    from airmodes.decode.parse import parse
+    from airmodes.exceptions import ADSBError
+    good = "17 8d4840d6202cc371c32ce0576098 000000 0 -20.00 1.0"
+    for i, bad in [(5, "nan"), (5, "inf"), (4, "nan")]:
+        parts = good.split()
+        parts[i] = bad
+        with pytest.raises(ADSBError):
+            parse().parse(" ".join(parts))
