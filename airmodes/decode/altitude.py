@@ -83,6 +83,12 @@ def encode_alt_12bit(alt_ft: float) -> int:
 
 def encode_alt_gillham(alt_ft: float) -> int:
     """Encode altitude as 13-bit Gillham gray code (100 ft increments)."""
+    if not -1200.0 <= alt_ft <= 126700.0:
+        # beyond the 8-bit 500-ft gray field: bits silently dropped and
+        # the frame round-trips to a DIFFERENT altitude (r5 review;
+        # encode_alt_q validates identically)
+        raise ValueError(f"altitude {alt_ft} outside Gillham range "
+                         "[-1200, 126700] ft")
     def bin2gray(b: int) -> int:
         return b ^ (b >> 1)
     total = int(round((alt_ft + 1300) / 100))
@@ -94,14 +100,14 @@ def encode_alt_gillham(alt_ft: float) -> int:
         n100 = 7
     g500 = bin2gray(n500)
     g100 = bin2gray(n100)
-    def sb(v, p, out, q):  # set bit p of v into position q
+    def sb(v, p, q):  # bit p of v shifted to position q
         return ((v >> p) & 1) << q
     alt = 0
     # g500 MSB->LSB: D2 D4 A1 A2 A4 B1 B2 B4
-    alt |= sb(g500, 7, alt, 2) | sb(g500, 6, alt, 0) | sb(g500, 5, alt, 11)
-    alt |= sb(g500, 4, alt, 9) | sb(g500, 3, alt, 7) | sb(g500, 2, alt, 5)
-    alt |= sb(g500, 1, alt, 3) | sb(g500, 0, alt, 1)
-    alt |= sb(g100, 2, alt, 12) | sb(g100, 1, alt, 10) | sb(g100, 0, alt, 8)
+    alt |= sb(g500, 7, 2) | sb(g500, 6, 0) | sb(g500, 5, 11)
+    alt |= sb(g500, 4, 9) | sb(g500, 3, 7) | sb(g500, 2, 5)
+    alt |= sb(g500, 1, 3) | sb(g500, 0, 1)
+    alt |= sb(g100, 2, 12) | sb(g100, 1, 10) | sb(g100, 0, 8)
     return alt
 
 

@@ -62,15 +62,27 @@ class elm_reassembler:
         md_bytes = int(md).to_bytes(SEGMENT_BYTES, "big")
         cyc = self._buf.get(icao)
         out = None
-        if cyc is not None and nd in cyc.segs:
-            if cyc.segs[nd] == md_bytes and timestamp - cyc.last_t < \
-                    self.timeout_s:
+        if cyc is not None and timestamp - cyc.last_t > self.timeout_s:
+            # idle-timeout cycle boundary for ANY segment number: a new
+            # cycle's fresh segments otherwise merged into stale leftovers
+            # and minted a "complete" payload spliced from two different
+            # ELM transmissions (r5 review; the repeat branch below
+            # already honored the timeout, new-nd segments did not)
+            out = cyc.assembled()
+            cyc = None
+        elif cyc is not None and nd in cyc.segs:
+            if cyc.segs[nd] == md_bytes:
                 cyc.last_t = timestamp      # pure repeat: retransmission
                 return None
             out = cyc.assembled()           # cycle restart: emit previous
             cyc = None
         if cyc is None:
-            self._evict(timestamp)
+            if icao not in self._buf:
+                # eviction is only needed for a NET insert: a restart
+                # replaces the aircraft's existing slot, and evicting
+                # here dropped an unrelated aircraft's in-progress ELM
+                # on every at-capacity restart (r5 review)
+                self._evict(timestamp)
             cyc = self._buf[icao] = _Cycle()
         cyc.segs[nd] = md_bytes
         cyc.last_t = timestamp

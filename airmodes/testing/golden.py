@@ -36,6 +36,14 @@ def reference_decode(iq: np.ndarray, cfg: Optional[DspConfig] = None
     """
     cfg = cfg or DspConfig()
     sps = cfg.sps
+    # zero left padding = the pipeline's zero left halo at capture start:
+    # the device path scans EVERY owned sample (noise window over halo
+    # zeros), but this loop starts at w+1 — without the pad a frame in
+    # the first w samples decoded on device and not here (r5 review).
+    # Identical float sums for frames past the pad (leading zeros).
+    pad = cfg.noise_window + cfg.nms_chips * sps + 2
+    iq = np.concatenate([np.zeros(pad, np.complex64),
+                         np.asarray(iq, np.complex64)])
     m_raw = np.abs(iq.astype(np.complex64)) ** 2
     n = len(m_raw)
     w = cfg.noise_window
@@ -91,7 +99,7 @@ def reference_decode(iq: np.ndarray, cfg: Optional[DspConfig] = None
             continue
         hexmsg = _slice_and_check(m, i, ref, cfg)
         if hexmsg is not None:
-            out.append((i, hexmsg))
+            out.append((i - pad, hexmsg))
         i += 1
     return out
 
@@ -183,8 +191,11 @@ def snr_sweep(snrs: Sequence[float], n_msgs: int = 40, seed: int = 0,
         iq, truth = encoder.make_capture(frames, rate=cfg.channel_rate,
                                          snr_db=snr,
                                          spacing=3000 * cfg.sps,
-                                         seed=seed + abs(int(snr * 10)))  # negative-SNR points
-                                         # need a valid seed
+                                         seed=seed + int(snr * 10) + 1200)
+                                         # distinct nonneg seed per
+                                         # 0.1 dB point: abs() aliased
+                                         # +/-snr to the SAME noise
+                                         # realization (r5 review)
         got = set()
         for block, start in sources.frame_blocks(iq, cfg):
             table = demod_block_jit(block, cfg)

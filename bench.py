@@ -739,9 +739,15 @@ def main():
     # step size (a real pod step is n_time x block — one 2^23 block here)
     # step 2^24 (a real pod step is n_time x block — n_time=8 would be
     # 64M samples; 2^23 left the per-step fixed relay RPCs at ~18% of
-    # the step and read 0.82x streaming in the r5 smoke)
+    # the step and read 0.82x streaming in the r5 smoke). The pod figure
+    # is transport-bound on the relay, so the meaningful ratio is
+    # against a NEAR-IN-TIME h2d control (the streaming loop ran minutes
+    # earlier under a different relay mood — r5 runs measured
+    # pod/streaming anywhere in 0.62-1.9 from mood alone)
+    h2d_pre_pod = h2d_control()[0]
     pod_msps, pod_ok = bench_podpipeline(
         airmodes.DspConfig(block_size=1 << 24, max_detections=1024))
+    pod_vs_h2d = pod_msps / h2d_pre_pod if h2d_pre_pod > 0 else 0.0
 
     # product path end-to-end (modes_rx: disk -> ... -> parse -> SQLite),
     # decomposed (VERDICT r3 #1) into min(host_only, h2d, device):
@@ -794,6 +800,7 @@ def main():
         "vpu_ops_per_sample": round(ops_per_sample, 2),
         "streaming_incl_relay_msps": round(stream_msps, 2),
         "podpipeline_msps": round(pod_msps, 2),
+        "podpipeline_vs_h2d": round(pod_vs_h2d, 3),
         "device_msps_sps5": round(sps5_msps, 1),
         "vpu_util_est_sps5": round(vpu_util_sps5, 3),
         "vpu_ops_per_sample_sps5": round(ops_sps5, 2),

@@ -8,10 +8,18 @@ JAX_PLATFORMS is not enough — override through jax.config after import.
 
 import os
 
+import re as _re
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+elif not _re.search(r"xla_force_host_platform_device_count=8\b", _flags):
+    # a pre-set DIFFERENT device count breaks every 8-way mesh test with
+    # obscure shape errors (r5 review): override to the suite's contract
+    os.environ["XLA_FLAGS"] = _re.sub(
+        r"xla_force_host_platform_device_count=\d+",
+        "xla_force_host_platform_device_count=8", _flags)
 
 import jax  # noqa: E402
 

@@ -122,3 +122,34 @@ def test_idle_elm_surfaces_via_parse_clock():
     done = [ln for ln in lines if "ELM complete (idle)" in ln]
     assert len(done) == 1
     assert payload.hex() in done[0] and "aabbcc" in done[0]
+
+
+def test_elm_stale_leftovers_do_not_merge_into_new_cycle():
+    """r5 review: segments of a NEW transmission after an idle gap must
+    not merge with stale leftovers of an old one — the spliced result
+    passed the contiguity check and minted a corrupted 'complete' ELM."""
+    from airmodes.decode.elm import elm_reassembler
+    r = elm_reassembler(timeout_s=5.0)
+    old = bytes(range(10))
+    # old cycle: caught segments 2,3 only (0,1 missed)
+    assert r.add(1, 0, 2, int.from_bytes(old, "big"), 0.0) is None
+    assert r.add(1, 0, 3, int.from_bytes(old, "big"), 0.1) is None
+    # 100 s later: a new ELM's segments 0,1 arrive (2,3 missed this time)
+    new = bytes(range(100, 110))
+    assert r.add(1, 0, 0, int.from_bytes(new, "big"), 100.0) is None
+    r.add(1, 0, 1, int.from_bytes(new, "big"), 100.1)
+    # nothing contiguous may ever be emitted from the spliced halves
+    for _, data in r.flush(200.0, force=True):
+        assert old not in data, "stale segments merged into a new cycle"
+
+
+def test_elm_restart_does_not_evict_other_aircraft():
+    """r5 review: a cycle RESTART replaces the aircraft's own slot; at
+    capacity it must not evict an unrelated aircraft's in-progress ELM."""
+    from airmodes.decode.elm import elm_reassembler
+    r = elm_reassembler(timeout_s=1000.0, max_aircraft=2)
+    r.add(0xA, 0, 0, 1, 1.0)
+    r.add(0xB, 0, 0, 2, 2.0)          # buffer at capacity
+    # aircraft A restarts (same nd, different payload): no net insert
+    r.add(0xA, 0, 0, 3, 3.0)
+    assert 0xB in r._buf, "restart evicted an unrelated aircraft"

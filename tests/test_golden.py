@@ -262,3 +262,18 @@ def test_snr_sweep_honors_cfg_channel_rate():
                      max_detections=32)
     pts = golden.snr_sweep([25.0], n_msgs=4, seed=5, cfg=cfg4)
     assert pts[0].rate >= 0.75, pts
+
+
+def test_oracle_matches_pipeline_at_capture_start():
+    """A frame whose preamble lands in the first noise_window samples
+    decodes on the device path (zero left halo deflates the noise floor)
+    — the oracle must see it too, and the two must still be bit-identical
+    (r5 review: the oracle's candidate loop started at w+1 and never
+    examined the capture head)."""
+    frames = encoder.random_df17_frames(3, seed=77)
+    iq, truth = encoder.make_capture(frames, snr_db=20.0, start=40,
+                                     spacing=9000, seed=77)
+    ref = sorted(golden.reference_decode(iq, CFG))
+    got = jax_decode(iq)
+    assert got == ref
+    assert any(idx == 40 for idx, _ in got), got[:3]
