@@ -192,6 +192,13 @@ def _to_f32(iq):
     exactly this — keep every conversion on this one helper.
     """
     iq = jnp.asarray(iq)
+    if iq.dtype == jnp.uint8:
+        # same guard as dsp.pipeline.magnitude_squared: raw uc8 bytes
+        # would square mod 256 into valid-shaped garbage (r5 review)
+        raise TypeError(
+            "uint8 (raw uc8 bytes) are offset-binary: convert on host "
+            "((u - 127.5) / 127.5, io.sources raw_file_chunks) or feed "
+            "int8/int16/float32")
     if iq.dtype in (jnp.int8, jnp.int16):
         scale = 1.0 / 127.0 if iq.dtype == jnp.int8 else 1.0 / 32767.0
         iq = iq.astype(jnp.float32) * scale
@@ -1601,18 +1608,22 @@ def demod_batch_planar(xi8, xq8, cfg: DspConfig, tile: int = None,
 
     prescreen=True runs the two-stage detect: the kernel evaluates only
     the peak + pulse-threshold subset of the rule (~1/3 the VPU passes),
-    emitting up to k2 (default 2*max_detections) candidates per block;
-    the quiet-chip + NMS remainder of the rule is applied XLA-side on the
-    gathered candidate windows (_stageb_full_check). NON-DEFAULT: r3
-    measured it 0.824x the one-stage kernel (CLAUDE.md), kept for A/B
-    reference. Caveats vs the one-stage path: (a) stage-B computes the
-    noise floor with the shifted-add fold, so with mxu_window_sum=True
-    (default) a threshold decision within ~1 ulp of summation-order
-    jitter can differ — decision parity is exact only with
-    mxu_window_sum=False (which the stage-A kernel then shares); (b)
-    n_detected/n_overflow count stage-A CANDIDATES (a superset of
-    full-rule detections), so overflow can read nonzero when no real
-    detection was dropped."""
+    emitting up to k2 (default 2*max_detections, must be >=
+    max_detections) candidates per block; the late-quiet-chip + NMS
+    remainder of the rule is applied XLA-side on the gathered candidate
+    windows (_stageb_full_check). NON-DEFAULT: r3 measured it 0.824x
+    the one-stage kernel (CLAUDE.md), kept for A/B reference. Caveats
+    vs the one-stage path: (a) stage-B computes the noise floor with
+    the shifted-add fold, so with mxu_window_sum=True (default) a
+    threshold decision within ~1 ulp of summation-order jitter can
+    differ — decision parity is exact only with mxu_window_sum=False
+    (which the stage-A kernel then shares); (b) n_detected counts
+    stage-B full-rule WINNERS while n_overflow mixes stage-A candidate
+    spills with winner overflow — loss accounting is not comparable
+    across the two paths. The stage-A/stage-B split duplicates the
+    compare-fold chains of _detect_keep_2d; any fold-order edit there
+    MUST be mirrored (the superset guarantee rests on bit-identical
+    terms)."""
     if tile is None:
         tile = default_tile(cfg)
     if per_tile is None:
@@ -1676,6 +1687,10 @@ def _demod_batch_planar_prescreen(xi8, xq8, cfg: DspConfig, *, tile: int,
 
     K = cfg.max_detections
     K2 = k2 if k2 is not None else 2 * K
+    if K2 < K:
+        # top_k(score, K) over a K2-length axis traces into an opaque
+        # XLA error otherwise (r5 review)
+        raise ValueError(f"k2 ({K2}) must be >= max_detections ({K})")
     cfg2 = _dc.replace(cfg, max_detections=K2)
     half = cfg.nms_chips * cfg.sps
     nw = cfg.noise_window
