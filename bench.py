@@ -445,21 +445,38 @@ def bench_sharded_resample(seed: int = 55):
     want = {t.hex for t in truth}
     ok = len(want - got) <= max(1, len(want) // 100)
 
-    # timed loop: 8-channel batch (the channel axis of the same mesh
-    # program), pipelined 2-in-flight — one raw block per dispatch put
-    # the ~35 ms fixed relay RPC over a ~5 ms program and measured the
-    # RPC floor (115 Msps in the r5 smoke), not the fused path. Sum the
-    # PACKED table: summing only t.index would let XLA dead-code-
-    # eliminate the slice/CRC/ECC stages (CLAUDE.md det_idx note).
+    # timed loop: 16-channel batch (the channel axis of the same mesh
+    # program) x an in-jit scan of R applications per dispatch, pipelined
+    # 2-in-flight. One raw block per dispatch measured the ~30 ms fixed
+    # relay RPC floor (115 Msps in the r5 smoke), and even 8-channel
+    # single-application calls stayed half floor (the r5 matmul probe
+    # measured EVERY variant at 27-31 ms/call regardless of FLOPs); the
+    # scan steps the same program R times per dispatch — over slightly
+    # different gains so XLA cannot CSE the iterations — so the figure
+    # tracks the fused program, not the dev-harness RPC. Sum the PACKED
+    # table: summing only t.index would let XLA dead-code-eliminate the
+    # slice/CRC/ECC stages (CLAUDE.md det_idx note).
     from airmodes.dsp.pipeline import pack_table
-    C = 8
+    C, R = 16, 4
     pack2 = jax.vmap(jax.vmap(pack_table))
-    sum_fn = jax.jit(lambda *a: jnp.sum(pack2(fn(*a))))
     dx = jax.device_put(np.tile(x, (C, 1, 1)))
-    dargs = (dx, gain) if planar else (dx,)
+    if planar:
+        gains = jnp.float32(gain) * (1.0 + 1e-6 * jnp.arange(R))
+
+        @jax.jit
+        def sum_fn(a, gs):
+            def body(carry, g):
+                return carry + jnp.sum(pack2(fn(a, g))), None
+            return jax.lax.scan(body, jnp.int32(0), gs)[0]
+
+        dargs = (dx, gains)
+    else:
+        R = 1
+        sum_fn = jax.jit(lambda a: jnp.sum(pack2(fn(a))))
+        dargs = (dx,)
     np.asarray(sum_fn(*dargs))
     rates = []
-    iters = 6
+    iters = 4
     for _ in range(5):
         t0 = time.time()
         inflight = []
@@ -469,12 +486,12 @@ def bench_sharded_resample(seed: int = 55):
                 np.asarray(inflight.pop(0))
         for o in inflight:
             np.asarray(o)
-        rates.append(iters * C * cfgr.block_size
+        rates.append(iters * R * C * cfgr.block_size
                      / (time.time() - t0) / 1e6)
     rates.sort()
     msps = rates[len(rates) // 2]
     print(f"# fused resample+demod 1x1 (planar={planar}, {C}-channel "
-          f"batch): {msps:.0f} Msps (channel rate), decoded "
+          f"batch x {R}-scan): {msps:.0f} Msps (channel rate), decoded "
           f"{len(got & want)}/{len(want)}", file=sys.stderr)
     return msps, ok
 
