@@ -19,8 +19,6 @@ import sys
 import time
 from typing import List, Optional
 
-import numpy as np
-
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -219,6 +217,12 @@ def build_msg_iter(args, cfg, *, epoch: float, stats=None):
             "drivers (unavailable); use a recorded file or udp")
     if needs_resample and args.source in ("udp", "synthetic"):
         raise ValueError("resampling is only wired for file sources")
+    if args.source == "udp" and args.file_format != "complex64":
+        # every UDP path (python and native pump) parses datagrams as
+        # complex64 pairs; sc16/uc8 bytes would frame as garbage with
+        # zero decodes and no diagnostic (r5 review)
+        raise ValueError("-s udp takes complex64 datagrams; "
+                         "--file-format sc16/uc8 applies to file sources")
     batch = args.batch
     if batch <= 0:
         import jax
@@ -280,6 +284,18 @@ def build_msg_iter(args, cfg, *, epoch: float, stats=None):
     return run_pipelined(blocks, cfg, epoch=epoch, stats=stats,
                          batch=batch, quantize_i8=args.int8,
                          depth=args.depth)
+
+
+def _close_all(closers) -> None:
+    """Teardown in REVERSE registration order: feed clients (appended
+    last) stop before the output plugins they publish into — plugins
+    closed first received frames on closed sockets/DB connections during
+    shutdown (r5 review). One copy; four hand-kept loops drifted."""
+    for c in reversed(closers):
+        try:
+            c()
+        except Exception:
+            pass
 
 
 def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
@@ -361,7 +377,10 @@ def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
     else:
         step_iter = run_channels(chans, cfg, epoch=epoch, stats=stats,
                                  depth=args.depth, quantize_i8=args.int8)
+    from ..utils.profiling import trace
     try:
+      # --profile covers multichannel too (it was silently ignored — r5)
+      with trace(args.profile):
         for step_msgs in step_iter:
             for c, msgs in enumerate(step_msgs):
                 for m in msgs or []:
@@ -395,11 +414,7 @@ def _run_multichannel(args, srcs, cfg, bus, closers, stats=None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        for c in closers:
-            try:
-                c()
-            except Exception:
-                pass
+        _close_all(closers)
     print(f"# done: {n_steps} steps x {len(chans)} channels, "
           f"{stats.emitted} messages ({stats.crc_ok} crc-ok, "
           f"{stats.corrected} corrected)", file=sys.stderr)
@@ -497,11 +512,7 @@ def _run_aggregator(args, net_urls, bus, closers) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        for c in closers:
-            try:
-                c()
-            except Exception:
-                pass
+        _close_all(closers)
     print(f"# done: {n_emitted[0]} messages from {len(clients)} feeds",
           file=sys.stderr)
     agg_stats_json()   # final summary record
@@ -532,11 +543,7 @@ def _run_frame_replay(args, path, bus, closers) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        for c in closers:
-            try:
-                c()
-            except Exception:
-                pass
+        _close_all(closers)
     print(f"# done: replayed {n} frames from {path}", file=sys.stderr)
     return 0
 
@@ -557,7 +564,6 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from ..config import DspConfig
     from ..dsp import host
-    from ..io import sources as src_mod
     from ..io.relay import local_pubsub
 
     cfg = DspConfig(channel_rate=args.channel_rate,
@@ -685,7 +691,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     t_stats = time.time()
     n_blocks = 0
     samples_done = 0
+    import os
     try:
+        # eager config/source validation: these otherwise raise lazily on
+        # the first msg_iter step and escape as raw tracebacks (r5 review)
+        cfg.sps                       # channel_rate must be a chip multiple
+        if cfg.block_size < cfg.left_halo:
+            raise ValueError(f"--block-size {cfg.block_size} < left halo "
+                             f"{cfg.left_halo}")
+        if args.source not in ("udp", "synthetic") \
+                and not os.path.exists(args.source):
+            raise ValueError(f"no such capture file: {args.source}")
         msg_iter = build_msg_iter(args, cfg, epoch=epoch, stats=stats)
     except ValueError as e:
         print(str(e), file=sys.stderr)
@@ -719,11 +735,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     except KeyboardInterrupt:
         pass
     finally:
-        for c in closers:
-            try:
-                c()
-            except Exception:
-                pass
+        _close_all(closers)
     print(f"# done: {n_blocks} blocks, {stats.emitted} messages "
           f"({stats.crc_ok} crc-ok, {stats.corrected} corrected)",
           file=sys.stderr)

@@ -79,6 +79,7 @@ class SourceConfig:
     path: Optional[str] = None         # for file sources (complex64 interleaved)
     udp_host: str = "0.0.0.0"
     udp_port: int = 10000
+    udp_timeout_s: float = 0.0         # 0 = survive feeder restarts
     sample_rate: float = 2e6           # raw source rate (resampled to channel_rate)
     center_freq: float = 1090e6
     gain: Optional[float] = None

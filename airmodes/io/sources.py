@@ -265,7 +265,11 @@ def open_source(src: SourceConfig, cfg: DspConfig) -> Iterator[Block]:
             raise ValueError("file source needs a path")
         return file_source(src.path, cfg)
     if src.kind == "udp":
-        return udp_source(cfg, src.udp_host, src.udp_port)
+        # timeout from the config (default 0 = survive feeder restarts
+        # of any length — r5 review: the bare 5 s default here was the
+        # exact fixed-exit bug r4 fixed for modes_rx)
+        return udp_source(cfg, src.udp_host, src.udp_port,
+                          timeout_s=src.udp_timeout_s)
     if src.kind == "synthetic":
         return synthetic_source(cfg)
     if src.kind in ("uhd", "osmocom"):
