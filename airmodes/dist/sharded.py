@@ -23,9 +23,6 @@ sharding, or all_gather'd explicitly for multi-host).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -33,6 +30,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DspConfig
 from ..dsp.pipeline import DetectionTable, demod_block
+
+
+def _table_specs(spec):
+    """out_specs for a DetectionTable - field count derived, not the
+    magic '* 10' five hand-kept copies carried (r5 review)."""
+    return DetectionTable(*([spec] * len(DetectionTable._fields)))
+
+
+def _check_shard_block(n_loc: int, want: int, what: str = "time"):
+    """Per-shard owned length must BE the expected block: a mismatch is
+    silent corruption, not an error, downstream - undersized planar
+    shards zero-pad and decode the right halo as owned (duplicate
+    frames, wrong global indices), oversized f32 shards truncate (half
+    the traffic vanishes) - r5 review, probe-confirmed. Shapes are
+    static under jit, so this is a trace-time check."""
+    if n_loc != want:
+        raise ValueError(
+            f"{what} shard owns {n_loc} samples but the expected "
+            f"per-shard block is {want}: size the global input as "
+            f"n_time * block (and the mesh to match)")
+
+
+def _planar_defaults(cfg: DspConfig, tile, interpret):
+    from ..kernels.preamble_pallas import default_tile
+    if tile is None:
+        tile = default_tile(cfg)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return tile, interpret
+
+
+def _splice_ctx(x, lctx, rctx, left: int, right: int, axis: str = "time"):
+    """First/last time shards take their outer halo from the provided
+    stream context instead of the ring's zeros (ONE copy of the edge
+    rule - it was hand-kept in both ctx builders, r5 review)."""
+    t = jax.lax.axis_index(axis)
+    nt = jax.lax.axis_size(axis)
+    head = jnp.where(t == 0, lctx, x[:, :left])
+    tail = jnp.where(t == nt - 1, rctx, x[:, -right:])
+    return jnp.concatenate([head, x[:, left:-right], tail], axis=1)
 
 
 def make_mesh(n_channel: int = 1, n_time: int = 1,
@@ -114,6 +151,7 @@ def make_sharded_demod(mesh: Mesh, cfg: DspConfig, *,
 
     def shard_fn(iq_shard):
         # iq_shard: (C_loc, N_loc, 2) float32
+        _check_shard_block(iq_shard.shape[1], cfg.block_size)
         if ablate_halos:
             padded = jnp.pad(iq_shard, ((0, 0), (left, right), (0, 0)))
         else:
@@ -126,7 +164,7 @@ def make_sharded_demod(mesh: Mesh, cfg: DspConfig, *,
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=P("channel", "time", None),
-        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        out_specs=_table_specs(P("channel", "time")),
     )
     return jax.jit(fn)
 
@@ -166,14 +204,9 @@ def make_sharded_demod_ctx(mesh: Mesh, cfg: DspConfig):
     left, right = cfg.left_halo, cfg.right_halo
 
     def shard_fn(iq_shard, lctx, rctx):
-        padded = _exchange_halos(iq_shard, left, right)
-        t = jax.lax.axis_index("time")
-        nt = jax.lax.axis_size("time")
-        first = (t == 0)
-        last = (t == nt - 1)
-        head = jnp.where(first, lctx, padded[:, :left])
-        tail = jnp.where(last, rctx, padded[:, -right:])
-        padded = jnp.concatenate([head, padded[:, left:-right], tail], axis=1)
+        _check_shard_block(iq_shard.shape[1], cfg.block_size)
+        padded = _splice_ctx(_exchange_halos(iq_shard, left, right),
+                             lctx, rctx, left, right)
         table = jax.vmap(lambda x: demod_block(x, cfg))(padded)
         table = _globalize(table, cfg.block_size)
         return jax.tree.map(lambda a: a[:, None], table)
@@ -182,7 +215,7 @@ def make_sharded_demod_ctx(mesh: Mesh, cfg: DspConfig):
         shard_fn, mesh=mesh,
         in_specs=(P("channel", "time", None),
                   P("channel", None, None), P("channel", None, None)),
-        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        out_specs=_table_specs(P("channel", "time")),
     )
     return jax.jit(fn)
 
@@ -201,18 +234,15 @@ def make_sharded_demod_planar(mesh: Mesh, cfg: DspConfig, tile: int = None,
     interpret=None auto-selects Pallas interpret mode off-TPU (the CPU-mesh
     test/dryrun path); on TPU the compiled kernel runs per chip.
     """
-    from ..kernels.preamble_pallas import (
-        default_tile, demod_batch_planar, planar_length)
+    from ..kernels.preamble_pallas import demod_batch_planar, planar_length
 
-    if tile is None:
-        tile = default_tile(cfg)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    tile, interpret = _planar_defaults(cfg, tile, interpret)
     left, right = cfg.left_halo, cfg.right_halo
     p = planar_length(cfg, tile)
 
     def shard_fn(xi_shard, xq_shard):
         # (C_loc, N_loc) int8 owned samples per planar stream
+        _check_shard_block(xi_shard.shape[1], cfg.block_size)
         xi = _exchange_halos(xi_shard, left, right)
         xq = _exchange_halos(xq_shard, left, right)
         pad = p - xi.shape[1]
@@ -226,7 +256,7 @@ def make_sharded_demod_planar(mesh: Mesh, cfg: DspConfig, tile: int = None,
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("channel", "time"), P("channel", "time")),
-        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        out_specs=_table_specs(P("channel", "time")),
         # pallas_call outputs don't carry vma metadata; skip the check
         check_vma=False,
     )
@@ -262,23 +292,16 @@ def make_sharded_demod_planar_ctx(mesh: Mesh, cfg: DspConfig,
     Used by dist.multihost.PodPipeline(planar=True). (Ref: GR history
     semantics, gr::block::set_history in lib/preamble_impl.cc.)
     """
-    from ..kernels.preamble_pallas import (
-        default_tile, demod_batch_planar, planar_length)
+    from ..kernels.preamble_pallas import demod_batch_planar, planar_length
 
-    if tile is None:
-        tile = default_tile(cfg)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    tile, interpret = _planar_defaults(cfg, tile, interpret)
     left, right = cfg.left_halo, cfg.right_halo
     p = planar_length(cfg, tile)
 
     def one_stream(x_shard, lctx, rctx):
-        x = _exchange_halos(x_shard, left, right)
-        t = jax.lax.axis_index("time")
-        nt = jax.lax.axis_size("time")
-        head = jnp.where(t == 0, lctx, x[:, :left])
-        tail = jnp.where(t == nt - 1, rctx, x[:, -right:])
-        x = jnp.concatenate([head, x[:, left:-right], tail], axis=1)
+        _check_shard_block(x_shard.shape[1], cfg.block_size)
+        x = _splice_ctx(_exchange_halos(x_shard, left, right),
+                        lctx, rctx, left, right)
         return jnp.pad(x, ((0, 0), (0, p - x.shape[1])))
 
     def shard_fn(xi_shard, xq_shard, li, lq, ri, rq):
@@ -294,7 +317,7 @@ def make_sharded_demod_planar_ctx(mesh: Mesh, cfg: DspConfig,
         in_specs=(P("channel", "time"), P("channel", "time"),
                   P("channel", None), P("channel", None),
                   P("channel", None), P("channel", None)),
-        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        out_specs=_table_specs(P("channel", "time")),
         # pallas_call outputs don't carry vma metadata; skip the check
         check_vma=False,
     )
@@ -326,9 +349,14 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
     (n_channels, 2, n_time * raw_block) sharded P("channel", None,
     "time") (a minor-dim-2 interleaved device array reads ~15x slower
     through a tile-padded relayout — r5 stage probe; hosts split I/Q
-    with two strided copies); gain is the int8 quantization gain
-    (traced scalar or (C,) vector, or None for on-device per-channel
-    AGC; report dBFS with full_scale = gain/127). f32: fn(iq) with iq
+    with two strided copies); gain is the REQUIRED int8 quantization
+    gain (traced scalar or (C,) per-channel vector; report dBFS with
+    full_scale = gain/127 — device AGC is single-chip-only, see
+    resample/fused.py: per-shard AGC would mint different full_scales
+    per time shard). ONE-SHOT semantics: both stream edges read zeros —
+    there is no ctx variant yet, so multi-step streaming through this
+    builder would lose frames straddling step boundaries (use
+    PodPipeline + host resample, or add a ctx variant first). f32: fn(iq) with iq
     interleaved (n_channels, n_time * raw_block, 2) sharded
     P("channel", "time", None). raw_block = cfg.block_size * q / p
     (must be an integer multiple of 128q — i.e. cfg.block_size a multiple
@@ -341,6 +369,7 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
 
     gi = 128 * q
     raw_geometry(cfg, p, q)        # validates block alignment + pq cap
+    raw_block = cfg.block_size * q // p
     left, right = cfg.left_halo, cfg.right_halo
     on_tpu = jax.default_backend() == "tpu"
 
@@ -355,6 +384,7 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
 
     def resample_shard(iq_shard):
         # (C_loc, raw_block, 2) f32 at the raw rate -> (C_loc, 2, block)
+        _check_shard_block(iq_shard.shape[1], raw_block, "raw-rate time")
         padded = _exchange_halos(iq_shard, gi, gi)       # resample halos
         c_loc = padded.shape[0]
         xc = jax.vmap(to_planar)(padded).reshape(2 * c_loc, -1)
@@ -372,7 +402,7 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
         fn = shard_map(
             shard_fn, mesh=mesh,
             in_specs=P("channel", "time", None),
-            out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+            out_specs=_table_specs(P("channel", "time")),
         )
         return jax.jit(fn)
 
@@ -386,6 +416,7 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
 
     def shard_fn_planar(iqp_shard, gain):
         # (C_loc, 2, raw_block) PLANAR f32 at the raw rate
+        _check_shard_block(iqp_shard.shape[2], raw_block, "raw-rate time")
         c_loc = iqp_shard.shape[0]
         ri = _exchange_halos(iqp_shard[:, 0], gi, gi)     # resample halos
         rq = _exchange_halos(iqp_shard[:, 1], gi, gi)
@@ -398,7 +429,15 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
         # shard, breaking the one-full_scale-per-stream dBFS contract;
         # the single-chip fused path (resample/fused.py) offers AGC
         g = jnp.asarray(gain, jnp.float32)
-        gain_c = jnp.broadcast_to(g, (c_loc,)) if g.ndim == 0 else g
+        if g.ndim == 0:
+            gain_c = jnp.broadcast_to(g, (c_loc,))
+        else:
+            # the (C,) vector rides in replicated (in_spec P()); each
+            # shard takes its own channel slice — indexing the full
+            # vector with c_loc < C failed at trace time on any
+            # channel-sharded mesh (r5 review, probe-confirmed)
+            off = jax.lax.axis_index("channel") * c_loc
+            gain_c = jax.lax.dynamic_slice_in_dim(g, off, c_loc)
         y8 = quantize_i8(y, jnp.repeat(gain_c, 2).reshape(c_loc, 2, 1))
         xi = _exchange_halos(y8[:, 0], left, right)       # int8 ICI halos
         xq = _exchange_halos(y8[:, 1], left, right)
@@ -413,7 +452,7 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
     fn = shard_map(
         shard_fn_planar, mesh=mesh,
         in_specs=(P("channel", None, "time"), P()),
-        out_specs=DetectionTable(*([P("channel", "time")] * 10)),
+        out_specs=_table_specs(P("channel", "time")),
         # pallas_call outputs don't carry vma metadata; skip the check
         check_vma=False,
     )

@@ -303,3 +303,56 @@ def test_sharded_resample_planar_mesh():
     got32 = decode(jax.block_until_ready(
         fn32(sharded.shard_input(x32, mesh))))
     assert want <= got32
+
+
+def test_sharded_shard_size_mismatch_raises():
+    """r5 review (probe-confirmed): mis-sized time shards were silent
+    corruption — undersized planar shards zero-padded and decoded the
+    right halo as owned (duplicate frames, wrong indices); oversized f32
+    shards truncated (traffic vanished). Now a trace-time ValueError."""
+    from airmodes.dist import sharded
+
+    cfg = airmodes.DspConfig(block_size=1 << 14, max_detections=16)
+    mesh = sharded.make_mesh(n_channel=1, n_time=2)
+    # f32 path: per-shard 2x the block
+    fn = sharded.make_sharded_demod(mesh, cfg)
+    big = np.zeros((1, 2 * 2 * cfg.block_size, 2), np.float32)
+    with pytest.raises(ValueError, match="shard owns"):
+        fn(sharded.shard_input(big, mesh))
+    # planar path: per-shard half the block
+    fnp = sharded.make_sharded_demod_planar(
+        mesh, airmodes.DspConfig(block_size=16384, max_detections=16),
+        interpret=True)
+    small = np.zeros((1, 2 * 8192), np.int8)
+    with pytest.raises(ValueError, match="shard owns"):
+        fnp(*sharded.shard_input_planar(small, small, mesh))
+
+
+def test_sharded_resample_per_channel_gain_on_sharded_mesh():
+    """r5 review (probe-confirmed): a (C,) per-channel gain vector on a
+    channel-SHARDED mesh failed at trace time (the replicated vector was
+    indexed with the local channel count); each shard now slices its own
+    channels."""
+    from airmodes.dist import sharded
+
+    cfg = airmodes.DspConfig(channel_rate=4e6, block_size=1 << 14,
+                             max_detections=16)
+    mesh = sharded.make_mesh(n_channel=2, n_time=2)
+    raw_total = 2 * cfg.block_size * Q_DN // P_UP
+    frames = encoder.random_df17_frames(4, seed=43)
+    iq_raw, truth = encoder.make_capture(
+        frames, rate=6e6, snr_db=20.0, spacing=raw_total // 5, seed=43,
+        total_samples=raw_total)
+    x = np.tile(_planar(iq_raw), (2, 1, 1))
+    gains = np.float32([120.0 / float(np.abs(iq_raw).max())] * 2)
+    fn = sharded.make_sharded_resample_demod(mesh, cfg, P_UP, Q_DN,
+                                             planar=True, interpret=True)
+    table = jax.block_until_ready(
+        fn(sharded.shard_input_resample_planar(x, mesh), gains))
+    got = set()
+    for c in range(2):
+        for t in range(2):
+            sub = type(table)(*(np.asarray(f)[c, t] for f in table))
+            for m in host.table_to_messages(sub, 0, cfg.channel_rate):
+                got.add(m.split()[1])
+    assert {t.hex for t in truth} <= got
