@@ -290,6 +290,13 @@ def main(argv=None) -> int:
               "network feed use -s beast://host:port without "
               "--file-format)", file=sys.stderr)
         return 2
+    if source == "udp" and args.file_format != "complex64":
+        # same guard as build_msg_iter, but EAGER: raised inside the
+        # feed thread it prints under an active curses screen and the
+        # user sees a blank table forever (r5 review)
+        print("-s udp takes complex64 datagrams; --file-format sc16/uc8 "
+              "applies to file sources", file=sys.stderr)
+        return 2
     needs_resample = abs(args.rate - args.channel_rate) > 1e-3
     if needs_resample and not frame_replay and (
             source in ("udp", "synthetic") or "://" in source):

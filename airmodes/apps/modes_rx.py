@@ -606,9 +606,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         plug = output_sbs1(args.sbs1, parse_cls(my_pos))
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
+    sql_plug = None
     if args.db:
         from ..outputs.sql import output_sql
-        plug = output_sql(args.db, parse_cls(my_pos))
+        sql_plug = plug = output_sql(args.db, parse_cls(my_pos))
         bus.subscribe("dl_data", plug.output)
         closers.append(plug.close)
     if args.kml:
@@ -617,7 +618,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         from ..outputs.kml import output_kml
         plug = output_kml(args.kml, args.db, my_pos)
-        closers.append(plug.close)
+        # flush the SQL batch before kml's FINAL rewrite: teardown runs
+        # in reverse registration order, so kml closes before sql
+        # commits its tail and the final KML read stale/empty data
+        # (r5 review; interaction of two r5 fixes)
+        closers.append(lambda k=plug, s=sql_plug:
+                       (s.flush() if s is not None else None, k.close()))
     if args.raw is not None:
         from ..outputs.raw_server import output_raw
         plug = output_raw(args.raw)
@@ -699,12 +705,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         if cfg.block_size < cfg.left_halo:
             raise ValueError(f"--block-size {cfg.block_size} < left halo "
                              f"{cfg.left_halo}")
-        if args.source not in ("udp", "synthetic") \
+        if args.source not in ("udp", "synthetic", "uhd", "osmocom") \
                 and not os.path.exists(args.source):
+            # uhd/osmocom excluded: they get build_msg_iter's dedicated
+            # no-SDR-drivers diagnostic, not 'no such capture file: uhd'
             raise ValueError(f"no such capture file: {args.source}")
         msg_iter = build_msg_iter(args, cfg, epoch=epoch, stats=stats)
     except ValueError as e:
         print(str(e), file=sys.stderr)
+        _close_all(closers)   # plugins are already registered: a library
+        # caller of main() must not leak bound ports/threads (r5 review)
         return 2
     try:
       with trace(args.profile):

@@ -91,12 +91,11 @@ def summarize(ra: Dict) -> str:
             bits.append("crossing")
     elif ra.get("multiple_threats"):
         bits.append("RA (multi-threat encoding)")
-    elif ra.get("complements"):
-        # complements-only coordination report (ARA inactive): the RAC
-        # bits ARE the content — dropping them labeled these messages
-        # "multi-threat encoding", factually wrong at MTE=0 (r5 review)
-        bits.append("RA complements")
     else:
+        # complements-only coordination reports (ARA inactive) carry
+        # their content in the complement line appended below (r5
+        # review: the old branch mislabeled them multi-threat; the
+        # first fix then printed the complement list twice)
         bits.append("RA")
     if ra.get("complements"):
         bits.append("complement " + "+".join(ra["complements"]))

@@ -436,6 +436,13 @@ def make_sharded_resample_demod(mesh: Mesh, cfg: DspConfig,
             # shard takes its own channel slice — indexing the full
             # vector with c_loc < C failed at trace time on any
             # channel-sharded mesh (r5 review, probe-confirmed)
+            n_ch = c_loc * jax.lax.axis_size("channel")
+            if g.shape[0] != n_ch:
+                # dynamic_slice CLAMPS out-of-range starts: a wrong-
+                # length vector would silently reuse tail gains (wrong
+                # full_scale/dBFS) instead of failing loudly
+                raise ValueError(f"gain vector has {g.shape[0]} entries "
+                                 f"for {n_ch} channels")
             off = jax.lax.axis_index("channel") * c_loc
             gain_c = jax.lax.dynamic_slice_in_dim(g, off, c_loc)
         y8 = quantize_i8(y, jnp.repeat(gain_c, 2).reshape(c_loc, 2, 1))

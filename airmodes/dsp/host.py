@@ -46,12 +46,15 @@ class BlockStats:
 
 def quantize_i8_np(x: np.ndarray, gain: float) -> np.ndarray:
     """THE int8 quantization rule, elementwise on any float layout:
-    round(f32 * gain) clipped to +-127, np.round half-to-even. The
-    native runtime (iqstream.cc quantize_i8 / iq_quantize_planar_i8)
-    implements the identical rule in C; keep every Python-side
-    quantizer on this one helper so the full_scale = gain/127 dBFS
-    referencing can never drift between paths."""
-    return np.clip(np.round(x * gain), -127, 127).astype(np.int8)
+    round(f32 * gain) clipped to +-127, np.round half-to-even; NaN
+    quantizes to 0 and +-inf saturates (deterministic, matching the
+    native quant_i8 — NaN.astype(int8) is undefined and diverged from
+    the C path, r5 review). The native runtime (iqstream.cc quantize_i8
+    / iq_quantize_planar_i8) implements the identical rule in C; keep
+    every Python-side quantizer on this one helper so the full_scale =
+    gain/127 dBFS referencing can never drift between paths."""
+    y = np.clip(np.round(x * gain), -127, 127)
+    return np.where(np.isnan(y), 0.0, y).astype(np.int8)
 
 
 def quantize_planar_i8_np(iq: np.ndarray, gain: float):

@@ -277,6 +277,9 @@ int iq_stream_start_file(void* h, const char* path, int format,
           if (pr < 0) { got = 0; break; }
           if (pr == 0) continue;          // stall: re-check stop
           got = read(fileno(f), raw + pend, CHUNK * elem - pend);
+          if (got < 0 && errno == EINTR) continue;  // a signal between
+          // poll and read is not EOF: conflating them silently ended a
+          // live FIFO feed mid-capture (r5 review)
           break;
         }
         if (s->stop.load() || got <= 0) break;  // EOF / error / stop

@@ -142,6 +142,14 @@ class output_sql:
                 self._since_commit = 0
                 self._last_commit = now
 
+    def flush(self) -> None:
+        """Commit any batched tail now (readers on separate connections
+        see only committed data — the kml final rewrite flushes before
+        rendering, r5 review)."""
+        with self._lock:
+            self._db.commit()
+            self._since_commit = 0
+
     def close(self) -> None:
         with self._lock:
             self._db.commit()
