@@ -121,6 +121,29 @@ def preamble_detect_pallas(iq, cfg: DspConfig, tile: int = 16384,
     return mask, ref
 
 
+def _select_n(vec, idx, valid):
+    """Exact (K,)-selection from an N-vector without TPU gathers.
+
+    A (K,)-indexed gather lowers to a ~2.5 us/element sequential loop on
+    TPU (CLAUDE.md); a full (K, N) onehot is infeasible at N ~ 4M. Two
+    stages instead: a (K, T) tile-onehot matmul picks each detection's
+    2048-lane tile row (HIGHEST precision — each output is ONE nonzero
+    product, so exact), then an in-row lane mask-sum picks the element
+    (single nonzero per row — summation order irrelevant, exact)."""
+    n = vec.shape[0]
+    G = 2048
+    v = jnp.pad(vec, (0, (-n) % G)).reshape(-1, G)
+    t_count = v.shape[0]
+    safe = jnp.where(valid, idx, 0)
+    hi = jax.lax.Precision.HIGHEST
+    oh = (jnp.arange(t_count, dtype=jnp.int32)[None, :]
+          == (safe // G)[:, None]).astype(jnp.float32)
+    rows = jnp.matmul(oh, v.astype(jnp.float32), precision=hi)
+    mask = (jnp.arange(G, dtype=jnp.int32)[None, :]
+            == (safe % G)[:, None])
+    return jnp.sum(jnp.where(mask, rows, 0.0), axis=1)
+
+
 def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):
     """Shared XLA tail for the mask+ref detect kernels: compaction +
     slice_bits + CRC/ECC -> DetectionTable (one block)."""
@@ -142,8 +165,10 @@ def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):
         mask_c.astype(bool), cfg.max_detections)
     left = cfg.left_halo
     safe_idx = jnp.where(valid, det_idx, 0)
-    ref_level = ref_c[safe_idx]
-    noise_at = noise[left + safe_idx]
+    # tile-onehot selection: the (K,)-gathers here cost ~2.5 us each
+    # serialized on TPU (~0.6 ms/block at K=128 — r5 review)
+    ref_level = _select_n(ref_c, safe_idx, valid)
+    noise_at = _select_n(noise, left + safe_idx, valid)
     bits, confidence = P.slice_bits(mag2, det_idx, valid, ref_level, cfg,
                                     left)
     out_bits, df, nbits, synd, status = P.crc_check_and_correct(
