@@ -187,6 +187,18 @@ def avr_to_hex(record: str) -> Optional[Tuple[str, Optional[int]]]:
 _DAY_NS = 86400 * 1_000_000_000
 
 
+def split_gps_counter(counter: int):
+    """[sod:18][ns:30] GPS counter -> (seconds_of_day, nanoseconds), or
+    None outside the domain (sod >= 86400 or ns >= 1e9 — an unlocked or
+    free-running counter masquerading as GPS time). THE one place the
+    bit layout and bounds live (three hand-kept copies drifted before:
+    _emit validated, replay_file did not — r5 review)."""
+    sod, nanos = counter >> 30, counter & ((1 << 30) - 1)
+    if sod >= 86400 or nanos >= 1_000_000_000:
+        return None
+    return sod, nanos
+
+
 def gps_counter_to_utc_ns(counter: int, host_now: float) -> int:
     """Radarcape/GPS Beast timestamp -> absolute UTC int64 nanoseconds.
 
@@ -234,10 +246,20 @@ class net_client:
                  timestamps: str = "host", reconnect_s: float = 2.0):
         self.host, self.port = host, port
         self.callback = callback
+        if fmt == "beastgps":
+            fmt = "beast"     # the URL scheme name: framing is beast,
+            # the GPS-ness lives in timestamps= (client_for_url
+            # normalizes too; direct constructions used to fall through
+            # to AVR parsing of the binary stream — r5 review)
+        if fmt not in ("auto", "beast", "avr"):
+            raise ValueError(f"unknown net_client fmt {fmt!r} "
+                             "(auto | beast | avr)")
         self.fmt = fmt
         self.timestamps = "mlat" if mlat_time else timestamps
         self.reconnect_s = reconnect_s
         self._anchor: Optional[Tuple[float, int]] = None
+        self._last_counter: Optional[int] = None   # unwrap state (see
+        self._unwrapped = 0                        # _emit mlat branch)
         # called (from the client thread) whenever the counter->host-clock
         # anchor changes after frames have flowed: a reconnect or a remote
         # counter reset. Consumers tracking clock offsets (mlat sync) MUST
@@ -273,11 +295,28 @@ class net_client:
                 # stations would be unbounded); anchor it to this
                 # host's clock once per connection
                 self._anchor = (time.time(), mlat)
+                self._last_counter = mlat
+                self._unwrapped = 0
             t0, c0 = self._anchor
-            # signed modular delta: a counter 1 tick BELOW the anchor is
-            # a slightly-early frame, not +271 days (2^48/12 MHz)
+            if self._last_counter is None:
+                # anchor was set without the unwrap state (restored from
+                # a prior connection / set directly): derive it
+                self._last_counter = c0
+                self._unwrapped = 0
+            # UNWRAPPED tick count: per-frame signed-modular steps
+            # (bounded by seconds, never near 2^47) accumulate, so the
+            # anchor-relative delta survives any connection lifetime —
+            # the single anchor-relative signed-modular form wrapped at
+            # 2^47 ticks (~11.65 days of uptime) and GUARANTEED a
+            # spurious reanchor that trashed the trained mlat sync state
+            # (r5 review). A frame slightly below the previous counter
+            # is still a slightly-early frame, not +271 days.
             half = 1 << 47
-            delta = ((mlat - c0 + half) & ((1 << 48) - 1)) - half
+            step = ((mlat - self._last_counter + half)
+                    & ((1 << 48) - 1)) - half
+            self._last_counter = mlat
+            self._unwrapped += step
+            delta = self._unwrapped
             # a healthy counter's implied elapsed time tracks the host
             # clock; divergence (not mere age!) marks a remote counter
             # reset/re-lock without a TCP disconnect. The threshold grows
@@ -291,6 +330,8 @@ class net_client:
                 self._anchor = (time.time(), mlat)
                 t0, c0 = self._anchor
                 delta = 0
+                self._unwrapped = 0
+                self._last_counter = mlat
                 if self.on_reanchor is not None:
                     self.on_reanchor()
             ts = t0 + delta / MLAT_HZ
@@ -305,16 +346,13 @@ class net_client:
                 # as "mlat" mode)
                 self.n_dropped += 1
                 return
-            sod, nanos = mlat >> 30, mlat & ((1 << 30) - 1)
-            if sod >= 86400 or nanos >= 1_000_000_000:
-                # impossible in the GPS layout ([sod:18][ns:30] with
-                # sod < 86400, ns < 1e9): an unlocked/misconfigured
-                # receiver (e.g. a classic free-running counter fed
-                # through a gps:// URL) produces counters outside the
-                # domain — NOT UTC-disciplined time, and mapping it
-                # anyway would enter the TDOA solve as trusted GPS-grade
-                # stamps. Drop and count, same rule as counter-less
-                # records.
+            if split_gps_counter(mlat) is None:
+                # outside the GPS layout's domain: an unlocked or
+                # misconfigured receiver (e.g. a classic free-running
+                # counter fed through a gps:// URL) — NOT UTC-disciplined
+                # time; mapping it anyway would enter the TDOA solve as
+                # trusted GPS-grade stamps. Drop and count, same rule as
+                # counter-less records.
                 self.n_dropped += 1
                 return
             ns = gps_counter_to_utc_ns(mlat, time.time())
@@ -363,6 +401,11 @@ class net_client:
                     got = avr_to_hex(rec)
                     if got is not None:
                         self._emit(got[0], None, got[1])
+                    else:
+                        # malformed AVR record: COUNT it (the beast path
+                        # counts every drop; an uncounted garbage feed
+                        # read as quiet airspace — r5 review)
+                        self.n_dropped += 1
                 if len(avr_buf) > 65536:
                     # a record-less byte stream (wrong port, proxy
                     # banner, binary feed) must not grow memory at line
@@ -397,6 +440,13 @@ class net_client:
             self._sock = sock
             try:
                 self._pump(sock)
+            except Exception as e:     # noqa: BLE001 — drop-and-continue:
+                # an exception escaping the callback must not silently
+                # kill the feed thread forever (frozen stats, no
+                # reconnect — r5 review); log and re-enter the
+                # reconnect loop
+                print(f"net_client: {self.host}:{self.port} feed error: "
+                      f"{e!r}; reconnecting", file=sys.stderr)
             finally:
                 self._sock = None
                 try:
@@ -440,12 +490,13 @@ class frame_deduper:
         if len(self._last) > self.max_entries:  # bound memory on busy feeds
             cutoff = now - self.window_s
             self._last = {k: t for k, t in self._last.items() if t >= cutoff}
-            if len(self._last) > self.max_entries:
-                # every entry still in-window (rate x window > cap): enforce
-                # the cap by dropping the oldest half — losing dedup state
-                # for old frames only risks a duplicate emit, never a drop.
-                # Shrinking to half also keeps this O(n log n) pass rare
-                # instead of running per accepted frame at the cap.
+            if len(self._last) > self.max_entries // 2:
+                # shrink to HALF cap even when expiry freed some room:
+                # when rate x window hovers at the cap, expiry frees only
+                # a handful of entries and this O(n) pass re-ran every
+                # few accepted frames under the aggregator lock (r5
+                # review). Dropping in-window state only risks a
+                # duplicate emit, never a drop.
                 keep = sorted(self._last.items(), key=lambda kv: kv[1])
                 self._last = dict(keep[-(self.max_entries // 2):])
         self._last[hexframe] = now
@@ -467,28 +518,32 @@ def replay_file(path: str, fmt: str = "auto",
     """
     if epoch is None:
         epoch = time.time()
-    with open(path, "rb") as f:
-        data = f.read()
-    if fmt == "auto":
-        fmt = "beast" if data[:1] == b"\x1a" else "avr"
     t0_ns: Optional[int] = None
     epoch_ns = int(round(epoch * 1e9))
 
-    def counter_ns(mlat: int) -> int:
+    def counter_ns(mlat: int) -> Optional[int]:
         # integer end to end so the recording's counter precision (1 ns
         # GPS / 83 ns classic) survives onto the wire's ns field
         if gps_time:
-            return (mlat >> 30) * 1_000_000_000 + (mlat & ((1 << 30) - 1))
+            got = split_gps_counter(mlat)
+            if got is None:
+                return None   # outside the GPS domain (free-running
+                # counter recorded through --beast-gps / lost lock):
+                # the LIVE gps path drops these; replay used to mint
+                # garbage non-monotone pseudo-times (r5 review)
+            return got[0] * 1_000_000_000 + got[1]
         return mlat * 1000 // 12              # 12 MHz ticks -> ns
 
     base_ns = 0          # accumulated re-anchor offset (counter resets)
     prev_off = 0
 
-    def ts_of(mlat: Optional[int]) -> Tuple[float, float, Optional[int]]:
+    def ts_of(mlat: Optional[int]):
         nonlocal t0_ns, base_ns, prev_off
         if mlat is None:
             return epoch, 0.0, None
         cns = counter_ns(mlat)
+        if cns is None:
+            return None             # out-of-domain counter: drop frame
         if t0_ns is None:
             t0_ns = cns
         off_ns = cns - t0_ns + base_ns
@@ -521,24 +576,59 @@ def replay_file(path: str, fmt: str = "auto",
         ns = epoch_ns + off_ns
         return ns * 1e-9, off_ns * 1e-9, ns
 
-    if fmt == "beast":
-        for mtype, mlat, sig, payload in beast_parser().push(data):
-            if mtype not in (TYPE_SHORT, TYPE_LONG):
-                continue
-            ts, off, ns = ts_of(mlat)
-            w = frame_to_wire(payload.hex(), ref_dbfs=signal_dbfs(sig),
-                              timestamp=ts, timestamp_ns=ns)
-            if w is not None:
-                yield w, off
-    else:
-        for rec in data.split(b";"):
-            got = avr_to_hex(rec.strip().decode("ascii", "replace"))
-            if got is None:
-                continue
-            ts, off, ns = ts_of(got[1])
-            w = frame_to_wire(got[0], timestamp=ts, timestamp_ns=ns)
-            if w is not None:
-                yield w, off
+    # stream in chunks: reading AND parsing a multi-GB capture into
+    # full-size in-memory lists before the first yield held several GB
+    # resident (r5 review); the beast parser is already incremental
+    with open(path, "rb") as f:
+        first = f.read(1 << 20)
+        if fmt == "auto":
+            fmt = "beast" if first[:1] == b"\x1a" else "avr"
+
+        def chunks():
+            chunk = first
+            while chunk:
+                yield chunk
+                chunk = f.read(1 << 20)
+
+        if fmt == "beast":
+            bp = beast_parser()
+            for chunk in chunks():
+                for mtype, mlat, sig, payload in bp.push(chunk):
+                    if mtype not in (TYPE_SHORT, TYPE_LONG):
+                        continue
+                    got_ts = ts_of(mlat)
+                    if got_ts is None:
+                        continue
+                    ts, off, ns = got_ts
+                    w = frame_to_wire(payload.hex(),
+                                      ref_dbfs=signal_dbfs(sig),
+                                      timestamp=ts, timestamp_ns=ns)
+                    if w is not None:
+                        yield w, off
+        else:
+            buf = b""
+            for chunk in chunks():
+                buf += chunk
+                while True:
+                    i = buf.find(b";")
+                    if i < 0:
+                        break
+                    rec = buf[:i]
+                    buf = buf[i + 1:]
+                    got = avr_to_hex(rec.strip().decode("ascii",
+                                                        "replace"))
+                    if got is None:
+                        continue
+                    got_ts = ts_of(got[1])
+                    if got_ts is None:
+                        continue
+                    ts, off, ns = got_ts
+                    w = frame_to_wire(got[0], timestamp=ts,
+                                      timestamp_ns=ns)
+                    if w is not None:
+                        yield w, off
+                if len(buf) > 1 << 20:
+                    buf = b""       # record-less garbage stream
 
 
 def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
@@ -558,6 +648,13 @@ def parse_net_url(url: str) -> Optional[Tuple[str, str, int]]:
                 # address (brackets left on, every connect gaierror'd
                 # forever — r5 review)
                 host = host[1:-1]
+            elif ":" in host:
+                # a bare IPv6 address with no port mis-splits ('::1' ->
+                # host '::', port 1) and retried a nonsense endpoint
+                # forever instead of a clean CLI error (r5 review)
+                raise ValueError(
+                    f"bad network source {url!r}: bracket IPv6 hosts "
+                    f"({scheme}://[{hostport}]:PORT)")
             return scheme, host, int(port)
     return None
 

@@ -21,6 +21,7 @@ is never escaped.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from .tcpserver import broadcast_server
@@ -45,7 +46,6 @@ def signal_byte(ref_dbfs: float) -> int:
 
 def signal_dbfs(byte: int) -> float:
     """Inverse of signal_byte (floor at the 1-count quantization level)."""
-    import math
     return 20.0 * math.log10(max(byte, 1) / 255.0)
 
 
@@ -79,7 +79,6 @@ def beast_encode(hexframe: str, ref_dbfs: float, timestamp: float,
     the wire message carried the int64-ns extension) keeps the counter
     exact instead of float-quantized.
     """
-    import math
     if not (math.isfinite(ref_dbfs) and math.isfinite(timestamp)
             and abs(timestamp) < 1e12):
         # 'nan'/'inf' parse as floats upstream and would crash the

@@ -147,6 +147,29 @@ def test_parse_net_url():
         ("beast", "2001:db8::1", 30005)
 
 
+def test_mlat_counter_survives_2pow47_wrap(monkeypatch):
+    """r5 review: the anchor-relative signed-modular delta wrapped at
+    2^47 ticks (~11.65 days of healthy uptime) and GUARANTEED a spurious
+    reanchor; per-frame unwrapped accumulation must ride through both
+    the half-range point and the true 2^48 counter wrap."""
+    from airmodes.io import netclient as nc
+
+    clock = [1000.0]
+    monkeypatch.setattr(nc.time, "time", lambda: clock[0])
+    reanchors = []
+    c = nc.net_client("h", 1, lambda m: None, fmt="beast",
+                      timestamps="mlat")
+    c.on_reanchor = lambda: reanchors.append(1)
+    start = (1 << 48) - nc.MLAT_HZ * 86400        # 1 day before 2^48
+    c._emit("8d" + "0" * 26, 100, start)          # anchors
+    day_ticks = nc.MLAT_HZ * 86400
+    for d in range(1, 16):                        # 15 days, one frame/day
+        clock[0] = 1000.0 + 86400.0 * d
+        ctr = (start + day_ticks * d) & ((1 << 48) - 1)   # wraps at day 1
+        c._emit("8d" + "0" * 26, 100, ctr)
+    assert not reanchors, "wrap misread as counter reset"
+
+
 def test_mlat_reanchor_tolerates_sdr_clock_drift(monkeypatch):
     """A healthy day-old feed whose 12 MHz counter runs 50 ppm fast
     (typical rtl-sdr) must NOT be misread as a counter reset (r5 review:
