@@ -129,19 +129,34 @@ def _select_n(vec, idx, valid):
     stages instead: a (K, T) tile-onehot matmul picks each detection's
     2048-lane tile row (HIGHEST precision — each output is ONE nonzero
     product, so exact), then an in-row lane mask-sum picks the element
-    (single nonzero per row — summation order irrelevant, exact)."""
+    (single nonzero per row — summation order irrelevant, exact).
+
+    The selection runs on the f32 BIT PATTERN split into 16-bit halves
+    (each < 2^16, exact in an f32 matmul) recombined in int32 — not on
+    the values: a value matmul turns ONE non-finite sample anywhere in
+    `vec` into 0*NaN = NaN that poisons every detection sharing its
+    2048-lane column (the old gather read only the indexed element; a
+    corrupt f32 capture must not silently drop unrelated frames). The
+    bit-pattern route is gather-exact for every input, NaN/Inf included."""
     n = vec.shape[0]
     G = 2048
-    v = jnp.pad(vec, (0, (-n) % G)).reshape(-1, G)
-    t_count = v.shape[0]
+    bits = jax.lax.bitcast_convert_type(vec.astype(jnp.float32), jnp.int32)
+    u = jnp.pad(bits, (0, (-n) % G)).reshape(-1, G)
+    t_count = u.shape[0]
     safe = jnp.where(valid, idx, 0)
     hi = jax.lax.Precision.HIGHEST
     oh = (jnp.arange(t_count, dtype=jnp.int32)[None, :]
           == (safe // G)[:, None]).astype(jnp.float32)
-    rows = jnp.matmul(oh, v.astype(jnp.float32), precision=hi)
+    lo16 = (u & 0xFFFF).astype(jnp.float32)
+    hi16 = ((u >> 16) & 0xFFFF).astype(jnp.float32)
+    rows_lo = jnp.matmul(oh, lo16, precision=hi)
+    rows_hi = jnp.matmul(oh, hi16, precision=hi)
     mask = (jnp.arange(G, dtype=jnp.int32)[None, :]
             == (safe % G)[:, None])
-    return jnp.sum(jnp.where(mask, rows, 0.0), axis=1)
+    sel_lo = jnp.sum(jnp.where(mask, rows_lo, 0.0), axis=1).astype(jnp.int32)
+    sel_hi = jnp.sum(jnp.where(mask, rows_hi, 0.0), axis=1).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type((sel_hi << 16) | sel_lo,
+                                        jnp.float32)
 
 
 def _xla_full_tail(iq_c, mask_c, ref_c, cfg: DspConfig):

@@ -658,3 +658,33 @@ def test_compact_detections_exact_past_2pow24():
         jax.numpy.asarray(mask), 4))
     got = det_idx[valid.astype(bool)].tolist()
     assert got == [1000, pos], got
+
+
+def test_select_n_gather_exact_with_nonfinite():
+    """r5 review: the tile-onehot selection must match a plain gather
+    BIT-FOR-BIT even when the vector holds NaN/Inf. A value-space onehot
+    matmul computes 0*NaN = NaN, so ONE corrupt sample poisons every
+    detection sharing its 2048-lane column; the bit-pattern (16-bit
+    halves) route does not. Discriminating cases: (a) a NaN in another
+    tile at the SAME lane as a selected finite element, (b) selecting
+    the non-finite elements themselves."""
+    from airmodes.kernels.preamble_pallas import _select_n
+    rng = np.random.default_rng(7)
+    n = 3 * 2048 + 77                     # exercises the pad tail too
+    vec = rng.standard_normal(n).astype(np.float32) * 1e3
+    lane = 513
+    vec[0 * 2048 + lane] = np.nan         # poison tile 0, lane 513
+    vec[1 * 2048 + 300] = np.inf
+    vec[2 * 2048 + 301] = -np.inf
+    idx = np.array([2 * 2048 + lane,      # finite, same lane as the NaN
+                    0 * 2048 + lane,      # the NaN itself
+                    1 * 2048 + 300,       # +inf
+                    2 * 2048 + 301,       # -inf
+                    n - 1], np.int32)     # last real element before pad
+    valid = np.ones(idx.shape, bool)
+    got = np.asarray(_select_n(jax.numpy.asarray(vec),
+                               jax.numpy.asarray(idx),
+                               jax.numpy.asarray(valid)))
+    want = vec[idx]
+    assert got.tobytes() == want.tobytes(), (got, want)
+    assert np.isfinite(got[0])            # the lane-collision case
