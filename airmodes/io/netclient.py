@@ -15,6 +15,7 @@ correlator work identically on local and remote frames.
 from __future__ import annotations
 
 import socket
+import sys
 import threading
 import time
 from typing import Callable, List, Optional, Tuple
@@ -414,7 +415,6 @@ class net_client:
                     avr_buf = b""
 
     def _run(self) -> None:
-        import sys
         logged_outage = False
         while not self._stop.is_set():
             try:

@@ -272,6 +272,41 @@ def test_net_client_reconnects():
     assert got[0].split()[1] == DF17_HEX
 
 
+def test_net_client_survives_raising_callback(capsys):
+    """r5 review: the feed-error guard (a raising consumer must not
+    silently kill the feed thread) had no coverage. The client must log
+    the error, reconnect, and keep feeding."""
+    lsock = socket.socket()
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    got, done = [], threading.Event()
+
+    def cb(w):
+        if not got:
+            got.append("boom")
+            raise RuntimeError("consumer bug")
+        got.append(w)
+        done.set()
+
+    cli = net_client("127.0.0.1", port, cb, fmt="avr", reconnect_s=0.1)
+    cli.start()
+    lsock.settimeout(10)
+    c1, _ = lsock.accept()
+    c1.sendall(f"*{DF17_HEX};\n".encode())   # triggers the raise
+    # the client must drop the connection and come back
+    c2, _ = lsock.accept()
+    c1.close()
+    c2.sendall(f"*{DF17_HEX};\n".encode())
+    assert done.wait(10), "feed thread died after a callback exception"
+    c2.close()
+    cli.close()
+    lsock.close()
+    assert got[-1].split()[1] == DF17_HEX
+    assert "feed error" in capsys.readouterr().err
+
+
 def test_modes_rx_aggregator_cli():
     """modes_rx -s beast://... consumes a remote feed end to end."""
     from airmodes.apps.modes_rx import main
