@@ -615,6 +615,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.kml:
         if not args.db:
             print("KML output requires -d/--db", file=sys.stderr)
+            _close_all(closers)
             return 2
         from ..outputs.kml import output_kml
         plug = output_kml(args.kml, args.db, my_pos)
@@ -670,6 +671,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("frame-recording replay takes exactly one file source "
                   "(for a live network feed use -s beast://host:port "
                   "without --file-format)", file=sys.stderr)
+            _close_all(closers)
             return 2
         return _run_frame_replay(args, srcs[0], bus, closers)
     n_net = sum(1 for s in srcs
@@ -678,6 +680,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if n_net != len(srcs):
             print("network sources (beast://, beastgps://, avr://) may "
                   "not be mixed with sample sources", file=sys.stderr)
+            _close_all(closers)
             return 2
         from ..io.netclient import parse_net_url
         for s in srcs:  # validate now: a typo'd URL should be a clean
@@ -685,6 +688,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 parse_net_url(s)
             except ValueError as e:
                 print(str(e), file=sys.stderr)
+                _close_all(closers)
                 return 2
         return _run_aggregator(args, srcs, bus, closers)
     if len(srcs) > 1:

@@ -573,3 +573,32 @@ def test_gui_rejects_sdr_and_missing_file_cleanly(capsys):
                      "--duration", "1.0"]) == 2
     assert gui_main(["-s", "/no/such/capture.c64", "--backend", "curses",
                      "--duration", "1.0"]) == 2
+
+
+def test_validation_failure_closes_registered_plugins(capture, capsys):
+    """r5 review follow-up: every post-registration validation failure
+    must close already-registered plugins (_close_all), not just the
+    build_msg_iter ValueError path. Thread-owning plugins (the kml
+    rewrite thread holds a self-reference) outlive main() otherwise —
+    refcounting cannot reap them, so a library caller leaked a thread
+    (and its DB handle) per failed call."""
+    import threading
+    path, _, d = capture
+    db, kml = str(d / "leak.db"), str(d / "leak.kml")
+    cases = [
+        ["-s", "beast://127.0.0.1:1", "-s", path, "-d", db, "--kml", kml,
+         "--stats-interval", "0"],                       # mixed sources
+        ["-s", "beast://::1", "-d", db, "--kml", kml,
+         "--stats-interval", "0"],                       # bad net URL
+        ["-s", path, "--file-format", "beast", "-s", path, "-d", db,
+         "--kml", kml, "--stats-interval", "0"],         # replay misuse
+        ["-s", path, "--kml", kml,
+         "--stats-interval", "0"],                       # kml w/o db
+    ]
+    for argv in cases:
+        before = set(threading.enumerate())
+        rc = main(argv)
+        assert rc == 2, argv
+        capsys.readouterr()
+        leftover = [t for t in threading.enumerate() if t not in before]
+        assert not leftover, (argv, leftover)
