@@ -32,9 +32,12 @@ def quantize_i8(x: jax.Array, gain) -> jax.Array:
     native C quantizer (iqstream.cc) implements the identical rule — all
     three paths produce the same int8 for the same f32 input, so the
     full_scale = gain/127 dBFS referencing holds everywhere. `gain` may be
-    a traced scalar (one compile covers every AGC gain)."""
-    return jnp.clip(jnp.round(x * jnp.float32(gain)), -127, 127
-                    ).astype(jnp.int8)
+    a traced scalar (one compile covers every AGC gain). NaN quantizes
+    to 0 and +-inf saturates, matching quantize_i8_np and the native C
+    quantizer — f32->int8 convert of NaN is UNDEFINED in XLA and broke
+    the cross-path bit contract on corrupt captures (r5 review)."""
+    y = jnp.clip(jnp.round(x * jnp.float32(gain)), -127, 127)
+    return jnp.where(jnp.isnan(y), jnp.float32(0), y).astype(jnp.int8)
 
 
 def raw_geometry(cfg: DspConfig, p: int, q: int) -> Tuple[int, int, int, int]:
@@ -117,10 +120,15 @@ def resample_quantize_planar(iqp_raw: jax.Array, gain, cfg: DspConfig,
         # on-device AGC AFTER resampling (the host raw-window peak under-
         # estimates band-limited reconstruction overshoot by 1-3 dB and
         # quantize clips exactly the strongest pulses — r5 review); the
-        # same 120/peak rule as _dev_layout, per channel
-        pk = jnp.maximum(
-            jnp.max(jnp.abs(y.reshape(c, 2 * win)), axis=1), 1e-30)
-        gains = jnp.float32(120.0) / pk
+        # same 120/peak rule as _dev_layout, per channel, including its
+        # FINITE-ONLY scan and zero-peak fallback: one NaN/Inf sample
+        # otherwise drives the gain to NaN/0 and silences the channel's
+        # whole block (the host paths were fixed this round; the device
+        # twin had the same bug)
+        ay = jnp.abs(y.reshape(c, 2 * win))
+        pk = jnp.max(jnp.where(jnp.isfinite(ay), ay, jnp.float32(0)),
+                     axis=1)
+        gains = jnp.float32(120.0) / jnp.where(pk == 0, jnp.float32(1), pk)
     else:
         g = jnp.asarray(gain, jnp.float32)
         gains = jnp.broadcast_to(g, (c,)) if g.ndim == 0 else g

@@ -356,3 +356,38 @@ def test_sharded_resample_per_channel_gain_on_sharded_mesh():
             for m in host.table_to_messages(sub, 0, cfg.channel_rate):
                 got.add(m.split()[1])
     assert {t.hex for t in truth} <= got
+
+
+def test_fused_nonfinite_raw_samples_do_not_silence_block():
+    """r5 review: the device AGC peak scan must be FINITE-ONLY (like
+    _dev_layout's host scan) and the device quantize_i8 must map NaN->0
+    like quantize_i8_np — f32->int8 convert of NaN is XLA-undefined.
+    One corrupt raw sample otherwise drove the channel's AGC gain to
+    NaN and silenced the WHOLE block; frames away from the corrupt
+    group window must keep decoding."""
+    iq_raw, truth = _raw_capture(1, snr_db=20.0, n_msgs=4, seed=21)
+    guard = np.zeros(len(iq_raw), bool)
+    for t in truth:
+        guard[max(0, t.sample_index - 3000): t.sample_index + 4000] = True
+    free = np.flatnonzero(~guard)
+    iq_bad = iq_raw.copy()
+    iq_bad[free[100]] = complex(np.nan, np.nan)
+    iq_bad[free[len(free) // 2]] = complex(np.inf, 0.0)
+    got = set()
+    for w, s in _windows(iq_bad):
+        table, gains = jax.jit(
+            fused.resample_demod_planar,
+            static_argnames=("cfg", "p", "q", "interpret"))(
+                _planar(w), None, cfg=CFG, p=P_UP, q=Q_DN, interpret=True)
+        assert np.isfinite(np.asarray(gains)).all()
+        sub = type(table)(*(np.asarray(f)[0] for f in table))
+        start = s * P_UP // Q_DN
+        got |= {m.split()[1] for m in host.table_to_messages(
+            sub, start, CFG.channel_rate)}
+    want = {t.hex for t in truth}
+    assert len(want - got) <= 1, want - got
+    # device quantize matches the host bit contract on non-finite input
+    lace = np.array([np.nan, np.inf, -np.inf, 0.4, -127.6, 200.0, -0.5],
+                    np.float32)
+    dev = np.asarray(fused.quantize_i8(lace, 1.0))
+    assert np.array_equal(dev, host.quantize_i8_np(lace, 1.0))
