@@ -304,6 +304,21 @@ def _make_fused_drain(cfg, epoch, stats, on_messages, req_start: int):
     """Drainer for the fused runners: the packed table AND the device-AGC
     gains come back from the same program; messages before the REQUESTED
     resume point (possible only in a snapped first window) are dropped."""
+    epoch_ns = int(round(epoch * 1e9))
+    irate = int(cfg.channel_rate)
+
+    def _sample_of(m: str) -> int:
+        # recover the message's global sample index from the wire's
+        # int64-ns field, EPOCH-RELATIVE: the old `t * rate` form used
+        # the epoch-anchored float seconds field, so any nonzero epoch
+        # (the CLI always passes one) made every message pass the
+        # resume filter — and at epoch ~1.7e9 the product sits near
+        # 2^53 anyway (r5 review). ns = epoch_ns + samples*1e9//rate,
+        # so rounding (ns-epoch_ns)*rate/1e9 recovers samples exactly
+        # for any integral rate < 1 GHz.
+        ns = int(m.split()[6])
+        return ((ns - epoch_ns) * irate + 500_000_000) // 1_000_000_000
+
     def drain(entry):
         (packed, gains), starts, n_real = entry
         arr = np.asarray(packed)
@@ -315,9 +330,7 @@ def _make_fused_drain(cfg, epoch, stats, on_messages, req_start: int):
                 table, starts[j], cfg.channel_rate, epoch=epoch,
                 stats=stats, full_scale=float(gs[j]) / 127.0)
             if starts[j] < req_start:
-                msgs = [m for m in msgs
-                        if int(float(m.split()[5]) * cfg.channel_rate
-                               + 0.5) >= req_start]
+                msgs = [m for m in msgs if _sample_of(m) >= req_start]
             if on_messages:
                 on_messages(msgs)
             out.append(msgs)

@@ -391,3 +391,51 @@ def test_fused_nonfinite_raw_samples_do_not_silence_block():
                     np.float32)
     dev = np.asarray(fused.quantize_i8(lace, 1.0))
     assert np.array_equal(dev, host.quantize_i8_np(lace, 1.0))
+
+
+def test_run_resampled_fused_snapped_resume_with_epoch():
+    """r5 review: the snapped-resume filter recovered sample indices as
+    timestamp * rate from the EPOCH-ANCHORED float seconds field — any
+    nonzero epoch (the CLI always passes one) made every message pass,
+    so pre-request messages leaked on odd resume points. The filter now
+    recovers indices from the int64-ns wire field, epoch-relative."""
+    from airmodes.io.stream import run_resampled_fused
+
+    iq_raw, truth = _raw_capture(2, snr_db=20.0, n_msgs=8, seed=19)
+    with tempfile.NamedTemporaryFile(suffix=".c64", delete=False) as f:
+        path = f.name
+        iq_raw.astype(np.complex64).tofile(f)
+    epoch = 1.7e9
+    try:
+        # full pass: learn each frame's detected channel-rate index
+        full = {}
+        for bm in run_resampled_fused(path, CFG, dtype="complex64",
+                                      rate_in=6e6, epoch=epoch):
+            for m in bm:
+                ns = int(m.split()[6]) - int(round(epoch * 1e9))
+                full[m.split()[1]] = (ns * int(CFG.channel_rate)
+                                      + 500_000_000) // 1_000_000_000
+        # resume ONE sample past an even-indexed frame: start is odd, so
+        # it snaps down and the first window re-detects that frame at a
+        # sample BELOW the requested start — it must be filtered out
+        cand = sorted((si, h) for h, si in full.items()
+                      if si % P_UP == 0 and si > 0)
+        assert cand, "need an even-indexed frame for the snap case"
+        si, boundary_hex = cand[len(cand) // 2]
+        req = si + 1
+        msgs = []
+        for bm in run_resampled_fused(path, CFG, dtype="complex64",
+                                      rate_in=6e6, start_sample=req,
+                                      epoch=epoch):
+            msgs.extend(bm)
+        got = {}
+        for m in msgs:
+            ns = int(m.split()[6]) - int(round(epoch * 1e9))
+            got[m.split()[1]] = (ns * int(CFG.channel_rate)
+                                 + 500_000_000) // 1_000_000_000
+        assert all(s >= req for s in got.values()), got
+        assert boundary_hex not in got
+        late = {h for h, s in full.items() if s >= req}
+        assert late - set(got) == set(), late - set(got)
+    finally:
+        os.unlink(path)
